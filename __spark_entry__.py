@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship verify_tree run at sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()  — DuckDB-dialect equivalents over the same parquet views.
 """
 
 from __future__ import annotations
@@ -12,27 +10,131 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from fileverification_spark import grid
+from fileverification_spark.operators import manifest as M
+from fileverification_spark.operators import verify as V
+from fileverification_spark.sources import pages as P
+
+SF0001 = "/root/testdata/sf0.001"
+LEAF = P.LEAF_RES
+
+
+def _with(*ctes: str) -> str:
+    """Compose WITH clause from pages_cte + extra 'name AS (...)' parts."""
+    return "WITH " + ",\n".join([P.pages_cte(LEAF)] + list(ctes))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke at sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive pages, build tampered manifest, verify the tree."""
+    live = P.pages_with_derived(spark, SF0001)
+    stored = V.tampered_manifest(live)
+    return V.verify_tree(live, stored)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_pages_derive(spark: SparkSession, sf: str) -> DataFrame:
+    return P.pages_with_derived(spark, sf).select(
+        "doc_id", "url", "warc_ts", "lang", "text_sha256", "lat", "lon", "cell"
+    )
+
+
+def _q_verify_report(spark: SparkSession, sf: str) -> DataFrame:
+    live = P.pages_with_derived(spark, sf)
+    return V.verify_tree(live, V.tampered_manifest(live))
+
+
+def _q_verify_counts(spark: SparkSession, sf: str) -> DataFrame:
+    live = P.pages_with_derived(spark, sf)
+    return V.verify_counts(V.verify_tree(live, V.tampered_manifest(live)))
+
+
+def _q_manifest_leaf(spark: SparkSession, sf: str) -> DataFrame:
+    return M.leaf_manifest(P.pages_with_derived(spark, sf), LEAF)
+
+
+def _q_cell_digests(spark: SparkSession, sf: str) -> DataFrame:
+    return M.leaf_digests(P.pages_with_derived(spark, sf), LEAF)
+
+
+def _q_merkle_ladder(spark: SparkSession, sf: str) -> DataFrame:
+    leaf = M.leaf_digests(P.pages_with_derived(spark, sf), LEAF)
+    return M.merkle_ladder(leaf, LEAF, min_res=0)
+
+
+def _q_point_verify(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic target: doc_id = 1 (url + its known-good hash form)
+    live = P.pages_with_derived(spark, sf)
+    row = live.where(F.col("doc_id") == 1).select("url", "text_sha256")
+    url, h = row.first()["url"], row.first()["text_sha256"]
+    return V.point_verify(live, url, h.lower())
+
+
+def _q_manifest_remove_missing(spark: SparkSession, sf: str) -> DataFrame:
+    live = P.pages_with_derived(spark, sf)
+    stored = V.tampered_manifest(live)
+    report = V.verify_tree(live, stored)
+    return V.remove_missing(stored, report)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pages_derive": _q_pages_derive,
+        "verify_report": _q_verify_report,
+        "verify_counts": _q_verify_counts,
+        "manifest_leaf": _q_manifest_leaf,
+        "cell_digests": _q_cell_digests,
+        "merkle_ladder": _q_merkle_ladder,
+        "point_verify": _q_point_verify,
+        "manifest_remove_missing": _q_manifest_remove_missing,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql
+# ---------------------------------------------------------------------------
+
+def _sql_ladder() -> str:
+    parts = [f"d{LEAF} AS ({M.sql_leaf_digests(LEAF)})"]
+    for r in range(LEAF, 0, -1):
+        parts.append(f"d{r - 1} AS ({M.sql_parent_digests(f'd{r}', r)})")
+    union = "\nUNION ALL\n".join(
+        f"SELECT res, cell, digest, n_children FROM d{r}"
+        for r in range(LEAF, -1, -1)
+    )
+    return _with(*parts) + "\n" + union
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stored = f"stored AS ({V.sql_tampered_manifest()})"
+    report = f"report AS ({V.sql_verify_report()})"
+    return {
+        "pages_derive": _with()
+        + "\nSELECT doc_id, url, warc_ts, lang, text_sha256, lat, lon, cell FROM pages",
+        "verify_report": _with(stored)
+        + "\n"
+        + V.sql_verify_report(),
+        "verify_counts": _with(stored, report)
+        + "\nSELECT status, count(*) AS n FROM report GROUP BY status",
+        "manifest_leaf": _with()
+        + f"\nSELECT {LEAF} AS res, cell, url AS child_key, 'sha256' AS algo,"
+        " text_sha256 AS hash FROM pages",
+        "cell_digests": _with() + "\n" + M.sql_leaf_digests(LEAF),
+        "merkle_ladder": _sql_ladder(),
+        "point_verify": _with()
+        + """
+SELECT url, text_sha256 AS computed_hash, TRUE AS match
+FROM pages WHERE doc_id = 1""",
+        "manifest_remove_missing": _with(stored)
+        + """
+SELECT s.cell, s.child_key, s.algo, s.hash
+FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
+    }

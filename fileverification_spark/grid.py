@@ -1,0 +1,231 @@
+"""Pure-Spark hierarchical grid (H3/S2 stand-in, zero native deps).
+
+The reference's data model is a recursive folder tree
+(FileVerification/PathInfo.cs:427-537); ours is a quadtree lat/lon grid:
+resolution ``r`` splits the globe into ``2^r x 2^(r+1)`` cells, and the
+parent of a cell at ``r`` is the enclosing cell at ``r-1`` (exactly one —
+the "dirname" of F6, FileVerification/PathInfo.cs:235).
+
+Cell id layout (BIGINT, arithmetic only so the identical formula runs in
+Spark *and* DuckDB for the oracle):
+
+    cell = res * 2^58 + lat_idx * 2^29 + lon_idx
+
+with ``lat_idx = floor((lat+90)/180 * 2^res)``,
+``lon_idx = floor((lon+180)/360 * 2^(res+1))``. All resolutions 0..20.
+
+Every function has a Column form (Spark) and an ``sql_*`` mirror that emits
+the same formula as ANSI SQL text (DuckDB dialect) so each query's oracle
+derives cells identically. The multiply/divide-by-power-of-two arithmetic
+is exact in IEEE doubles, so both engines agree bit-for-bit.
+
+An `h3` import is deliberately absent: the container has no native H3 and
+the grid only needs encode/parent/disk semantics, which the quadtree gives
+with built-in (codegen'd) expressions — no Python in the hot path at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES_MULT = 1 << 58  # 288230376151711744
+LAT_MULT = 1 << 29  # 536870912
+MAX_RES = 20
+
+
+def _check_res(res: int) -> None:
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} outside [0, {MAX_RES}]")
+
+
+# ---------------------------------------------------------------------------
+# Column (Spark) forms — all built-in expressions, whole-stage codegen'd.
+# ---------------------------------------------------------------------------
+
+
+def lat_idx(lat: Column, res: int) -> Column:
+    """Row index at ``res``: floor((lat+90)/180 * 2^res), clamped."""
+    _check_res(res)
+    n = 1 << res
+    raw = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("bigint")
+
+
+def lon_idx(lon: Column, res: int) -> Column:
+    """Column index at ``res``: floor((lon+180)/360 * 2^(res+1)), clamped."""
+    _check_res(res)
+    n = 1 << (res + 1)
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("bigint")
+
+
+def cell_encode(lat: Column, lon: Column, res: int) -> Column:
+    """(lat, lon) → cell id at ``res``."""
+    _check_res(res)
+    return (
+        F.lit(res).cast("bigint") * F.lit(RES_MULT)
+        + lat_idx(lat, res) * F.lit(LAT_MULT)
+        + lon_idx(lon, res)
+    ).alias(f"cell_r{res}")
+
+
+def cell_res(cell: Column) -> Column:
+    return F.shiftright(cell, 58)
+
+
+def cell_lat_idx(cell: Column) -> Column:
+    return F.shiftright(cell, 29).bitwiseAND(F.lit(LAT_MULT - 1))
+
+
+def cell_lon_idx(cell: Column) -> Column:
+    return cell.bitwiseAND(F.lit(LAT_MULT - 1))
+
+
+def cell_parent(cell: Column, res: int, parent_res: int) -> Column:
+    """Enclosing cell at coarser ``parent_res`` (the Merkle-ladder edge).
+
+    Pure bit arithmetic — exact, and mirrored verbatim by sql_cell_parent
+    so oracle and engine agree on every ladder edge.
+    """
+    _check_res(res)
+    _check_res(parent_res)
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+    d = res - parent_res
+    return (
+        F.lit(parent_res).cast("bigint") * F.lit(RES_MULT)
+        + F.shiftright(cell_lat_idx(cell), d) * F.lit(LAT_MULT)
+        + F.shiftright(cell_lon_idx(cell), d)
+    )
+
+
+def cell_bounds(cell: Column, res: int) -> tuple[Column, Column, Column, Column]:
+    """(lat_min, lat_max, lon_min, lon_max) of the cell rectangle."""
+    _check_res(res)
+    dlat = 180.0 / (1 << res)
+    dlon = 360.0 / (1 << (res + 1))
+    la = cell_lat_idx(cell).cast("double") * F.lit(dlat) - F.lit(90.0)
+    lo = cell_lon_idx(cell).cast("double") * F.lit(dlon) - F.lit(180.0)
+    return la, la + F.lit(dlat), lo, lo + F.lit(dlon)
+
+
+def cell_center(cell: Column, res: int) -> tuple[Column, Column]:
+    la0, la1, lo0, lo1 = cell_bounds(cell, res)
+    return (la0 + la1) * F.lit(0.5), (lo0 + lo1) * F.lit(0.5)
+
+
+def grid_disk(cell: Column, res: int, k: int) -> Column:
+    """Array of all cells within Chebyshev ring distance ``k`` (incl. self).
+
+    Longitude wraps (mod 2^(res+1)); latitude rows outside the grid are
+    dropped. Built from sequence/transform/flatten — no Python, fully
+    codegen'd, so the kNN ring expansion stays JVM-side.
+    """
+    _check_res(res)
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    nlat = 1 << res
+    nlon = 1 << (res + 1)
+    li = cell_lat_idx(cell)
+    lo = cell_lon_idx(cell)
+    # rows: lat_idx+d for d in [-k, k] kept if in range; cols wrap.
+    rows = F.filter(
+        F.transform(
+            F.sequence(F.lit(-k), F.lit(k)), lambda d: li + d.cast("bigint")
+        ),
+        lambda r: (r >= 0) & (r < nlat),
+    )
+    base = F.lit(res).cast("bigint") * F.lit(RES_MULT)
+    return F.flatten(
+        F.transform(
+            rows,
+            lambda r: F.transform(
+                F.sequence(F.lit(-k), F.lit(k)),
+                lambda d: base
+                + r * F.lit(LAT_MULT)
+                + F.pmod(lo + d.cast("bigint"), F.lit(nlon)),
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-side (plain Python) forms — polygon covering prep for broadcast.
+# ---------------------------------------------------------------------------
+
+
+def py_cell_encode(lat: float, lon: float, res: int) -> int:
+    _check_res(res)
+    nlat, nlon = 1 << res, 1 << (res + 1)
+    li = min(max(int((lat + 90.0) / 180.0 * nlat), 0), nlat - 1)
+    lo = min(max(int((lon + 180.0) / 360.0 * nlon), 0), nlon - 1)
+    return res * RES_MULT + li * LAT_MULT + lo
+
+
+def py_cell_bounds(cell: int) -> tuple[float, float, float, float]:
+    res = cell // RES_MULT
+    li = (cell % RES_MULT) // LAT_MULT
+    lo = cell % LAT_MULT
+    dlat = 180.0 / (1 << res)
+    dlon = 360.0 / (1 << (res + 1))
+    la0 = li * dlat - 90.0
+    lo0 = lo * dlon - 180.0
+    return la0, la0 + dlat, lo0, lo0 + dlon
+
+
+def cells_covering_rect(
+    lat_min: float, lat_max: float, lon_min: float, lon_max: float, res: int
+) -> list[int]:
+    """All cells at ``res`` intersecting the rectangle (driver-side prep;
+    polygons are few and small, the covering is broadcast to executors)."""
+    _check_res(res)
+    nlat, nlon = 1 << res, 1 << (res + 1)
+    li0 = min(max(int((lat_min + 90.0) / 180.0 * nlat), 0), nlat - 1)
+    li1 = min(max(int((lat_max + 90.0) / 180.0 * nlat), 0), nlat - 1)
+    lo0 = min(max(int((lon_min + 180.0) / 360.0 * nlon), 0), nlon - 1)
+    lo1 = min(max(int((lon_max + 180.0) / 360.0 * nlon), 0), nlon - 1)
+    return [
+        res * RES_MULT + li * LAT_MULT + lo
+        for li in range(li0, li1 + 1)
+        for lo in range(lo0, lo1 + 1)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# SQL mirrors (DuckDB dialect) — identical arithmetic for the oracle.
+# ---------------------------------------------------------------------------
+
+
+def sql_lat_idx(lat_expr: str, res: int) -> str:
+    n = 1 << res
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR(({lat_expr} + 90.0) / 180.0 * {n}.0) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+
+
+def sql_lon_idx(lon_expr: str, res: int) -> str:
+    n = 1 << (res + 1)
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+
+
+def sql_cell_encode(lat_expr: str, lon_expr: str, res: int) -> str:
+    return (
+        f"(CAST({res} AS BIGINT) * {RES_MULT} "
+        f"+ {sql_lat_idx(lat_expr, res)} * {LAT_MULT} "
+        f"+ {sql_lon_idx(lon_expr, res)})"
+    )
+
+
+def sql_cell_parent(cell_expr: str, res: int, parent_res: int) -> str:
+    d = res - parent_res
+    mask = LAT_MULT - 1
+    return (
+        f"(CAST({parent_res} AS BIGINT) * {RES_MULT} "
+        f"+ ((({cell_expr} >> 29) & {mask}) >> {d}) * {LAT_MULT} "
+        f"+ (({cell_expr} & {mask}) >> {d}))"
+    )

@@ -1,0 +1,142 @@
+"""Per-cell Merkle manifests — the reference's per-folder ``__fv.txt``
+checksum files (FileVerification/CheckSumFile.cs:14-29, :270-315) grafted
+onto the cell hierarchy.
+
+- ``leaf_manifest``    → one row per page: (res, cell, child_key, algo, hash)
+  — the manifest *entries* (ref record format HashInfo.cs:271-274).
+- ``leaf_digests``     → one row per cell: SHA-256 over the **sorted**
+  (child_key ‖ hash) pairs. The reference writes manifest lines in
+  nondeterministic parallel order (CheckSumFile.cs:280-288); sorting before
+  digesting is strictly stronger and makes the digest reproducible under
+  any shuffle/partitioning — the property tests pin this.
+- ``merkle_ladder``    → digests chained up the resolution ladder
+  (folder recursion → parent cells), enabling incremental subtree pruning:
+  a parent digest equal to the checkpoint ⇒ the entire subtree is
+  unchanged and is skipped (SURVEY §4 "Merkle subtree pruning").
+
+Scale notes: the groupBy(cell) digest is a sort-agg per cell. Leaf
+resolution is chosen so cells hold bounded page counts (res 12 ≈ 33M cells
+for 10^12 rows → ~30k pages/cell); AQE skew-join/partition-split handles
+residual hot cells, and the ladder shrinks by 8x per level so upper levels
+are trivially small. Each level reuses the previous level's shuffle output
+(cell → parent is a narrow projection followed by one shuffle per level,
+O(levels) total shuffles on exponentially shrinking data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fileverification_spark import grid
+
+
+def leaf_manifest(pages_derived: DataFrame, res: int) -> DataFrame:
+    """Manifest entries at the leaf resolution: the cell's '__fv.txt' rows."""
+    return pages_derived.select(
+        F.lit(res).alias("res"),
+        F.col("cell"),
+        F.col("url").alias("child_key"),
+        F.lit("sha256").alias("algo"),
+        F.col("text_sha256").alias("hash"),
+    )
+
+
+def _digest_over(pair: F.Column) -> F.Column:
+    """upper(sha256(concat of sorted pair-strings)) — deterministic under
+    any row order (c.f. nondeterministic reference order,
+    FileVerification/CheckSumFile.cs:280-288)."""
+    return F.upper(
+        F.sha2(F.concat_ws("", F.sort_array(F.collect_list(pair))), 256)
+    )
+
+
+def leaf_digests(pages_derived: DataFrame, res: int) -> DataFrame:
+    """(res, cell, digest, n_children) per leaf cell."""
+    pair = F.concat(F.col("url"), F.col("text_sha256"))
+    return (
+        pages_derived.groupBy("cell")
+        .agg(
+            _digest_over(pair).alias("digest"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+        .select(F.lit(res).alias("res"), "cell", "digest", "n_children")
+    )
+
+
+def merkle_ladder(
+    leaf: DataFrame, leaf_res: int, min_res: int = 0
+) -> DataFrame:
+    """Union of digests at every resolution in [min_res, leaf_res].
+
+    Parent digest = sha256 over sorted (child_cell_string ‖ child_digest)
+    pairs; n_children = number of child *cells*.
+    """
+    levels = [leaf]
+    cur = leaf
+    for r in range(leaf_res, min_res, -1):
+        parent = (
+            cur.select(
+                grid.cell_parent(F.col("cell"), r, r - 1).alias("cell"),
+                F.concat(F.col("cell").cast("string"), F.col("digest")).alias(
+                    "pair"
+                ),
+            )
+            .groupBy("cell")
+            .agg(
+                _digest_over(F.col("pair")).alias("digest"),
+                F.count(F.lit(1)).alias("n_children"),
+            )
+            .select(F.lit(r - 1).alias("res"), "cell", "digest", "n_children")
+        )
+        levels.append(parent)
+        cur = parent
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def changed_cells(current: DataFrame, checkpoint: DataFrame) -> DataFrame:
+    """Cells whose digest differs from (or is absent in) the checkpoint —
+    the incremental-verify frontier. Equi-join on (res, cell); digest
+    equality prunes unchanged subtrees before any leaf-level hashing."""
+    cp = checkpoint.select(
+        F.col("res").alias("cp_res"),
+        F.col("cell").alias("cp_cell"),
+        F.col("digest").alias("cp_digest"),
+    )
+    joined = current.join(
+        cp,
+        (current["res"] == cp["cp_res"]) & (current["cell"] == cp["cp_cell"]),
+        "left",
+    )
+    return joined.where(
+        F.col("cp_digest").isNull() | (F.col("digest") != F.col("cp_digest"))
+    ).select("res", "cell", "digest", "n_children")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors (oracle). string_agg(ORDER BY) == sort_array+concat_ws.
+# ---------------------------------------------------------------------------
+
+def sql_leaf_digests(res: int, pages_rel: str = "pages") -> str:
+    """SELECT body producing (res, cell, digest, n_children) in DuckDB."""
+    return f"""
+SELECT {res} AS res, cell,
+       upper(sha256(string_agg(url || text_sha256, '' ORDER BY url || text_sha256))) AS digest,
+       count(*) AS n_children
+FROM {pages_rel}
+GROUP BY cell"""
+
+
+def sql_parent_digests(child_rel: str, res: int) -> str:
+    """SELECT body rolling ``child_rel`` (res, cell, digest) one level up."""
+    parent = grid.sql_cell_parent("cell", res, res - 1)
+    return f"""
+SELECT {res - 1} AS res, {parent} AS cell,
+       upper(sha256(string_agg(CAST(cell AS VARCHAR) || digest, ''
+             ORDER BY CAST(cell AS VARCHAR) || digest))) AS digest,
+       count(*) AS n_children
+FROM {child_rel}
+GROUP BY {parent}"""

@@ -1,0 +1,155 @@
+"""The ``pages`` table — Common-Crawl-style web pages per BASELINE input_hint:
+
+    pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+
+Derived **deterministically** from the driver's ``documents.parquet`` so
+tests/benchmarks need no external data, every sf has a pages table, and the
+DuckDB oracle can rebuild the identical table from the same parquet (see
+``PAGES_CTE``). Geocoding is synthetic by construction (north_star):
+``(lat, lon)`` comes from the SHA-256 of ``url|warc_ts``, the exact analogue
+of the reference hashing file content (FileVerification/HashInfo.cs:164-238)
+— so coordinates are reproducible everywhere, bit-for-bit.
+
+Derived columns (all built-in expressions, codegen'd, no Python):
+
+- ``text_sha256`` = upper(sha2(text, 256)) — reference stores uppercase hex
+  (FileVerification/HashInfo.cs:222) and compares case-sensitively
+  (HashInfo.cs:262); we keep both conventions.
+- ``lat`` / ``lon`` — two 32-bit slices of sha256(url|ts) scaled into
+  [-90,90) x [-180,180). The /2^32 and *2^k arithmetic is exact in IEEE
+  doubles, so Spark and DuckDB agree bit-for-bit.
+- ``cell`` — quadtree cell at LEAF_RES (grid.py), the "directory" of the
+  page; the resolution ladder above it replaces folder recursion.
+
+At 100 TB the real table is Iceberg `PARTITIONED BY (bucket(1024, url),
+days(warc_ts))`; here the parquet file stands in and the derivations are a
+narrow projection on top of the scan (column pruning still reaches parquet
+because html/text are only read when the query needs them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fileverification_spark import grid
+
+#: Default leaf resolution of the cell ladder. 2^4 x 2^5 = 512 cells —
+#: sf0.01 (~5k docs) ≈ 10 pages/cell, sf0.1 (~50k) ≈ 100/cell. Real-scale
+#: deployments pick ~res 12 (33M cells) for 10^12 rows; everything is
+#: parameterised on res so nothing changes but the constant.
+LEAF_RES = 4
+
+EPOCH = "2024-01-01 00:00:00"
+YEAR_SECONDS = 31536000
+TS_STEP = 137  # co-prime spread of doc_ids over the year
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pages(spark: SparkSession, sf_dir: str, with_html: bool = False) -> DataFrame:
+    """Build the pages table (+ derived hash/geo/cell columns).
+
+    ``with_html=False`` skips materialising the html binary column so
+    column pruning keeps the parquet scan narrow when the query doesn't
+    need it.
+    """
+    docs = load_documents(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    warc_ts = F.expr(
+        f"timestampadd(SECOND, CAST((doc_id * {TS_STEP}) % {YEAR_SECONDS} AS INT), "
+        f"timestamp'{EPOCH}')"
+    )
+    df = docs.select(
+        F.col("doc_id"),
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    if with_html:
+        df = df.withColumn(
+            "html",
+            F.encode(
+                F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+                "UTF-8",
+            ),
+        )
+    return df
+
+
+def with_derived(df: DataFrame, res: int = LEAF_RES) -> DataFrame:
+    """Attach text_sha256, lat, lon and the leaf cell column."""
+    ts_str = F.date_format(F.col("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+    geo_hash = F.sha2(F.concat(F.col("url"), F.lit("|"), ts_str), 256)
+    u_lat = F.conv(F.substring(geo_hash, 1, 8), 16, 10).cast("bigint") / F.lit(
+        4294967296.0
+    )
+    u_lon = F.conv(F.substring(geo_hash, 9, 8), 16, 10).cast("bigint") / F.lit(
+        4294967296.0
+    )
+    lat = (u_lat * F.lit(180.0) - F.lit(90.0)).alias("lat")
+    lon = (u_lon * F.lit(360.0) - F.lit(180.0)).alias("lon")
+    df = (
+        df.withColumn("text_sha256", F.upper(F.sha2(F.col("text"), 256)))
+        .withColumn("lat", lat)
+        .withColumn("lon", lon)
+    )
+    return df.withColumn("cell", grid.cell_encode(F.col("lat"), F.col("lon"), res))
+
+
+def pages_with_derived(
+    spark: SparkSession, sf_dir: str, res: int = LEAF_RES, with_html: bool = False
+) -> DataFrame:
+    return with_derived(pages(spark, sf_dir, with_html=with_html), res=res)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirror — the same derivation as ANSI SQL over the same
+# parquet view ``documents``. Interpolate with .format(res=...).
+# ---------------------------------------------------------------------------
+
+def pages_cte(res: int = LEAF_RES) -> str:
+    """A CTE body (no WITH keyword) deriving the identical pages table in
+    DuckDB. Columns: doc_id, url, warc_ts, text, lang, text_sha256, lat,
+    lon, cell."""
+    lat_expr = (
+        "(CAST(('0x' || substr(geo_hash, 1, 8)) AS BIGINT) / 4294967296.0"
+        " * 180.0 - 90.0)"
+    )
+    lon_expr = (
+        "(CAST(('0x' || substr(geo_hash, 9, 8)) AS BIGINT) / 4294967296.0"
+        " * 360.0 - 180.0)"
+    )
+    return f"""
+pages_base AS (
+  SELECT
+    doc_id,
+    'https://' || source || '.example.org/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url,
+    TIMESTAMP '{EPOCH}' + INTERVAL (CAST((doc_id * {TS_STEP}) % {YEAR_SECONDS} AS INT)) SECOND AS warc_ts,
+    text,
+    lang
+  FROM documents
+),
+pages_hashed AS (
+  SELECT *,
+    upper(sha256(text)) AS text_sha256,
+    sha256(url || '|' || strftime(warc_ts, '%Y-%m-%d %H:%M:%S')) AS geo_hash
+  FROM pages_base
+),
+pages AS (
+  SELECT doc_id, url, warc_ts, text, lang, text_sha256,
+    {lat_expr} AS lat,
+    {lon_expr} AS lon,
+    {grid.sql_cell_encode(lat_expr, lon_expr, res)} AS cell
+  FROM pages_hashed
+)"""
