@@ -1,0 +1,113 @@
+"""Quadtree grid invariants (fileverification_spark/grid.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fileverification_spark import grid
+
+
+def test_py_encode_known_values():
+    # res 0: 1x2 grid — west vs east hemisphere
+    assert grid.py_cell_encode(0.0, -1.0, 0) == 0
+    assert grid.py_cell_encode(0.0, 1.0, 0) == 1
+    # res 1: 2x4 grid
+    c = grid.py_cell_encode(45.0, 90.0, 1)
+    assert c == 1 * grid.RES_MULT + 1 * grid.LAT_MULT + 3
+
+
+def test_column_matches_python(spark):
+    pts = [(-89.9, -179.9), (-0.1, 0.1), (45.5, 90.25), (89.9, 179.9), (0.0, 0.0)]
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    for res in (0, 1, 4, 10, 20):
+        got = [
+            r[0]
+            for r in df.select(
+                grid.cell_encode(F.col("lat"), F.col("lon"), res)
+            ).collect()
+        ]
+        want = [grid.py_cell_encode(la, lo, res) for la, lo in pts]
+        assert got == want, res
+
+
+def test_parent_contains_child(spark):
+    pts = [(l / 7.0 * 89, l * 13.7 % 360 - 180) for l in range(-7, 8)]
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    res = 8
+    out = df.select(
+        grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("c"),
+        grid.cell_encode(F.col("lat"), F.col("lon"), res - 1).alias("direct"),
+        grid.cell_encode(F.col("lat"), F.col("lon"), 3).alias("direct3"),
+    ).select(
+        grid.cell_parent(F.col("c"), res, res - 1).alias("p"),
+        "direct",
+        grid.cell_parent(F.col("c"), res, 3).alias("p3"),
+        "direct3",
+    )
+    for r in out.collect():
+        assert r["p"] == r["direct"]
+        assert r["p3"] == r["direct3"]
+
+
+def test_bounds_roundtrip():
+    c = grid.py_cell_encode(37.77, -122.42, 12)
+    la0, la1, lo0, lo1 = grid.py_cell_bounds(c)
+    assert la0 <= 37.77 < la1
+    assert lo0 <= -122.42 < lo1
+
+
+def test_grid_disk_membership(spark):
+    res, k = 5, 2
+    df = spark.createDataFrame([(10.0, 20.0)], ["lat", "lon"])
+    disk = df.select(
+        F.explode(
+            grid.grid_disk(grid.cell_encode(F.col("lat"), F.col("lon"), res), res, k)
+        ).alias("c")
+    ).collect()
+    cells = {r["c"] for r in disk}
+    assert len(cells) == (2 * k + 1) ** 2  # interior cell, no lat clipping
+    assert grid.py_cell_encode(10.0, 20.0, res) in cells
+    # all are at the right resolution
+    assert all(c >> 58 == res for c in cells)
+
+
+def test_grid_disk_lon_wrap(spark):
+    res, k = 4, 1
+    # cell at the antimeridian: lon_idx 0 — disk must wrap to max lon_idx
+    df = spark.createDataFrame([(0.0, -179.99)], ["lat", "lon"])
+    disk = df.select(
+        F.explode(
+            grid.grid_disk(grid.cell_encode(F.col("lat"), F.col("lon"), res), res, k)
+        ).alias("c")
+    ).collect()
+    lons = {c & (grid.LAT_MULT - 1) for c in (r["c"] for r in disk)}
+    assert 0 in lons and (1 << (res + 1)) - 1 in lons
+
+
+def test_grid_disk_lat_clip(spark):
+    res, k = 4, 2
+    df = spark.createDataFrame([(-89.9, 0.0)], ["lat", "lon"])  # bottom row
+    disk = df.select(
+        F.explode(
+            grid.grid_disk(grid.cell_encode(F.col("lat"), F.col("lon"), res), res, k)
+        ).alias("c")
+    ).collect()
+    # rows -2,-1 clipped: 3 rows x 5 cols
+    assert len(disk) == 3 * (2 * k + 1)
+
+
+def test_covering_rect():
+    cells = grid.cells_covering_rect(10.0, 20.0, 30.0, 50.0, 4)
+    assert cells
+    for c in cells:
+        la0, la1, lo0, lo1 = grid.py_cell_bounds(c)
+        assert la1 > 10.0 - 1e-9 and la0 < 20.0 + 1e-9
+        assert lo1 > 30.0 - 1e-9 and lo0 < 50.0 + 1e-9
+
+
+def test_res_bounds_checked():
+    with pytest.raises(ValueError):
+        grid.py_cell_encode(0, 0, 21)
+    with pytest.raises(ValueError):
+        grid.cells_covering_rect(0, 1, 0, 1, -1)

@@ -1,0 +1,88 @@
+"""Merkle manifest invariants (SURVEY §5.4 property tests)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fileverification_spark.operators import manifest as M
+from fileverification_spark.sources import pages as P
+
+
+def test_leaf_digest_matches_hashlib(spark, pages_small):
+    leaf = M.leaf_digests(pages_small, P.LEAF_RES)
+    one = leaf.orderBy("cell").first()
+    cell = one["cell"]
+    pairs = sorted(
+        r["url"] + r["text_sha256"]
+        for r in pages_small.where(F.col("cell") == cell)
+        .select("url", "text_sha256")
+        .collect()
+    )
+    want = hashlib.sha256("".join(pairs).encode()).hexdigest().upper()
+    assert one["digest"] == want
+    assert one["n_children"] == len(pairs)
+
+
+def test_digest_invariant_under_repartition(spark, pages_small):
+    a = {
+        (r["cell"], r["digest"])
+        for r in M.leaf_digests(pages_small, P.LEAF_RES).collect()
+    }
+    shuffled = pages_small.repartition(13, "doc_id").sortWithinPartitions("text_sha256")
+    b = {
+        (r["cell"], r["digest"])
+        for r in M.leaf_digests(shuffled, P.LEAF_RES).collect()
+    }
+    assert a == b
+
+
+def test_ladder_levels_and_counts(spark, pages_small):
+    leaf = M.leaf_digests(pages_small, P.LEAF_RES)
+    ladder = M.merkle_ladder(leaf, P.LEAF_RES, min_res=0).collect()
+    by_res = {}
+    for r in ladder:
+        by_res.setdefault(r["res"], []).append(r)
+    assert set(by_res) == set(range(P.LEAF_RES + 1))
+    # root level: at most 2 cells (res 0 = 1x2 grid), together covering all
+    assert 1 <= len(by_res[0]) <= 2
+    # n_children at res 0 = number of res-1 cells
+    assert sum(r["n_children"] for r in by_res[0]) == len(by_res[1])
+
+
+def test_single_mutation_flips_ancestor_path_only(spark, pages_small):
+    victim = pages_small.orderBy("doc_id").first()
+    mutated = pages_small.withColumn(
+        "text_sha256",
+        F.when(F.col("doc_id") == victim["doc_id"], F.lit("0" * 64)).otherwise(
+            F.col("text_sha256")
+        ),
+    )
+    base = {
+        (r["res"], r["cell"]): r["digest"]
+        for r in M.merkle_ladder(
+            M.leaf_digests(pages_small, P.LEAF_RES), P.LEAF_RES
+        ).collect()
+    }
+    mut = {
+        (r["res"], r["cell"]): r["digest"]
+        for r in M.merkle_ladder(
+            M.leaf_digests(mutated, P.LEAF_RES), P.LEAF_RES
+        ).collect()
+    }
+    assert set(base) == set(mut)
+    changed = {k for k in base if base[k] != mut[k]}
+    # exactly one changed cell per resolution: the victim's ancestor path
+    assert len(changed) == P.LEAF_RES + 1
+    assert sorted(r for r, _ in changed) == list(range(P.LEAF_RES + 1))
+
+
+def test_changed_cells_prunes_unchanged(spark, pages_small):
+    leaf = M.leaf_digests(pages_small, P.LEAF_RES)
+    ladder = M.merkle_ladder(leaf, P.LEAF_RES).cache()
+    # identical checkpoint -> nothing changed
+    assert M.changed_cells(ladder, ladder).count() == 0
+    # empty checkpoint -> everything changed
+    empty = ladder.where(F.lit(False))
+    assert M.changed_cells(ladder, empty).count() == ladder.count()
