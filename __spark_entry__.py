@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from fileverification_spark import grid
 from fileverification_spark.operators import manifest as M
+from fileverification_spark.operators import spatial as S
 from fileverification_spark.operators import verify as V
 from fileverification_spark.sources import pages as P
 
@@ -85,6 +86,35 @@ def _q_manifest_remove_missing(spark: SparkSession, sf: str) -> DataFrame:
     return V.remove_missing(stored, report)
 
 
+_POLYS = S.default_polygons()
+_QPTS = S.default_query_points(10)
+_KNN_K = 10
+_RASTER_RES = 3
+
+
+def _q_pip_pages(spark: SparkSession, sf: str) -> DataFrame:
+    return S.pip_join(P.pages_with_derived(spark, sf), _POLYS, res=P.LEAF_RES)
+
+
+def _q_pip_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return S.pip_counts(
+        S.pip_join(P.pages_with_derived(spark, sf), _POLYS, res=P.LEAF_RES)
+    )
+
+
+def _q_knn(spark: SparkSession, sf: str) -> DataFrame:
+    return S.knn_bruteforce(P.pages_with_derived(spark, sf), _QPTS, _KNN_K)
+
+
+def _q_raster(spark: SparkSession, sf: str) -> DataFrame:
+    return S.raster_cells(P.pages_with_derived(spark, sf), _RASTER_RES)
+
+
+def _q_raster_zoom(spark: SparkSession, sf: str) -> DataFrame:
+    fine = S.raster_per_lang(P.pages_with_derived(spark, sf), res=6)
+    return S.raster_zoom(fine, res=6, out_res=_RASTER_RES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_derive": _q_pages_derive,
@@ -95,6 +125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merkle_ladder": _q_merkle_ladder,
         "point_verify": _q_point_verify,
         "manifest_remove_missing": _q_manifest_remove_missing,
+        "pip_pages": _q_pip_pages,
+        "pip_counts": _q_pip_counts,
+        "knn": _q_knn,
+        "raster_cells": _q_raster,
+        "raster_zoom": _q_raster_zoom,
     }
 
 
@@ -137,4 +172,10 @@ FROM pages WHERE doc_id = 1""",
         + """
 SELECT s.cell, s.child_key, s.algo, s.hash
 FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
+        "pip_pages": _with() + "\n" + S.sql_pip(_POLYS),
+        "pip_counts": _with(f"pip AS ({S.sql_pip(_POLYS)})")
+        + "\nSELECT poly_id, count(*) AS n_pages FROM pip GROUP BY poly_id",
+        "knn": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
+        "raster_cells": _with() + "\n" + S.sql_raster(_RASTER_RES),
+        "raster_zoom": _with() + "\n" + S.sql_raster(_RASTER_RES),
     }

@@ -1,0 +1,422 @@
+"""Spatial query surface (north_rule: point-in-polygon join, kNN, raster
+<-> vector tile aggregation) over the geocoded pages table.
+
+The reference has no spatial ops — this is the new surface the graft adds
+on top of its verify/manifest substrate (SURVEY §2.4 "Absent in reference"
+row). Design:
+
+- **Point-in-polygon**: polygons are few and small → prepared on the
+  driver (cell covering per polygon via grid.cells_covering_rect over the
+  bbox) and **broadcast**; pages join the covering on `cell` (prefilter —
+  this is the partition-pruning step; at 100 TB only the covering cells'
+  partitions are read), then an exact ray-casting test runs on the
+  surviving candidates. Two exact-test implementations with identical
+  arithmetic:
+    * `pip_join` — vectorized pandas UDF (numpy, Arrow batches): the
+      canonical scale path (SURVEY §2.8);
+    * `pip_join_sql` — pure JVM: explode polygon edges, crossing-parity
+      groupBy. Used as the DuckDB-oracle-equivalent path and as a
+      cross-check of the UDF in tests.
+
+- **kNN**: `knn_bruteforce` broadcasts the (tiny) query-point set, scores
+  every page (one scan, no shuffle until the top-k window) — the exact
+  baseline and the oracle. `knn_ring` prefilters candidates to
+  grid_disk(query_cell, rings) before scoring — the 100-TB path: the disk
+  is a static cell list per query, so the scan prunes to those cells'
+  partitions; exactness holds whenever the k-th neighbour lies inside the
+  ring (tests assert agreement with brute force, and the API exposes the
+  guarantee radius).
+
+- **Raster**: `raster_cells` aggregates per-cell page count + language
+  histogram (two-level agg keeps the shuffle width at |cells|, map-side
+  partial aggregation comes free from Catalyst); `raster_zoom` rolls a
+  finer raster up the ladder *from the raster itself* (8x smaller input
+  per level — never re-reads pages).
+
+Distances use squared-euclidean degrees on (lat, lon): the geocoding is
+synthetic-uniform by construction (sources/pages.py), so no great-circle
+correction is warranted; the formula is documented and mirrored in the
+oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from fileverification_spark import grid
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic polygon + query-point sets (no external data).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Polygon:
+    poly_id: str
+    vertices: list[tuple[float, float]]  # (lat, lon), open ring
+
+    @property
+    def bbox(self) -> tuple[float, float, float, float]:
+        las = [v[0] for v in self.vertices]
+        los = [v[1] for v in self.vertices]
+        return min(las), max(las), min(los), max(los)
+
+
+def default_polygons(n: int = 8) -> list[Polygon]:
+    """n regular polygons (5..8 vertices) scattered deterministically."""
+    polys = []
+    for i in range(n):
+        cy = -50.0 + 14.0 * i          # center lat
+        cx = -160.0 + 41.0 * i         # center lon
+        r = 12.0 + 3.0 * (i % 4)
+        sides = 5 + (i % 4)
+        verts = [
+            (
+                cy + r * math.cos(2.0 * math.pi * j / sides),
+                cx + 1.3 * r * math.sin(2.0 * math.pi * j / sides),
+            )
+            for j in range(sides)
+        ]
+        polys.append(Polygon(f"poly{i}", verts))
+    return polys
+
+
+def default_query_points(n: int = 10) -> list[tuple[int, float, float]]:
+    """(query_id, lat, lon) — deterministic spread."""
+    return [(i, -60.0 + 13.0 * i, ((-150.0 + 37.0 * i + 180.0) % 360.0) - 180.0) for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon
+# ---------------------------------------------------------------------------
+
+
+def polygon_covering(polys: list[Polygon], res: int) -> list[tuple[str, int]]:
+    """(poly_id, cell) covering rows — driver-side prep, broadcast later.
+    Conservative bbox covering: false positives removed by the exact test."""
+    out = []
+    for p in polys:
+        la0, la1, lo0, lo1 = p.bbox
+        for c in grid.cells_covering_rect(la0, la1, lo0, lo1, res):
+            out.append((p.poly_id, c))
+    return out
+
+
+def _candidates(
+    pages: DataFrame, polys: list[Polygon], res: int
+) -> DataFrame:
+    spark = pages.sparkSession
+    cov = spark.createDataFrame(
+        polygon_covering(polys, res), ["poly_id", "cov_cell"]
+    )
+    # broadcast: covering is tiny (|polys| x bbox cells) — the join prunes
+    # pages to covered cells without a shuffle of the big side.
+    return pages.join(F.broadcast(cov), pages["cell"] == cov["cov_cell"], "inner")
+
+
+def _pip_pandas_udf(polys: list[Polygon]):
+    """Vectorized ray-casting: for each row (poly_id, lat, lon) → bool.
+    Arrow-batched; numpy inner loop over the (few) polygon edges only."""
+    import numpy as np
+
+    edges = {}
+    for p in polys:
+        v = p.vertices
+        e = []
+        for j in range(len(v)):
+            y1, x1 = v[j]
+            y2, x2 = v[(j + 1) % len(v)]
+            e.append((y1, x1, y2, x2))
+        edges[p.poly_id] = e
+
+    @F.pandas_udf(T.BooleanType())
+    def inside(poly_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+        res = pd.Series(False, index=lat.index)
+        py = lat.to_numpy()
+        px = lon.to_numpy()
+        pid = poly_id.to_numpy()
+        out = np.zeros(len(py), dtype=bool)
+        for the_id, es in edges.items():
+            m = pid == the_id
+            if not m.any():
+                continue
+            yy, xx = py[m], px[m]
+            cnt = np.zeros(len(yy), dtype=np.int64)
+            for (y1, x1, y2, x2) in es:
+                crosses = (y1 > yy) != (y2 > yy)
+                with_x = xx < (x2 - x1) * (yy - y1) / (y2 - y1) + x1
+                cnt += (crosses & with_x).astype(np.int64)
+            out[m] = (cnt % 2) == 1
+        res[:] = out
+        return res
+
+    return inside
+
+
+def pip_join(pages: DataFrame, polys: list[Polygon], res: int) -> DataFrame:
+    """(poly_id, url, lat, lon) for every page inside a polygon —
+    cell-prefilter + exact pandas-UDF test (the canonical path)."""
+    cand = _candidates(pages, polys, res)
+    inside = _pip_pandas_udf(polys)
+    return cand.where(
+        inside(F.col("poly_id"), F.col("lat"), F.col("lon"))
+    ).select("poly_id", "url", "lat", "lon")
+
+
+def pip_join_sql(pages: DataFrame, polys: list[Polygon], res: int) -> DataFrame:
+    """Same semantics, pure JVM: explode edges, crossing-parity agg.
+
+    Broadcast edge table (|polys| x sides rows); candidate x edge rows stay
+    bounded because the cell prefilter ran first. Arithmetic is the exact
+    formula of the pandas UDF and of sql_pip_predicate (oracle).
+    """
+    spark = pages.sparkSession
+    rows = []
+    for p in polys:
+        v = p.vertices
+        for j in range(len(v)):
+            y1, x1 = v[j]
+            y2, x2 = v[(j + 1) % len(v)]
+            rows.append((p.poly_id, y1, x1, y2, x2))
+    edges = spark.createDataFrame(rows, ["e_poly", "y1", "x1", "y2", "x2"])
+    cand = _candidates(pages, polys, res)
+    crossed = cand.join(
+        F.broadcast(edges), cand["poly_id"] == edges["e_poly"], "inner"
+    ).where(
+        ((F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat")))
+        & (
+            F.col("lon")
+            < (F.col("x2") - F.col("x1"))
+            * (F.col("lat") - F.col("y1"))
+            / (F.col("y2") - F.col("y1"))
+            + F.col("x1")
+        )
+    )
+    odd = (
+        crossed.groupBy("poly_id", "url", "lat", "lon")
+        .agg(F.count(F.lit(1)).alias("crossings"))
+        .where(F.col("crossings") % 2 == 1)
+    )
+    return odd.select("poly_id", "url", "lat", "lon")
+
+
+def pip_counts(pip: DataFrame) -> DataFrame:
+    return pip.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_pages"))
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def _dist2(qlat: F.Column, qlon: F.Column) -> F.Column:
+    dy = F.col("lat") - qlat
+    dx = F.col("lon") - qlon
+    return dy * dy + dx * dx
+
+
+def knn_bruteforce(
+    pages: DataFrame, queries: list[tuple[int, float, float]], k: int
+) -> DataFrame:
+    """Exact kNN: broadcast query points, score every page, window top-k.
+    One full scan regardless of |queries| — the correctness baseline and
+    the DuckDB oracle twin."""
+    spark = pages.sparkSession
+    q = spark.createDataFrame(queries, ["query_id", "qlat", "qlon"])
+    scored = pages.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "url",
+        _dist2(F.col("qlat"), F.col("qlon")).alias("dist2"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("url").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "url")
+    )
+
+
+def knn_ring(
+    pages: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    res: int,
+    rings: int,
+) -> DataFrame:
+    """Scale path: candidates restricted to grid_disk(query_cell, rings)
+    before scoring. Exact iff the k-th neighbour lies within the disk's
+    guaranteed radius (rings * cell_height deg); tests assert agreement
+    with brute force at the chosen parameters.
+
+    The disk is expanded on the driver (|queries| x (2r+1)^2 cells) and
+    broadcast — the page side joins on `cell`, so at scale only candidate
+    cells' partitions are scanned.
+    """
+    spark = pages.sparkSession
+    rows = []
+    for qid, qla, qlo in queries:
+        qcell = grid.py_cell_encode(qla, qlo, res)
+        li = (qcell >> 29) & (grid.LAT_MULT - 1)
+        lo = qcell & (grid.LAT_MULT - 1)
+        nlat, nlon = 1 << res, 1 << (res + 1)
+        for dy in range(-rings, rings + 1):
+            r = li + dy
+            if r < 0 or r >= nlat:
+                continue
+            for dx in range(-rings, rings + 1):
+                c = res * grid.RES_MULT + r * grid.LAT_MULT + ((lo + dx) % nlon)
+                rows.append((qid, qla, qlo, c))
+    cand_cells = spark.createDataFrame(
+        rows, ["query_id", "qlat", "qlon", "cand_cell"]
+    )
+    # page cell must be derived at the *disk's* resolution — pages.cell is
+    # at the leaf res and would never match a coarser candidate cell.
+    paged = pages.withColumn(
+        "knn_cell", grid.cell_encode(F.col("lat"), F.col("lon"), res)
+    )
+    cand = paged.join(
+        F.broadcast(cand_cells), F.col("knn_cell") == F.col("cand_cell"), "inner"
+    )
+    scored = cand.select(
+        "query_id", "url", _dist2(F.col("qlat"), F.col("qlon")).alias("dist2")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("url").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Raster <-> vector tile aggregation
+# ---------------------------------------------------------------------------
+
+
+def raster_cells(pages: DataFrame, res: int) -> DataFrame:
+    """Per-cell raster at ``res``: page count + sorted lang histogram.
+
+    Derives the cell at ``res`` from lat/lon (narrow projection), then a
+    two-level agg: (cell, lang) partial counts → per-cell fold. Histogram
+    is a canonical sorted string so the layout is order-independent and
+    oracle-comparable (map columns hash nondeterministically)."""
+    at_res = pages.select(
+        grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("rcell"),
+        "lang",
+    )
+    per_lang = at_res.groupBy("rcell", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_lang.groupBy("rcell")
+        .agg(
+            F.sum("cnt").alias("n_pages"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.concat(F.col("lang"), F.lit(":"), F.col("cnt")))
+                ),
+            ).alias("lang_hist"),
+        )
+        .withColumnRenamed("rcell", "cell")
+    )
+
+
+def raster_zoom(per_lang_raster: DataFrame, res: int, out_res: int) -> DataFrame:
+    """Roll a (cell, lang, cnt) raster up to ``out_res`` without touching
+    pages — the vector→raster zoom-out. 4x fewer cells per level."""
+    parent = grid.cell_parent(F.col("cell"), res, out_res).alias("cell")
+    return (
+        per_lang_raster.select(parent, "lang", "cnt")
+        .groupBy("cell", "lang")
+        .agg(F.sum("cnt").alias("cnt"))
+        .groupBy("cell")
+        .agg(
+            F.sum("cnt").alias("n_pages"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.concat(F.col("lang"), F.lit(":"), F.col("cnt")))
+                ),
+            ).alias("lang_hist"),
+        )
+    )
+
+
+def raster_per_lang(pages: DataFrame, res: int) -> DataFrame:
+    """(cell, lang, cnt) — the mergeable raster primitive raster_zoom eats."""
+    return (
+        pages.select(
+            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"), "lang"
+        )
+        .groupBy("cell", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors
+# ---------------------------------------------------------------------------
+
+
+def sql_polygon_edges_values(polys: list[Polygon]) -> str:
+    """VALUES list (poly_id, y1, x1, y2, x2) with full-precision literals."""
+    rows = []
+    for p in polys:
+        v = p.vertices
+        for j in range(len(v)):
+            y1, x1 = v[j]
+            y2, x2 = v[(j + 1) % len(v)]
+            rows.append(f"('{p.poly_id}', {y1!r}, {x1!r}, {y2!r}, {x2!r})")
+    return ",\n".join(rows)
+
+
+def sql_pip(polys: list[Polygon], pages_rel: str = "pages") -> str:
+    """SELECT body: (poly_id, url, lat, lon) via crossing parity."""
+    return f"""
+SELECT e.poly_id, p.url, p.lat, p.lon
+FROM {pages_rel} p,
+     (VALUES {sql_polygon_edges_values(polys)}) AS e(poly_id, y1, x1, y2, x2)
+WHERE ((e.y1 > p.lat) != (e.y2 > p.lat))
+  AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+GROUP BY e.poly_id, p.url, p.lat, p.lon
+HAVING count(*) % 2 = 1"""
+
+
+def sql_query_points_values(queries: list[tuple[int, float, float]]) -> str:
+    return ",".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in queries)
+
+
+def sql_knn(
+    queries: list[tuple[int, float, float]], k: int, pages_rel: str = "pages"
+) -> str:
+    return f"""
+SELECT query_id, rank, url FROM (
+  SELECT q.query_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY (p.lat - q.qlat) * (p.lat - q.qlat)
+                  + (p.lon - q.qlon) * (p.lon - q.qlon) ASC, p.url ASC
+         ) AS rank,
+         p.url
+  FROM {pages_rel} p, (VALUES {sql_query_points_values(queries)}) AS q(query_id, qlat, qlon)
+) WHERE rank <= {k}"""
+
+
+def sql_raster(res: int, pages_rel: str = "pages") -> str:
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+SELECT cell, sum(cnt) AS n_pages, count(*) AS n_langs,
+       string_agg(lang || ':' || CAST(cnt AS VARCHAR), ','
+                  ORDER BY lang || ':' || CAST(cnt AS VARCHAR)) AS lang_hist
+FROM (
+  SELECT {cell} AS cell, lang, count(*) AS cnt
+  FROM {pages_rel} GROUP BY 1, 2
+) GROUP BY cell"""

@@ -1,0 +1,77 @@
+"""Spatial operator semantics: PIP paths agree, ring-kNN is exact at safe
+parameters, raster zoom-out equals direct aggregation."""
+
+from __future__ import annotations
+
+from fileverification_spark.operators import spatial as S
+
+
+def _as_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_pip_pandas_equals_sql_path(spark, pages_small):
+    polys = S.default_polygons()
+    a = _as_set(S.pip_join(pages_small, polys, res=4), ["poly_id", "url"])
+    b = _as_set(S.pip_join_sql(pages_small, polys, res=4), ["poly_id", "url"])
+    assert a == b
+    assert len(a) > 0  # polygons cover a nontrivial share of the globe
+
+
+def test_pip_prefilter_is_conservative(spark, pages_small):
+    # exact test over ALL pages (no prefilter) must equal prefiltered result
+    polys = S.default_polygons()
+    import pyspark.sql.functions as F
+
+    inside = S._pip_pandas_udf(polys)
+    cov = spark.createDataFrame(
+        [(p.poly_id,) for p in polys], ["poly_id"]
+    )
+    full = (
+        pages_small.crossJoin(F.broadcast(cov))
+        .where(inside(F.col("poly_id"), F.col("lat"), F.col("lon")))
+        .select("poly_id", "url")
+    )
+    a = _as_set(full, ["poly_id", "url"])
+    b = _as_set(S.pip_join(pages_small, polys, res=4), ["poly_id", "url"])
+    assert a == b
+
+
+def test_knn_ring_matches_bruteforce(spark, pages_small):
+    qs = S.default_query_points(6)
+    k = 5
+    exact = _as_set(
+        S.knn_bruteforce(pages_small, qs, k), ["query_id", "rank", "url"]
+    )
+    ring = _as_set(
+        S.knn_ring(pages_small, qs, k, res=3, rings=4),
+        ["query_id", "rank", "url"],
+    )
+    assert exact == ring
+    assert len(exact) == len(qs) * k
+
+
+def test_raster_zoom_equals_direct(spark, pages_small):
+    fine = S.raster_per_lang(pages_small, res=5)
+    zoomed = _as_set(
+        S.raster_zoom(fine, res=5, out_res=3),
+        ["cell", "n_pages", "n_langs", "lang_hist"],
+    )
+    direct = _as_set(
+        S.raster_cells(pages_small, res=3),
+        ["cell", "n_pages", "n_langs", "lang_hist"],
+    )
+    assert zoomed == direct
+
+
+def test_raster_total_preserved(spark, pages_small):
+    import pyspark.sql.functions as F
+
+    n = pages_small.count()
+    for res in (0, 3, 6):
+        total = (
+            S.raster_cells(pages_small, res)
+            .agg(F.sum("n_pages").alias("t"))
+            .first()["t"]
+        )
+        assert total == n
