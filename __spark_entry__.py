@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fileverification_spark import grid
+from fileverification_spark.functions import text as TX
+from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
+from fileverification_spark.operators import multimodal as MM
+from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
 from fileverification_spark.operators import verify as V
 from fileverification_spark.sources import pages as P
@@ -115,6 +119,84 @@ def _q_raster_zoom(spark: SparkSession, sf: str) -> DataFrame:
     return S.raster_zoom(fine, res=6, out_res=_RASTER_RES)
 
 
+_ANN_QIDS = [0, 25, 50, 75, 100]
+_ANN_K = 10
+_NEARDUP_TAU = 0.3
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    cols = TX.quality_scores(F.col("text"))
+    return _docs(spark, sf).select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select(
+        "doc_id", TX.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.dedup_exact(_docs(spark, sf))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = D.minhash_signatures(_docs(spark, sf))
+    return D.lsh_candidate_pairs(sigs)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+    return D.ngram_jaccard_pairs(docs, pairs)
+
+
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_docs(_docs(spark, sf))
+
+
+def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.cosine_topk(_emb(spark, sf), _ANN_QIDS, _ANN_K)
+
+
+def _q_emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.neardup_pairs_exact(_emb(spark, sf), _NEARDUP_TAU)
+
+
+def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # approximate by design -> no SQL oracle (driver records rows-only)
+    return SIM.ann_lsh_topk(_emb(spark, sf), _ANN_QIDS, _ANN_K)
+
+
+def _q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    return MM.extract_features(P.pages(spark, sf, with_html=True))
+
+
+def _q_merkle_diff(spark: SparkSession, sf: str) -> DataFrame:
+    live = P.pages_with_derived(spark, sf)
+    live_ladder = M.merkle_ladder(M.leaf_digests(live, LEAF), LEAF)
+    stored = V.tampered_manifest(live)
+    stored_ladder = M.merkle_ladder(M.digests_from_manifest(stored, LEAF), LEAF)
+    return M.changed_cells(live_ladder, stored_ladder).select("res", "cell")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_derive": _q_pages_derive,
@@ -130,6 +212,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "raster_cells": _q_raster,
         "raster_zoom": _q_raster_zoom,
+        "doc_stats": _q_doc_stats,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_topk,
+        "emb_neardup": _q_emb_neardup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "multimodal_features": _q_multimodal,
+        "merkle_diff": _q_merkle_diff,
     }
 
 
@@ -146,6 +240,35 @@ def _sql_ladder() -> str:
         for r in range(LEAF, -1, -1)
     )
     return _with(*parts) + "\n" + union
+
+
+def _sql_merkle_diff() -> str:
+    """Live ladder LEFT JOIN stored-manifest ladder; keep new/changed."""
+    parts = [f"stored AS ({V.sql_tampered_manifest()})"]
+    parts.append(f"L{LEAF} AS ({M.sql_leaf_digests(LEAF)})")
+    parts.append(
+        f"S{LEAF} AS (SELECT {LEAF} AS res, cell, "
+        "upper(sha256(string_agg(child_key || hash, '' ORDER BY child_key || hash))) AS digest, "
+        "count(*) AS n_children FROM stored GROUP BY cell)"
+    )
+    for r in range(LEAF, 0, -1):
+        parts.append(f"L{r - 1} AS ({M.sql_parent_digests(f'L{r}', r)})")
+        parts.append(f"S{r - 1} AS ({M.sql_parent_digests(f'S{r}', r)})")
+    lu = "\nUNION ALL\n".join(
+        f"SELECT res, cell, digest FROM L{r}" for r in range(LEAF, -1, -1)
+    )
+    su = "\nUNION ALL\n".join(
+        f"SELECT res, cell, digest FROM S{r}" for r in range(LEAF, -1, -1)
+    )
+    parts.append(f"lladder AS ({lu})")
+    parts.append(f"sladder AS ({su})")
+    return (
+        _with(*parts)
+        + """
+SELECT l.res, l.cell
+FROM lladder l LEFT JOIN sladder s ON l.res = s.res AND l.cell = s.cell
+WHERE s.digest IS NULL OR l.digest != s.digest"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -178,4 +301,27 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "knn": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "raster_cells": _with() + "\n" + S.sql_raster(_RASTER_RES),
         "raster_zoom": _with() + "\n" + S.sql_raster(_RASTER_RES),
+        "doc_stats": "SELECT doc_id, "
+        + ", ".join(
+            f"{expr} AS {name}" for name, expr in TX.sql_quality_select().items()
+        )
+        + " FROM documents",
+        "lang_id": f"SELECT doc_id, {TX.sql_lang_id()} AS lang_pred FROM documents",
+        "fingerprint": (
+            f"SELECT doc_id, {TX.sql_fingerprint('text')} AS fp, "
+            f"CAST(len({TX.sql_tokens('text')}) AS INT) AS n_tokens FROM documents"
+        ),
+        "dedup_exact": (
+            f"SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_copies FROM "
+            f"(SELECT doc_id, {TX.sql_fingerprint('text')} AS fp FROM documents) "
+            f"GROUP BY fp"
+        ),
+        "dedup_minhash": D.sql_lsh_pairs_query(),
+        "ngram_jaccard": D.sql_ngram_jaccard_query(),
+        "simhash": D.sql_simhash_docs_query(),
+        "ann_cosine_topk": SIM.sql_cosine_topk_query(_ANN_QIDS, _ANN_K),
+        "emb_neardup": SIM.sql_neardup_query(_NEARDUP_TAU),
+        "multimodal_features": MM.sql_features_query(P.pages_cte(LEAF)),
+        "merkle_diff": _sql_merkle_diff(),
+        # ann_lsh_topk: approximate by design -> rows-only check, no oracle
     }

@@ -1,0 +1,355 @@
+"""Deduplication operators for training-data pipelines (task brief):
+exact, MinHash+LSH, SimHash, n-gram Jaccard — all over ``documents``.
+
+Scale design:
+
+- Signatures (MinHash, SimHash) are **per-row array expressions** — one
+  SHA-256 per shingle/token plus cheap universal-hash arithmetic, fully
+  codegen'd, zero shuffle. At 100 TB this pipelines with the scan.
+- Candidate generation is the only shuffle: explode B band keys per doc
+  (MinHash-LSH) and self-join on (band, key). Band keys are
+  near-uniformly distributed (hash values), so the shuffle has no
+  planned skew; AQE skew-join is the backstop for pathological corpora
+  (e.g. billions of empty documents sharing one signature).
+- Verification (exact Jaccard) runs only on surviving candidate pairs.
+
+Universal hash: h' = sha256(shingle) & 0x7FFFFFFF once per shingle, then
+minhash_i = (a_i * h' + b_i) mod p with p = 2^31 - 1. a_i * h' < 2^62 so
+the arithmetic never overflows ANSI BIGINT in either engine — Spark 4
+runs ANSI mode by default and would *error* on overflow, not wrap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fileverification_spark.functions import text as TX
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+HASH_MASK = 0x7FFFFFFF
+
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BANDS = 8
+DEFAULT_SHINGLE = 5
+DEFAULT_SIMHASH_BITS = 16
+
+
+def _hash_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal hash family."""
+    out = []
+    for i in range(n):
+        a = ((2 * i + 1) * 2654435761) % MERSENNE_P
+        b = (i * 40503 + 2654435769) % MERSENNE_P
+        out.append((a if a > 0 else 1, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact / fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup on the normalised fingerprint: one row per
+    distinct content, keeper = min(doc_id) (deterministic, unlike the
+    reference's first-writer-wins TryAdd races, CheckSumFile.cs:146)."""
+    fp = docs.select(
+        F.col("doc_id"), TX.fingerprint(F.col("text")).alias("fp")
+    )
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes(text: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """array<bigint>: 31-bit hash per char-n-gram shingle (with dups —
+    min() is multiplicity-blind so distinct is unnecessary work)."""
+    sh = TX.char_ngrams(text, n)
+    return F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(HASH_MASK)),
+    )
+
+
+def minhash_signature_from_hashes(
+    hs: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """array<bigint> MinHash signature from a *materialised* shingle-hash
+    column. The num_hashes min-expressions all reference one column, so
+    the SHA-256 work happens once per row — inlining shingle_hashes here
+    instead would be recomputed per signature position (a measured 30x
+    slowdown: Spark's CollapseProject keeps expensive expressions from
+    being duplicated only when they are a separate projection)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+                )
+            )
+            for a, b in _hash_params(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    hashed = docs.where(F.length("text") >= shingle_n).select(
+        "doc_id", shingle_hashes(F.col("text"), shingle_n).alias("hs")
+    )
+    return hashed.select(
+        "doc_id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = DEFAULT_BANDS, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing >= 1 LSH band bucket, with
+    est_jaccard = matching signature positions / num_hashes.
+
+    Plan shape: explode B bands per doc -> self equi-join on (band, key)
+    -> distinct -> rejoin signatures for the estimate. The band key is a
+    sha256 of the slice so bucket strings stay short on the shuffle.
+    """
+    rows = num_hashes // bands
+    band_entries = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.sha2(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        ),
+                        256,
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, shingle_n: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for candidate (doc_a, doc_b) pairs —
+    the verification stage after LSH."""
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(TX.char_ngrams(F.col("text"), shingle_n)).alias("sh"),
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = DEFAULT_SIMHASH_BITS) -> Column:
+    """Majority-vote SimHash over 31-bit token hashes (multiplicity
+    counts). MSB-first fold: acc*2 + bit keeps everything in bigint
+    without shifts by a column."""
+    th = F.transform(
+        TX.tokens(text),
+        lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(HASH_MASK)),
+    )
+    def bit_vote(j: int) -> Column:
+        return F.aggregate(
+            th,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits - 1, -1, -1):
+        acc = acc * F.lit(2) + F.when(bit_vote(j) > 0, F.lit(1)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_docs(docs: DataFrame, bits: int = DEFAULT_SIMHASH_BITS) -> DataFrame:
+    return docs.select("doc_id", simhash(F.col("text"), bits).alias("simhash"))
+
+
+def simhash_buckets(docs: DataFrame, bits: int = DEFAULT_SIMHASH_BITS) -> DataFrame:
+    """Near-dup candidate groups: docs sharing an identical SimHash."""
+    sh = simhash_docs(docs, bits)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors
+# ---------------------------------------------------------------------------
+
+
+def sql_shingle_hashes(text_expr: str, n: int = DEFAULT_SHINGLE) -> str:
+    ng = TX.sql_char_ngrams(text_expr, n)
+    return (
+        f"list_transform({ng}, s -> "
+        f"CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT) & {HASH_MASK})"
+    )
+
+
+def sql_minhash_signatures_cte(
+    docs_rel: str = "documents",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> str:
+    """CTE body: sigs(doc_id, sig). Uses a lateral-style subquery so the
+    shingle-hash list is computed once per doc."""
+    hs = sql_shingle_hashes("text", shingle_n)
+    parts = [
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        for a, b in _hash_params(num_hashes)
+    ]
+    return f"""
+SELECT doc_id, [{', '.join(parts)}] AS sig
+FROM (SELECT doc_id, {hs} AS hs FROM {docs_rel} WHERE length(text) >= {shingle_n})"""
+
+
+def sql_lsh_pairs_query(
+    docs_rel: str = "documents",
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> str:
+    """Full standalone query: candidate pairs + est_jaccard."""
+    rows = num_hashes // bands
+    return f"""
+WITH sigs AS ({sql_minhash_signatures_cte(docs_rel, num_hashes, shingle_n)}),
+bandkeys AS (
+  SELECT doc_id, b.band,
+         sha256(array_to_string(sig[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',')) AS key
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bandkeys l JOIN bandkeys r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+             p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / {num_hashes}.0, 6)
+       AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b"""
+
+
+def sql_ngram_jaccard_query(
+    docs_rel: str = "documents",
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> str:
+    """Full standalone query: exact n-gram Jaccard on LSH candidates."""
+    rows = num_hashes // bands
+    ng = TX.sql_char_ngrams("text", shingle_n)
+    return f"""
+WITH sigs AS ({sql_minhash_signatures_cte(docs_rel, num_hashes, shingle_n)}),
+bandkeys AS (
+  SELECT doc_id, b.band,
+         sha256(array_to_string(sig[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',')) AS key
+  FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bandkeys l JOIN bandkeys r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+),
+sets AS (SELECT doc_id, list_distinct({ng}) AS sh FROM {docs_rel})
+SELECT c.doc_a, c.doc_b,
+       round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b"""
+
+
+def sql_simhash_docs_query(
+    docs_rel: str = "documents", bits: int = DEFAULT_SIMHASH_BITS
+) -> str:
+    """Full standalone query: (doc_id, simhash)."""
+    toks = TX.sql_tokens("text")
+    th = (
+        f"list_transform({toks}, t -> "
+        f"CAST(('0x' || substr(sha256(t), 1, 8)) AS BIGINT) & {HASH_MASK})"
+    )
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(bits - 1, -1, -1):
+        vote = (
+            f"list_sum(list_transform(th, h -> "
+            f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        expr = f"({expr} * 2 + (CASE WHEN COALESCE({vote}, 0) > 0 THEN 1 ELSE 0 END))"
+    return f"""
+SELECT doc_id, {expr} AS simhash
+FROM (SELECT doc_id, {th} AS th FROM {docs_rel})"""

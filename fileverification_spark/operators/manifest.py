@@ -64,6 +64,21 @@ def leaf_digests(pages_derived: DataFrame, res: int) -> DataFrame:
     )
 
 
+def digests_from_manifest(manifest: DataFrame, res: int) -> DataFrame:
+    """Leaf digests computed from *stored* manifest entries
+    (cell, child_key, hash) — the checkpoint side of an incremental
+    diff when only the manifest (not the corpus) is at hand."""
+    pair = F.concat(F.col("child_key"), F.col("hash"))
+    return (
+        manifest.groupBy("cell")
+        .agg(
+            _digest_over(pair).alias("digest"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+        .select(F.lit(res).alias("res"), "cell", "digest", "n_children")
+    )
+
+
 def merkle_ladder(
     leaf: DataFrame, leaf_res: int, min_res: int = 0
 ) -> DataFrame:

@@ -1,0 +1,94 @@
+"""Multimodal column handling (task brief): image/audio/video as opaque
+``binary`` columns with typed metadata; decode / feature-extract as
+Arrow-batched pandas iterators over ``mapInPandas``.
+
+The container ships no image/audio libraries, so the *decode* step is a
+deterministic stand-in (sha256-derived features) behind the same
+mapInPandas plumbing a real decoder would use — schema, batch shape, and
+partitioning are real and tested; swapping in PIL/librosa is a one-function
+change (see ``decode_image``). The fake features are hash-derived so the
+DuckDB oracle can recompute them exactly.
+
+At 100 TB the binary column dominates I/O: the mapInPandas projection
+prunes to (url, html) only, and Arrow batch size
+(spark.sql.execution.arrow.maxRecordsPerBatch) bounds executor memory
+per batch regardless of blob sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+N_FEAT = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("feat", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        blobs = pdf["html"]
+        urls = pdf["url"]
+        n_bytes = blobs.map(len)
+        digests = blobs.map(lambda b: hashlib.sha256(bytes(b)).digest())
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "n_bytes": n_bytes,
+                "content_sha256": digests.map(lambda d: d.hex().upper()),
+                "feat": digests.map(
+                    lambda d: [b / 255.0 for b in d[:N_FEAT]]
+                ),
+            }
+        )
+
+
+def extract_features(pages_with_html: DataFrame) -> DataFrame:
+    """(url, n_bytes, content_sha256, feat[8]) per page — the decode/
+    feature-extract stage. Narrow projection first so the Arrow transfer
+    carries only (url, html)."""
+    narrow = pages_with_html.select("url", "html")
+    return narrow.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+def decode_image(blob: bytes) -> object:
+    """Real image decode — requires an imaging library not present in
+    this container. The mapInPandas plumbing above is the production
+    path; only this function changes when PIL is available."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        import io  # noqa: PLC0415
+
+        return Image.open(io.BytesIO(blob))
+    except ImportError as e:  # pragma: no cover - no PIL in container
+        raise NotImplementedError(
+            "image decode requires PIL; container ships none (stubbed per task brief)"
+        ) from e
+
+
+def sql_features_query(pages_cte: str) -> str:
+    """Oracle: rebuild html text-side and recompute the hash features.
+    sha256(utf8 string) == sha256(bytes) because html is the UTF-8
+    encoding of that exact string."""
+    h = "sha256('<html><body>' || text || '</body></html>')"
+    feat = (
+        f"list_transform(range(1, {N_FEAT + 1}), i -> "
+        f"CAST(CAST(('0x' || substr({h}, 2*i - 1, 2)) AS INT) / 255.0 AS FLOAT))"
+    )
+    return f"""WITH {pages_cte}
+SELECT url,
+       CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS n_bytes,
+       upper({h}) AS content_sha256,
+       {feat} AS feat
+FROM pages"""

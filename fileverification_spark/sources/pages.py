@@ -113,6 +113,27 @@ def pages_with_derived(
     return with_derived(pages(spark, sf_dir, with_html=with_html), res=res)
 
 
+def pages_replicated(
+    spark: SparkSession, sf_dir: str, factor: int, res: int = LEAF_RES
+) -> DataFrame:
+    """Deterministically fan the pages table out ``factor``x for
+    throughput benchmarks: replica r of a page gets url suffix ``#r`` and
+    warc_ts shifted by r seconds, so hashes/coords/cells are all distinct
+    but fully reproducible. (Bench-only; correctness runs use pages().)"""
+    base = pages(spark, sf_dir)
+    rep = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    )
+    rep = rep.select(
+        F.col("doc_id") * factor + F.col("rep"),
+        F.concat(F.col("url"), F.lit("#"), F.col("rep").cast("string")).alias("url"),
+        F.expr("timestampadd(SECOND, rep, warc_ts)").alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    ).toDF("doc_id", "url", "warc_ts", "text", "lang")
+    return with_derived(rep, res=res)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirror — the same derivation as ANSI SQL over the same
 # parquet view ``documents``. Interpolate with .format(res=...).

@@ -1,0 +1,75 @@
+"""Incremental verification: snapshot checkpoints + per-partition lineage
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+The reference's incremental behavior is file-level: the on-disk manifest
+is prior state and a re-run reconciles against it
+(FileVerification/CheckSumFile.cs:95-98 reads the old manifest in the
+constructor). Here the prior state is a *digest ladder snapshot*; a re-run
+
+1. recomputes the current ladder (cheap: digests only, no verify joins),
+2. diffs it against the checkpoint (operators/manifest.changed_cells) —
+   Merkle property: an unchanged parent digest proves the whole subtree
+   is unchanged, so the diff prunes at the highest possible level,
+3. runs the expensive verify joins ONLY on pages in changed leaf cells
+   (broadcast semi-join on the changed-cell set), and
+4. appends lineage rows (run_id, cell, counts per status) so every
+   partition's outcome is attributable to a run.
+
+In production the checkpoint is an Iceberg snapshot of the ``cell_digest``
+table (time-travel gives arbitrary baselines); the sandbox ships no
+Iceberg catalog, so checkpoints are parquet directories with identical
+semantics — a deliberate narrow seam (write/read pair below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fileverification_spark.operators import manifest as M
+from fileverification_spark.operators import verify as V
+
+
+def write_checkpoint(ladder: DataFrame, path: str) -> None:
+    """Persist a digest ladder snapshot, partitioned by res: the diff
+    reads one resolution at a time, so partition pruning applies."""
+    ladder.write.mode("overwrite").partitionBy("res").parquet(path)
+
+
+def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_verify(
+    live: DataFrame,
+    stored: DataFrame,
+    checkpoint: DataFrame,
+    leaf_res: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(report, changed_cells): verify joins restricted to leaf cells
+    whose digest differs from the checkpoint."""
+    current = M.merkle_ladder(M.leaf_digests(live, leaf_res), leaf_res)
+    changed = M.changed_cells(current, checkpoint).where(F.col("res") == leaf_res)
+    frontier = changed.select(F.col("cell").alias("chg_cell"))
+    live_sub = live.join(
+        F.broadcast(frontier), live["cell"] == F.col("chg_cell"), "left_semi"
+    )
+    stored_sub = stored.join(
+        F.broadcast(frontier), stored["cell"] == F.col("chg_cell"), "left_semi"
+    )
+    return V.verify_tree(live_sub, stored_sub), changed
+
+
+def lineage(report: DataFrame, run_id: str) -> DataFrame:
+    """Per-cell lineage metrics: (run_id, cell, n_rows, n_ok, n_fail,
+    n_added, n_missing) — appended per run, the audit trail that makes
+    re-runs resumable and attributable."""
+    s = F.col("status")
+    return report.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(s == "OK", 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(s == "FAIL", 1).otherwise(0)).alias("n_fail"),
+        F.sum(F.when(s == "ADDED", 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(s == "MISSING", 1).otherwise(0)).alias("n_missing"),
+    ).select(F.lit(run_id).alias("run_id"), "*")

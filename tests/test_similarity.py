@@ -1,0 +1,66 @@
+"""Similarity search: brute-force exactness properties + LSH recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fileverification_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_topk_self_similarity_excluded_and_ranked(spark):
+    emb = _emb(spark)
+    out = SIM.cosine_topk(emb, [0, 7], 5).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["vec_id"] != r["query_id"]
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_neardup_pairs_symmetric_bound(spark):
+    emb = _emb(spark).limit(100)
+    pairs = SIM.neardup_pairs_exact(emb, tau=0.5).collect()
+    for r in pairs:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cos_sim"] >= 0.5
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = _emb(spark)
+    qids = [0, 10, 20, 30, 40]
+    k = 10
+    exact = SIM.cosine_topk(emb, qids, k).collect()
+    approx = SIM.ann_lsh_topk(emb, qids, k, n_tables=16, planes_per_table=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k for q in qids
+    ]
+    # multi-table LSH (16 tables x 4 planes): weak neighbours (top-1 cos
+    # ~0.34 in this corpus) need many short tables; ~0.8 recall expected
+    assert sum(recalls) / len(recalls) > 0.5, recalls
+
+
+def test_bucket_deterministic(spark):
+    emb = _emb(spark).limit(50)
+    a = {r["vec_id"]: r["buckets"] for r in SIM.with_lsh_buckets(emb).collect()}
+    b = {
+        r["vec_id"]: r["buckets"]
+        for r in SIM.with_lsh_buckets(emb.repartition(5)).collect()
+    }
+    assert a == b
