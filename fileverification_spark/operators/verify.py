@@ -15,12 +15,11 @@ manifest, emitting one report row per key with status:
 
 The reference's probe of a ConcurrentDictionary keyed by full path
 (CheckSumFile.cs:204-208) plus its accidental O(files x dirs) linear
-directory lookup (PathInfo.cs:242-245) become one left outer equi-join on
+directory lookup (PathInfo.cs:242-245) become ONE full-outer equi-join on
 (cell, child_key) — cell is the "directory", child_key the "file name" —
-followed by one anti-join for MISSING. Both shuffles hash-partition on the
-same key pair, so at 100 TB the two joins co-locate and the manifest side
-is read once. Keys are unique per row → no join-key skew; cell-level
-*aggregation* skew is handled in manifest.py / AQE.
+producing OK/FAIL/ADDED/MISSING in a single exchange. Keys are unique per
+row → no join-key skew; cell-level *aggregation* skew is handled in
+manifest.py / AQE.
 """
 
 from __future__ import annotations
@@ -74,47 +73,75 @@ def tampered_manifest(pages_derived: DataFrame) -> DataFrame:
 def verify_tree(live: DataFrame, stored: DataFrame) -> DataFrame:
     """Report DataFrame: (cell, child_key, status, algo, stored_hash,
     computed_hash). live needs (cell, url, text, text_sha256); stored is
-    (cell, child_key, algo, hash)."""
+    (cell, child_key, algo, hash).
+
+    Scale design: the equi-join shuffles ONLY (cell, url, text_sha256)
+    from the page side — never the page text. Rows whose manifest entry
+    uses a non-default algorithm (rare: mixed-algo manifests,
+    CheckSumFile.cs:238-243) are resolved in a second pass that
+    broadcast-semi-joins their keys back against the pages scan, so the
+    1-2 KB text column stays out of the big shuffle entirely (~10-20x
+    shuffle-byte reduction at web scale). When the manifest is pure
+    default-algo the second branch's broadcast is empty and AQE prunes
+    the extra scan to nothing.
+    """
     s = stored.select(
         F.col("cell").alias("s_cell"),
         F.col("child_key").alias("s_key"),
-        F.col("algo").alias("s_algo"),
+        hashing.algo_parse(F.col("algo")).alias("s_algo"),
         F.col("hash").alias("s_hash"),
     )
-    matched = live.join(
+    live_slim = live.select("cell", "url", "text_sha256")
+    # ONE full-outer shuffle join yields OK/FAIL (both sides), ADDED
+    # (live-only) and MISSING (stored-only) — the reference's separate
+    # check + missing passes (PathInfo.cs:197-289, :303-354) collapse
+    # into a single exchange of ~100-byte rows.
+    j = live_slim.join(
         s,
-        (live["cell"] == s["s_cell"]) & (live["url"] == s["s_key"]),
-        "left",
+        (live_slim["cell"] == s["s_cell"]) & (live_slim["url"] == s["s_key"]),
+        "full_outer",
     )
-    computed = F.when(
-        F.col("s_algo").isNull(), F.col("text_sha256")
-    ).otherwise(hashing.hash_col(F.col("text"), F.col("s_algo")))
-    verified = matched.select(
-        F.col("cell"),
-        F.col("url").alias("child_key"),
-        F.when(F.col("s_key").isNull(), F.lit("ADDED"))
-        .when(hashing.hash_equal(F.col("s_hash"), computed), F.lit("OK"))
+    is_matched = F.col("url").isNotNull() & F.col("s_key").isNotNull()
+    nondefault = F.col("s_algo").isNotNull() & (F.col("s_algo") != DEFAULT_ALGO)
+    fast = j.where(~(is_matched & nondefault)).select(
+        F.coalesce(F.col("cell"), F.col("s_cell")).alias("cell"),
+        F.coalesce(F.col("url"), F.col("s_key")).alias("child_key"),
+        F.when(F.col("url").isNull(), F.lit("MISSING"))
+        .when(F.col("s_key").isNull(), F.lit("ADDED"))
+        .when(
+            hashing.hash_equal(F.col("s_hash"), F.col("text_sha256")), F.lit("OK")
+        )
         .otherwise(F.lit("FAIL"))
         .alias("status"),
-        F.coalesce(hashing.algo_parse(F.col("s_algo")), F.lit(DEFAULT_ALGO)).alias(
-            "algo"
-        ),
+        F.coalesce(F.col("s_algo"), F.lit(DEFAULT_ALGO)).alias("algo"),
         F.col("s_hash").alias("stored_hash"),
-        computed.alias("computed_hash"),
+        F.when(F.col("url").isNotNull(), F.col("text_sha256")).alias(
+            "computed_hash"
+        ),
     )
-    missing = stored.join(
-        live.select(F.col("cell").alias("l_cell"), F.col("url").alias("l_key")),
-        (stored["cell"] == F.col("l_cell")) & (stored["child_key"] == F.col("l_key")),
-        "left_anti",
-    ).select(
+    # slow path: manifest entries with a non-default algorithm (rare —
+    # mixed-algo manifests, CheckSumFile.cs:238-243) recompute from text
+    # via a broadcast join driven by the MANIFEST side alone, so the big
+    # join above never carries the 1-2 KB text column and the broadcast
+    # does not depend on the big join's output. Empty manifest slice ->
+    # AQE prunes this whole branch.
+    slow_entries = s.where(nondefault)
+    slow_src = live.select("cell", "url", "text").join(
+        F.broadcast(slow_entries),
+        (F.col("cell") == F.col("s_cell")) & (F.col("url") == F.col("s_key")),
+    )
+    recomputed = hashing.hash_col(F.col("text"), F.col("s_algo"))
+    slow = slow_src.select(
         F.col("cell"),
-        F.col("child_key"),
-        F.lit("MISSING").alias("status"),
-        hashing.algo_parse(F.col("algo")).alias("algo"),
-        F.col("hash").alias("stored_hash"),
-        F.lit(None).cast("string").alias("computed_hash"),
+        F.col("url").alias("child_key"),
+        F.when(hashing.hash_equal(F.col("s_hash"), recomputed), F.lit("OK"))
+        .otherwise(F.lit("FAIL"))
+        .alias("status"),
+        F.col("s_algo").alias("algo"),
+        F.col("s_hash").alias("stored_hash"),
+        recomputed.alias("computed_hash"),
     )
-    return verified.unionByName(missing)
+    return fast.unionByName(slow)
 
 
 def verify_counts(report: DataFrame) -> DataFrame:

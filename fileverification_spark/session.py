@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill on tmpfs when available: local[N] funnels every
+    # shuffle through one disk, which caps CPU scaling measurements; a
+    # real cluster has per-executor NVMe, which tmpfs approximates.
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,54 @@
+"""Bench input materialisation: production verify reads pages and the
+prior manifest from storage (the manifest IS prior state on disk —
+reference reads it in the constructor, CheckSumFile.cs:95-98). Benchmarks
+must therefore time scan -> derive -> join -> counts over *materialised*
+inputs, not an in-DAG derivation that would recompute the corpus pipeline
+once per join leg.
+
+Files are written with enough parallelism (repartition before write) that
+the read side gets real split-planning parallelism — the sandbox stand-in
+for Iceberg's split planning over thousands of files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fileverification_spark.operators import verify as V
+from fileverification_spark.sources import pages as P
+
+
+def materialise(
+    spark: SparkSession,
+    sf_dir: str,
+    replication: int,
+    out_dir: str,
+    n_files: int = 64,
+) -> tuple[str, str]:
+    """Write (pages_raw, manifest) parquet under out_dir; returns paths.
+    Idempotent per (sf_dir, replication): skips if both exist."""
+    pages_path = os.path.join(out_dir, "pages")
+    man_path = os.path.join(out_dir, "manifest")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return pages_path, man_path
+    live = P.pages_replicated(spark, sf_dir, replication)
+    raw = live.select("doc_id", "url", "warc_ts", "text", "lang")
+    raw.repartition(n_files, "url").write.mode("overwrite").parquet(pages_path)
+    stored = V.tampered_manifest(live)
+    stored.repartition(max(n_files // 4, 4), "child_key").write.mode(
+        "overwrite"
+    ).parquet(man_path)
+    open(done, "w").write("ok")
+    return pages_path, man_path
+
+
+def read_live(spark: SparkSession, pages_path: str, res: int = P.LEAF_RES) -> DataFrame:
+    return P.with_derived(spark.read.parquet(pages_path), res=res)
+
+
+def read_manifest(spark: SparkSession, man_path: str) -> DataFrame:
+    return spark.read.parquet(man_path)

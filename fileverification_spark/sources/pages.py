@@ -121,7 +121,11 @@ def pages_replicated(
     warc_ts shifted by r seconds, so hashes/coords/cells are all distinct
     but fully reproducible. (Bench-only; correctness runs use pages().)"""
     base = pages(spark, sf_dir)
-    rep = base.select(
+    # the sandbox parquet is one tiny file (1-2 input splits); at real
+    # scale Iceberg split planning provides the parallelism, so emulate it:
+    # spread the replica explosion across 2x the available cores.
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    rep = base.repartition(n_parts, "doc_id").select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
     )
     rep = rep.select(
