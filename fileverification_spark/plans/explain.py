@@ -1,0 +1,54 @@
+"""Physical-plan inspection helpers — the ".explain and iterate" loop as
+assertable checks, used by tests to pin scale-critical plan properties:
+
+- filters reach the parquet scan (PushedFilters),
+- scans read only the columns the query needs (ReadSchema),
+- small-side joins actually broadcast (BroadcastHashJoin),
+- the hot path stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the scan node pushes a filter mentioning ``fragment``."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line:
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns in the first scan's ReadSchema — what actually gets read."""
+    import re
+
+    plan = formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if not m:
+        return []
+    return [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    """True if any join broadcasts its build side (hash join for equi
+    keys, nested-loop for broadcast cross joins — both avoid shuffling
+    the big side)."""
+    plan = formatted_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of distinct whole-stage-codegen spans (formatted plans mark
+    nodes with '[codegen id : N]')."""
+    import re
+
+    return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))

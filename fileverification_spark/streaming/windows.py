@@ -1,0 +1,144 @@
+"""Structured Streaming surface over the ``events`` stream table.
+
+The reference has no streaming (SURVEY §2.7); its closest behaviors are
+timer-batched notifications (Notifications.cs:96-110) and reconcile-on-
+rerun. The engine adds the standard streaming trio a training-data
+pipeline needs, each defined so the *batch* form is the oracle and the
+*streaming* form (readStream + availableNow) must converge to it —
+pinned by tests:
+
+- ``windowed_counts``     — tumbling-window counts/sums per event_type,
+  watermark for late data;
+- ``stream_dedup``        — dropDuplicates(event_id) within watermark —
+  the streaming twin of first-writer-wins (CheckSumFile.cs:146);
+- ``sessionize``          — gap-based sessions per user via the batch
+  window-function formulation (lag + cumulative session ids).
+
+File-source streaming over the driver parquet is the sandbox stand-in
+for Kafka/Iceberg CDC; the query shapes carry over unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+WINDOW = "1 hour"
+WATERMARK = "2 hours"
+SESSION_GAP_MIN = 30
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet stores TIMESTAMP_NTZ; watermarks require TIMESTAMP_LTZ —
+    # cast on read (session TZ is UTC, values unchanged)
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream with the batch schema (sandbox Kafka stand-in)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source needs a DIRECTORY; select just the events file via
+    # a glob filter over the sf dir
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def windowed_counts(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """(window_start, event_type, n_events, sum_value) per tumbling hour.
+    Same code path for batch and stream; the stream adds a watermark."""
+    src = events.withWatermark("ts", WATERMARK) if streaming else events
+    return (
+        src.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL sum: exact and order-independent, unlike double sums
+            # whose low bits depend on partial-aggregation order
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_dedup(events: DataFrame, streaming: bool = False) -> DataFrame:
+    src = events.withWatermark("ts", WATERMARK) if streaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds ``gap_min``. Output: one row per session
+    (user_id, session_start, session_end, n_events). Batch formulation
+    (window functions); the streaming twin would be
+    ``applyInPandasWithState`` keyed by user with a timeout — same
+    semantics, which is exactly what this batch form oracles."""
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_new = events.withColumn(
+        "is_new", (gap.isNull() | (gap > gap_min * 60)).cast("int")
+    )
+    with_sid = with_new.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DF with Trigger.AvailableNow into a memory sink
+    and return the materialised result (test/demo harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors
+# ---------------------------------------------------------------------------
+
+def sql_windowed_counts(events_rel: str = "events") -> str:
+    return f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM {events_rel}
+GROUP BY 1, 2"""
+
+
+def sql_sessionize(events_rel: str = "events", gap_min: int = SESSION_GAP_MIN) -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > {gap_min * 60} OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM {events_rel}
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id"""

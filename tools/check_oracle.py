@@ -10,6 +10,7 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import sys
@@ -30,6 +31,8 @@ def canon(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
