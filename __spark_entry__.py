@@ -12,8 +12,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fileverification_spark import config as CFG
 from fileverification_spark import grid
 from fileverification_spark.functions import text as TX
+from fileverification_spark.streaming import windows as SW
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
@@ -110,6 +112,19 @@ def _q_knn(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_bruteforce(P.pages_with_derived(spark, sf), _QPTS, _KNN_K)
 
 
+def _q_knn_ring(spark: SparkSession, sf: str) -> DataFrame:
+    # ring prefilter (the 100 TB path); exact at these params on this data
+    # — pinned against the same brute-force oracle as `knn`
+    return S.knn_ring(
+        P.pages_with_derived(spark, sf), _QPTS, _KNN_K, res=3, rings=4
+    )
+
+
+def _q_pip_pages_sql(spark: SparkSession, sf: str) -> DataFrame:
+    # pure-JVM edge-explode variant of pip_pages — same rows, no UDF
+    return S.pip_join_sql(P.pages_with_derived(spark, sf), _POLYS, res=P.LEAF_RES)
+
+
 def _q_raster(spark: SparkSession, sf: str) -> DataFrame:
     return S.raster_cells(P.pages_with_derived(spark, sf), _RASTER_RES)
 
@@ -189,6 +204,34 @@ def _q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     return MM.extract_features(P.pages(spark, sf, with_html=True))
 
 
+_EXCL = CFG.Exclusions(
+    names=["*3"],                      # DOS wildcard on the leaf segment
+    paths=["/de/"],                    # case-insensitive path substring
+    patterns=[r"/en/\d*0$"],           # regex on the full url
+)
+
+
+def _q_exclusion_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # F3/F4: the compiled OR-of-ORs predicate, pushed into the scan
+    return CFG.apply_exclusions(
+        P.pages_with_derived(spark, sf), _EXCL
+    ).select("doc_id", "url")
+
+
+def _q_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return SW.windowed_counts(SW.read_events(spark, sf))
+
+
+def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return SW.sessionize(SW.read_events(spark, sf))
+
+
+def _q_events_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # first-writer-wins twin (CheckSumFile.cs:146): winner row is
+    # nondeterministic, so the contract projects the key set only
+    return SW.stream_dedup(SW.read_events(spark, sf)).select("event_id")
+
+
 def _q_merkle_diff(spark: SparkSession, sf: str) -> DataFrame:
     live = P.pages_with_derived(spark, sf)
     live_ladder = M.merkle_ladder(M.leaf_digests(live, LEAF), LEAF)
@@ -208,8 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_verify": _q_point_verify,
         "manifest_remove_missing": _q_manifest_remove_missing,
         "pip_pages": _q_pip_pages,
+        "pip_pages_sql": _q_pip_pages_sql,
         "pip_counts": _q_pip_counts,
         "knn": _q_knn,
+        "knn_ring": _q_knn_ring,
         "raster_cells": _q_raster,
         "raster_zoom": _q_raster_zoom,
         "doc_stats": _q_doc_stats,
@@ -223,6 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _q_emb_neardup,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_features": _q_multimodal,
+        "exclusion_filter": _q_exclusion_filter,
+        "windowed_counts": _q_windowed_counts,
+        "sessionize": _q_sessionize,
+        "events_dedup": _q_events_dedup,
         "merkle_diff": _q_merkle_diff,
     }
 
@@ -296,9 +345,11 @@ FROM pages WHERE doc_id = 1""",
 SELECT s.cell, s.child_key, s.algo, s.hash
 FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "pip_pages": _with() + "\n" + S.sql_pip(_POLYS),
+        "pip_pages_sql": _with() + "\n" + S.sql_pip(_POLYS),
         "pip_counts": _with(f"pip AS ({S.sql_pip(_POLYS)})")
         + "\nSELECT poly_id, count(*) AS n_pages FROM pip GROUP BY poly_id",
         "knn": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
+        "knn_ring": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "raster_cells": _with() + "\n" + S.sql_raster(_RASTER_RES),
         "raster_zoom": _with() + "\n" + S.sql_raster(_RASTER_RES),
         "doc_stats": "SELECT doc_id, "
@@ -322,6 +373,11 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "ann_cosine_topk": SIM.sql_cosine_topk_query(_ANN_QIDS, _ANN_K),
         "emb_neardup": SIM.sql_neardup_query(_NEARDUP_TAU),
         "multimodal_features": MM.sql_features_query(P.pages_cte(LEAF)),
+        "exclusion_filter": _with()
+        + f"\nSELECT doc_id, url FROM pages WHERE NOT {CFG.sql_exclusion_predicate(_EXCL)}",
+        "windowed_counts": SW.sql_windowed_counts(),
+        "sessionize": SW.sql_sessionize(),
+        "events_dedup": "SELECT DISTINCT event_id FROM events",
         "merkle_diff": _sql_merkle_diff(),
         # ann_lsh_topk: approximate by design -> rows-only check, no oracle
     }

@@ -133,8 +133,9 @@ def _pip_pandas_udf(polys: list[Polygon]):
         for j in range(len(v)):
             y1, x1 = v[j]
             y2, x2 = v[(j + 1) % len(v)]
-            e.append((y1, x1, y2, x2))
-        edges[p.poly_id] = e
+            if y1 != y2:  # horizontal edge can never satisfy the
+                e.append((y1, x1, y2, x2))  # crossing test; dropping it
+        edges[p.poly_id] = e  # avoids the 0-division in the slope
 
     @F.pandas_udf(T.BooleanType())
     def inside(poly_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -184,7 +185,8 @@ def pip_join_sql(pages: DataFrame, polys: list[Polygon], res: int) -> DataFrame:
         for j in range(len(v)):
             y1, x1 = v[j]
             y2, x2 = v[(j + 1) % len(v)]
-            rows.append((p.poly_id, y1, x1, y2, x2))
+            if y1 != y2:  # horizontal edge never crosses (see UDF twin)
+                rows.append((p.poly_id, y1, x1, y2, x2))
     edges = spark.createDataFrame(rows, ["e_poly", "y1", "x1", "y2", "x2"])
     cand = _candidates(pages, polys, res)
     crossed = cand.join(
