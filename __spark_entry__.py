@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from fileverification_spark import config as CFG
 from fileverification_spark import grid
 from fileverification_spark.functions import text as TX
+from fileverification_spark.streaming import incremental as INC
 from fileverification_spark.streaming import windows as SW
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
@@ -240,6 +241,22 @@ def _q_merkle_diff(spark: SparkSession, sf: str) -> DataFrame:
     return M.changed_cells(live_ladder, stored_ladder).select("res", "cell")
 
 
+def _q_incremental_verify(spark: SparkSession, sf: str) -> DataFrame:
+    # checkpoint = ladder of the stored (tampered) manifest; the Merkle
+    # diff prunes the verify joins to leaf cells whose digest changed
+    live = P.pages_with_derived(spark, sf)
+    stored = V.tampered_manifest(live)
+    ckpt = M.merkle_ladder(M.digests_from_manifest(stored, LEAF), LEAF)
+    report, _changed = INC.incremental_verify(live, stored, ckpt, LEAF)
+    return report
+
+
+def _q_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    live = P.pages_with_derived(spark, sf)
+    report = V.verify_tree(live, V.tampered_manifest(live))
+    return INC.lineage(report, "r1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_derive": _q_pages_derive,
@@ -273,6 +290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "events_dedup": _q_events_dedup,
         "merkle_diff": _q_merkle_diff,
+        "incremental_verify": _q_incremental_verify,
+        "lineage": _q_lineage,
     }
 
 
@@ -314,9 +333,9 @@ def _sql_merkle_diff() -> str:
     return (
         _with(*parts)
         + """
-SELECT l.res, l.cell
-FROM lladder l LEFT JOIN sladder s ON l.res = s.res AND l.cell = s.cell
-WHERE s.digest IS NULL OR l.digest != s.digest"""
+SELECT coalesce(l.res, s.res) AS res, coalesce(l.cell, s.cell) AS cell
+FROM lladder l FULL JOIN sladder s ON l.res = s.res AND l.cell = s.cell
+WHERE s.digest IS NULL OR l.digest IS NULL OR l.digest != s.digest"""
     )
 
 
@@ -379,5 +398,32 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "sessionize": SW.sql_sessionize(),
         "events_dedup": "SELECT DISTINCT event_id FROM events",
         "merkle_diff": _sql_merkle_diff(),
+        # frontier = leaf cells whose live digest differs from the digest of
+        # the stored manifest (full-outer: either-side-only cells count).
+        # Digests compare hash STRINGS, so md5-algo entries flag their cell
+        # even when content verifies OK — the frontier is conservative, and
+        # the oracle reproduces that exactly.
+        "incremental_verify": _with(
+            stored,
+            f"live_d AS ({M.sql_leaf_digests(LEAF)})",
+            "stored_d AS (SELECT cell, upper(sha256(string_agg("
+            "child_key || hash, '' ORDER BY child_key || hash))) AS digest "
+            "FROM stored GROUP BY cell)",
+            "chg AS (SELECT coalesce(l.cell, s.cell) AS cell "
+            "FROM live_d l FULL JOIN stored_d s ON l.cell = s.cell "
+            "WHERE l.digest IS NULL OR s.digest IS NULL OR l.digest != s.digest)",
+            report,
+        )
+        + """
+SELECT r.cell, r.child_key, r.status, r.algo, r.stored_hash, r.computed_hash
+FROM report r SEMI JOIN chg c ON r.cell = c.cell""",
+        "lineage": _with(stored, report)
+        + """
+SELECT 'r1' AS run_id, cell, count(*) AS n_rows,
+       sum(CASE WHEN status = 'OK' THEN 1 ELSE 0 END) AS n_ok,
+       sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END) AS n_fail,
+       sum(CASE WHEN status = 'ADDED' THEN 1 ELSE 0 END) AS n_added,
+       sum(CASE WHEN status = 'MISSING' THEN 1 ELSE 0 END) AS n_missing
+FROM report GROUP BY cell""",
         # ann_lsh_topk: approximate by design -> rows-only check, no oracle
     }

@@ -113,9 +113,12 @@ def merkle_ladder(
 
 
 def changed_cells(current: DataFrame, checkpoint: DataFrame) -> DataFrame:
-    """Cells whose digest differs from (or is absent in) the checkpoint —
-    the incremental-verify frontier. Equi-join on (res, cell); digest
-    equality prunes unchanged subtrees before any leaf-level hashing."""
+    """Cells whose digest differs between current and checkpoint — the
+    incremental-verify frontier. FULL outer on (res, cell): a cell present
+    on only one side is changed too (new cell, or a cell whose every child
+    vanished — the reference reports those children as missing,
+    FileVerification/PathInfo.cs:303-354, so the frontier must keep them).
+    Digest equality prunes unchanged subtrees before any leaf hashing."""
     cp = checkpoint.select(
         F.col("res").alias("cp_res"),
         F.col("cell").alias("cp_cell"),
@@ -124,11 +127,18 @@ def changed_cells(current: DataFrame, checkpoint: DataFrame) -> DataFrame:
     joined = current.join(
         cp,
         (current["res"] == cp["cp_res"]) & (current["cell"] == cp["cp_cell"]),
-        "left",
+        "full_outer",
     )
     return joined.where(
-        F.col("cp_digest").isNull() | (F.col("digest") != F.col("cp_digest"))
-    ).select("res", "cell", "digest", "n_children")
+        F.col("cp_digest").isNull()
+        | F.col("digest").isNull()
+        | (F.col("digest") != F.col("cp_digest"))
+    ).select(
+        F.coalesce(current["res"], F.col("cp_res")).alias("res"),
+        F.coalesce(current["cell"], F.col("cp_cell")).alias("cell"),
+        F.col("digest"),
+        F.col("n_children"),
+    )
 
 
 # ---------------------------------------------------------------------------

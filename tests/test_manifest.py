@@ -86,3 +86,12 @@ def test_changed_cells_prunes_unchanged(spark, pages_small):
     # empty checkpoint -> everything changed
     empty = ladder.where(F.lit(False))
     assert M.changed_cells(ladder, empty).count() == ladder.count()
+    # checkpoint-only cells (every child vanished) must stay in the
+    # frontier — the reference reports their children missing
+    assert M.changed_cells(empty, ladder).count() == ladder.count()
+    one = ladder.orderBy("res", "cell").limit(1)
+    current = ladder.subtract(one)
+    diff = M.changed_cells(current, ladder)
+    got = [(r["res"], r["cell"]) for r in diff.collect()]
+    want = [(r["res"], r["cell"]) for r in one.collect()]
+    assert got == want

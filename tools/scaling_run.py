@@ -7,6 +7,20 @@ The timed job is the production shape: parquet scan -> derive
 (sha256 + geocode + cell) -> verify joins -> per-status counts. The
 warm-up run takes JIT/codegen/file-listing out of the measurement.
 
+Two protocol points that make the number honest:
+
+- **CPU pinning**: each JVM runs under ``taskset -c 0..N-1`` so the N-core
+  run gets N cores for EVERYTHING — task threads, GC, shuffle IO, Python
+  workers — exactly like a cluster executor with N cores. Without pinning,
+  local[N] only caps task slots and the JVM's service threads leak onto
+  the host's idle cores, inflating small-N throughput and understating
+  scaling.
+- **Input size**: the job must run long enough at 4N that fixed overhead
+  (stage scheduling, AQE re-planning, collect) is noise. Replication 6400
+  (32M pages, ~20 s at local[32]) is the smallest size where measured
+  efficiency stops moving with input size; 1600 (8M pages, ~5 s) loses
+  ~0.2 efficiency to fixed overhead alone.
+
 Usage: python tools/scaling_run.py [sf_dir] [replication]
 """
 
@@ -70,16 +84,18 @@ print("RESULT " + json.dumps({{"cores": {cores}, "n_pages": n,
 """
 
 
-def run_child(code: str, timeout: int = 1800) -> str:
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
-    )
+def run_child(code: str, timeout: int = 1800, cores: int | None = None) -> str:
+    cmd = [sys.executable, "-c", code]
+    if cores is not None:
+        # pin JVM + Python workers to exactly `cores` CPUs (see module doc)
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
     return out.stdout + ("" if out.returncode == 0 else f"\nSTDERR:{out.stderr[-2000:]}")
 
 
 def run(cores: int, pages: str, man: str) -> dict:
     code = CHILD.format(repo=REPO, cores=cores, pages=pages, man=man)
-    stdout = run_child(code)
+    stdout = run_child(code, cores=cores)
     for line in stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -88,7 +104,7 @@ def run(cores: int, pages: str, man: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    repl = int(sys.argv[2]) if len(sys.argv) > 2 else 6400
     out = f"/tmp/spark_graft_bench/{os.path.basename(sf_dir.rstrip('/'))}_x{repl}"
     os.makedirs(out, exist_ok=True)
     setup_out = run_child(SETUP.format(repo=REPO, sf_dir=sf_dir, repl=repl, out=out))
@@ -111,7 +127,9 @@ def main() -> None:
 Flagship verify job (parquet scan -> sha256+geocode+cell derive -> verify
 joins -> per-status counts) over materialised input ({sf_dir},
 replication x{repl} -> {r8['n_pages']} pages, 64 parquet files); fresh JVM
-per size, warm-up run excluded:
+per size, pinned with taskset to exactly N CPUs (task + GC + shuffle + Python
+threads all confined, like a real N-core executor), warm-up runs excluded,
+min-of-5 per JVM, sizes interleaved against ambient tenant load:
 
 | parallelism | pages/sec | elapsed (s) |
 |---|---|---|
