@@ -23,6 +23,8 @@ from fileverification_spark.operators import multimodal as MM
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
 from fileverification_spark.operators import verify as V
+from fileverification_spark.functions import hashing as H
+from fileverification_spark.sources import manifest_io as MIO
 from fileverification_spark.sources import pages as P
 
 SF0001 = "/root/testdata/sf0.001"
@@ -73,6 +75,16 @@ def _q_cell_digests(spark: SparkSession, sf: str) -> DataFrame:
     return M.leaf_digests(P.pages_with_derived(spark, sf), LEAF)
 
 
+def _q_cell_digests_salted(spark: SparkSession, sf: str) -> DataFrame:
+    # explicit hot-cell salting: two-level Merkle (SURVEY §4 skew row)
+    return M.salted_digests(P.pages_with_derived(spark, sf), LEAF)
+
+
+def _q_cell_digests_mergeable(spark: SparkSession, sf: str) -> DataFrame:
+    # order-independent sum digest: partial-agg/skew-immune scale path
+    return M.mergeable_digests(P.pages_with_derived(spark, sf), LEAF)
+
+
 def _q_merkle_ladder(spark: SparkSession, sf: str) -> DataFrame:
     leaf = M.leaf_digests(P.pages_with_derived(spark, sf), LEAF)
     return M.merkle_ladder(leaf, LEAF, min_res=0)
@@ -84,6 +96,39 @@ def _q_point_verify(spark: SparkSession, sf: str) -> DataFrame:
     row = live.where(F.col("doc_id") == 1).select("url", "text_sha256")
     url, h = row.first()["url"], row.first()["text_sha256"]
     return V.point_verify(live, url, h.lower())
+
+
+def _q_report_log(spark: SparkSession, sf: str) -> DataFrame:
+    # A4/S6: ordered fold of the failure log lines (Logger.cs:22-28)
+    live = P.pages_with_derived(spark, sf)
+    return V.report_log(V.verify_tree(live, V.tampered_manifest(live)))
+
+
+def _q_hash_only(spark: SparkSession, sf: str) -> DataFrame:
+    # E3 `-ho` hash display (Program.cs:315-321): point lookup, no compare
+    live = P.pages_with_derived(spark, sf)
+    return live.where(F.col("doc_id") == 2).select(
+        "url", F.col("text_sha256").alias("hash")
+    )
+
+
+def _q_manifest_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # S3 permissive parse: serialize reference-layout `name|algo|hash`
+    # lines (C6), inject malformed 2-field rows (dropped with a warning in
+    # the reference, CheckSumFile.cs:130-135) and unknown-algo rows
+    # (fallback sha256, HashInfo.cs:131-149), parse back.
+    live = P.pages_with_derived(spark, sf)
+    m = F.col("doc_id") % 10
+    md5h = F.upper(F.md5(F.col("text").cast("binary")))
+    line = (
+        F.when(m == 0, F.concat_ws("|", F.col("url"), F.col("text_sha256")))
+        .when(m == 1, F.concat_ws("|", F.col("url"), F.lit("crc32"), F.col("text_sha256")))
+        .when(m == 2, F.concat_ws("|", F.col("url"), F.lit("MD5"), md5h))
+        .otherwise(
+            H.record_serialize(F.col("url"), F.lit("sha256"), F.col("text_sha256"))
+        )
+    )
+    return MIO.parse_manifest_lines(live.select(line.alias("value")))
 
 
 def _q_manifest_remove_missing(spark: SparkSession, sf: str) -> DataFrame:
@@ -264,8 +309,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verify_counts": _q_verify_counts,
         "manifest_leaf": _q_manifest_leaf,
         "cell_digests": _q_cell_digests,
+        "cell_digests_salted": _q_cell_digests_salted,
+        "cell_digests_mergeable": _q_cell_digests_mergeable,
         "merkle_ladder": _q_merkle_ladder,
         "point_verify": _q_point_verify,
+        "report_log": _q_report_log,
+        "hash_only": _q_hash_only,
+        "manifest_text_roundtrip": _q_manifest_text_roundtrip,
         "manifest_remove_missing": _q_manifest_remove_missing,
         "pip_pages": _q_pip_pages,
         "pip_pages_sql": _q_pip_pages_sql,
@@ -354,11 +404,40 @@ def oracle_sql() -> dict[str, str]:
         + f"\nSELECT {LEAF} AS res, cell, url AS child_key, 'sha256' AS algo,"
         " text_sha256 AS hash FROM pages",
         "cell_digests": _with() + "\n" + M.sql_leaf_digests(LEAF),
+        "cell_digests_salted": _with() + "\n" + M.sql_salted_digests(LEAF),
+        "cell_digests_mergeable": _with() + "\n" + M.sql_mergeable_digests(LEAF),
         "merkle_ladder": _sql_ladder(),
         "point_verify": _with()
         + """
 SELECT url, text_sha256 AS computed_hash, TRUE AS match
 FROM pages WHERE doc_id = 1""",
+        "report_log": _with(stored, report)
+        + """
+SELECT string_agg(line, chr(10) ORDER BY line) AS log,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT CASE WHEN status = 'FAIL'
+              THEN 'FAIL: Hash mismatch: ' || child_key || '.'
+              ELSE 'The file ''' || child_key || ''' does not exist.' END AS line
+  FROM report WHERE status IN ('FAIL', 'MISSING'))""",
+        "hash_only": _with()
+        + "\nSELECT url, text_sha256 AS hash FROM pages WHERE doc_id = 2",
+        "manifest_text_roundtrip": _with(
+            """lines AS (
+  SELECT CASE WHEN doc_id % 10 = 0 THEN url || '|' || text_sha256
+              WHEN doc_id % 10 = 1 THEN url || '|crc32|' || text_sha256
+              WHEN doc_id % 10 = 2 THEN url || '|MD5|' || upper(md5(text))
+              ELSE url || '|sha256|' || text_sha256 END AS value
+  FROM pages)""",
+            "parts AS (SELECT string_split(value, '|') AS p FROM lines"
+            " WHERE length(trim(value)) > 0)",
+        )
+        + """
+SELECT p[1] AS child_key,
+       CASE WHEN lower(trim(p[2])) IN ('md5','sha1','sha256','sha512')
+            THEN lower(trim(p[2])) ELSE 'sha256' END AS algo,
+       p[3] AS hash
+FROM parts WHERE len(p) = 3""",
         "manifest_remove_missing": _with(stored)
         + """
 SELECT s.cell, s.child_key, s.algo, s.hash

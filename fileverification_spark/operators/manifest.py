@@ -112,6 +112,95 @@ def merkle_ladder(
     return out
 
 
+#: Salt fan-out for hot-cell digests. 16 sub-groups caps any single
+#: sort-agg at ~1/16th of the hottest cell; power-law web data rarely
+#: needs more (the ladder above shrinks 8x per level anyway).
+N_SALT = 16
+
+#: Limb width for the mergeable digest: 15 hex chars = 60 bits, so a
+#: 38-digit decimal sum holds >10^18 children without overflow while
+#: staying exactly mirrorable in DuckDB's hugeint arithmetic.
+_LIMB_HEX = 15
+_LIMB_MOD = 1 << 60
+
+
+def _salt_col(hash_col: F.Column) -> F.Column:
+    """Deterministic salt from the child's own hash (first 4 hex chars
+    mod N_SALT) — content-derived, so Spark and the DuckDB oracle agree
+    without sharing a hash function (SURVEY §4: hot-cell salting)."""
+    return F.conv(F.substring(hash_col, 1, 4), 16, 10).cast("bigint") % N_SALT
+
+
+def salted_digests(pages_derived: DataFrame, res: int) -> DataFrame:
+    """(res, cell, digest, n_children) with EXPLICIT hot-cell salting.
+
+    Two-level Merkle within the cell: phase 1 groups by (cell, salt) —
+    the hottest cell splits into N_SALT bounded sort-aggs, removing the
+    single-reducer bottleneck the plain sorted digest has on power-law
+    cells — phase 2 digests the sorted (salt ‖ sub-digest) pairs. The
+    digest VALUE differs from leaf_digests (it is a deeper Merkle tree,
+    same guarantees: any child change flips the cell digest); both ends
+    of a diff just must use the same formula.
+    """
+    pair = F.concat(F.col("url"), F.col("text_sha256"))
+    sub = (
+        pages_derived.groupBy(
+            "cell", _salt_col(F.col("text_sha256")).alias("salt")
+        )
+        .agg(
+            _digest_over(pair).alias("sub_digest"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    spair = F.concat(F.col("salt").cast("string"), F.col("sub_digest"))
+    return (
+        sub.groupBy("cell")
+        .agg(
+            _digest_over(spair).alias("digest"),
+            F.sum("n").alias("n_children"),
+        )
+        .select(F.lit(res).alias("res"), "cell", "digest", "n_children")
+    )
+
+
+def mergeable_digests(pages_derived: DataFrame, res: int) -> DataFrame:
+    """(res, cell, digest, n_children) via an ORDER-INDEPENDENT sum
+    digest (AdHash-style homomorphic hashing): each child contributes
+    sha256(url ‖ text_hash) split into four 60-bit limbs; the cell digest
+    is the per-limb sum mod 2^60.
+
+    Scale properties the sorted digest cannot have:
+    - **partial aggregation**: sum() combines map-side, so a hot cell
+      never concentrates rows on one reducer — skew-immune by algebra,
+      not by salting;
+    - **O(1) state** per cell per task (4 decimals), no collect_list;
+    - **incrementally updatable**: add/remove a child = add/subtract its
+      limbs — the streaming-arrival path can maintain digests without
+      recomputing the cell.
+    Tradeoff: 240-bit additive hash (collision-resistant for integrity
+    checking, weaker than the 256-bit sorted Merkle digest against a
+    chosen-prefix adversary) — documented, and both forms are exposed.
+    """
+    child = F.sha2(F.concat(F.col("url"), F.col("text_sha256")), 256)
+    aggs = [F.count(F.lit(1)).alias("n_children")]
+    for i in range(4):
+        limb = F.conv(
+            F.substring(child, 1 + i * _LIMB_HEX, _LIMB_HEX), 16, 10
+        ).cast("decimal(38,0)")
+        aggs.append(
+            (F.sum(limb) % F.lit(_LIMB_MOD).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias(f"l{i}")
+        )
+    per_cell = pages_derived.groupBy("cell").agg(*aggs)
+    digest = F.concat_ws(
+        "-", *[F.col(f"l{i}").cast("string") for i in range(4)]
+    )
+    return per_cell.select(
+        F.lit(res).alias("res"), "cell", digest.alias("digest"), "n_children"
+    )
+
+
 def changed_cells(current: DataFrame, checkpoint: DataFrame) -> DataFrame:
     """Cells whose digest differs between current and checkpoint — the
     incremental-verify frontier. FULL outer on (res, cell): a cell present
@@ -152,6 +241,40 @@ SELECT {res} AS res, cell,
        upper(sha256(string_agg(url || text_sha256, '' ORDER BY url || text_sha256))) AS digest,
        count(*) AS n_children
 FROM {pages_rel}
+GROUP BY cell"""
+
+
+def sql_salted_digests(res: int, pages_rel: str = "pages") -> str:
+    """SELECT body mirroring salted_digests (two-level Merkle)."""
+    return f"""
+SELECT {res} AS res, cell,
+       upper(sha256(string_agg(CAST(salt AS VARCHAR) || sub_digest, ''
+             ORDER BY CAST(salt AS VARCHAR) || sub_digest))) AS digest,
+       CAST(sum(n) AS BIGINT) AS n_children
+FROM (
+  SELECT cell,
+         CAST(('0x' || substr(text_sha256, 1, 4)) AS BIGINT) % {N_SALT} AS salt,
+         upper(sha256(string_agg(url || text_sha256, ''
+               ORDER BY url || text_sha256))) AS sub_digest,
+         count(*) AS n
+  FROM {pages_rel}
+  GROUP BY 1, 2
+) GROUP BY cell"""
+
+
+def sql_mergeable_digests(res: int, pages_rel: str = "pages") -> str:
+    """SELECT body mirroring mergeable_digests (per-limb sums mod 2^60)."""
+    limbs = []
+    for i in range(4):
+        e = (
+            f"CAST(sum(CAST(('0x' || substr(child, {1 + i * _LIMB_HEX}, "
+            f"{_LIMB_HEX})) AS BIGINT)) % {_LIMB_MOD} AS BIGINT)"
+        )
+        limbs.append(f"CAST({e} AS VARCHAR)")
+    digest = " || '-' || ".join(limbs)
+    return f"""
+SELECT {res} AS res, cell, {digest} AS digest, count(*) AS n_children
+FROM (SELECT cell, sha256(url || text_sha256) AS child FROM {pages_rel})
 GROUP BY cell"""
 
 

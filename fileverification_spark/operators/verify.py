@@ -150,6 +150,32 @@ def verify_counts(report: DataFrame) -> DataFrame:
     return report.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+def report_log(report: DataFrame) -> DataFrame:
+    """A4/S6: the reference's textual failure log as one deterministic
+    fold. The reference mirrors FAIL/missing lines to console + temp log +
+    an in-memory buffer whose concatenation becomes the notification
+    payload (FileVerification/Logger.cs:22-28, :56-79). Line formats match
+    the emit sites: 'FAIL: Hash mismatch: {key}.' (PathInfo.cs:255) and
+    "The file '{key}' does not exist." (PathInfo.cs:349). The reference's
+    line order is thread-nondeterministic; we sort (strictly stronger).
+
+    Scale note: only failure rows fold — at 100 TB the log is proportional
+    to corruption, not data; collect_list stays small by construction."""
+    line = F.when(
+        F.col("status") == "FAIL",
+        F.concat(F.lit("FAIL: Hash mismatch: "), F.col("child_key"), F.lit(".")),
+    ).otherwise(
+        F.concat(F.lit("The file '"), F.col("child_key"), F.lit("' does not exist."))
+    )
+    lines = report.where(F.col("status").isin("FAIL", "MISSING")).select(
+        line.alias("line")
+    )
+    return lines.agg(
+        F.concat_ws("\n", F.sort_array(F.collect_list("line"))).alias("log"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def remove_missing(stored: DataFrame, report: DataFrame) -> DataFrame:
     """--remove / allowRemove semantics (FileVerification/PathInfo.cs:333-346):
     rewrite the manifest without MISSING entries."""

@@ -34,12 +34,13 @@ SEPARATOR = "|"
 DEFAULT_CHECKSUM_FILENAME = "__fv.txt"  # CheckSumFile.cs:35
 
 
-def read_text_manifest(spark: SparkSession, path: str) -> DataFrame:
-    """Parse reference-layout manifest text file(s) into
-    (child_key, algo, hash). Malformed rows dropped (PERMISSIVE)."""
-    lines = spark.read.text(path)
+def parse_manifest_lines(lines: DataFrame, dedup: bool = True) -> DataFrame:
+    """Parse a DataFrame of raw record lines (column ``value``) into
+    (child_key, algo, hash). Malformed rows dropped (PERMISSIVE,
+    CheckSumFile.cs:130-135); unknown algo falls back to sha256
+    (HashInfo.cs:131-149)."""
     parts = F.split(F.col("value"), r"\|")
-    return (
+    out = (
         lines.where(F.length(F.trim(F.col("value"))) > 0)
         .select(parts.alias("p"))
         .where(F.size(F.col("p")) == 3)  # CheckSumFile.cs:130-135
@@ -48,8 +49,17 @@ def read_text_manifest(spark: SparkSession, path: str) -> DataFrame:
             hashing.algo_parse(F.col("p")[1]).alias("algo"),
             F.col("p")[2].alias("hash"),
         )
-        .dropDuplicates(["child_key"])  # first-writer-wins, CheckSumFile.cs:146
     )
+    if dedup:
+        # first-writer-wins, CheckSumFile.cs:146
+        out = out.dropDuplicates(["child_key"])
+    return out
+
+
+def read_text_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Parse reference-layout manifest text file(s) into
+    (child_key, algo, hash). Malformed rows dropped (PERMISSIVE)."""
+    return parse_manifest_lines(spark.read.text(path))
 
 
 def manifest_lines(manifest: DataFrame) -> DataFrame:

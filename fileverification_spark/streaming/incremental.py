@@ -61,6 +61,58 @@ def incremental_verify(
     return V.verify_tree(live_sub, stored_sub), changed
 
 
+def stream_verify(
+    spark: SparkSession,
+    pages_dir: str,
+    stored: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    leaf_res: int | None = None,
+) -> None:
+    """Continuous arrival verification: new page files landing in
+    ``pages_dir`` are reconciled against the stored manifest as they
+    arrive, report rows appended per micro-batch with lineage.
+
+    The reference re-runs the whole tree on demand; the streaming twin
+    verifies each arrival batch once, exactly-once across restarts via the
+    Structured Streaming checkpoint (offsets + sink commit log). stored is
+    broadcast-joined per batch *restricted to the batch's cells* — the
+    manifest side is filtered by a semi-join before the verify join, so a
+    micro-batch touching k cells never scans the full manifest.
+
+    Batch rows missing from the manifest report ADDED; MISSING is not
+    emitted per-batch (absence is only decidable over the full table —
+    that stays with the batch/incremental path, mirroring how the
+    reference separates per-file checks from the missing-file pass,
+    PathInfo.cs:197-289 vs :303-354).
+    """
+    from fileverification_spark.sources import pages as P
+
+    res = P.LEAF_RES if leaf_res is None else leaf_res
+    schema = spark.read.parquet(pages_dir).schema
+    raw = spark.readStream.schema(schema).parquet(pages_dir)
+
+    def reconcile(batch: DataFrame, batch_id: int) -> None:
+        live = P.with_derived(batch, res=res)
+        cells = live.select(F.col("cell").alias("chg_cell")).distinct()
+        stored_sub = stored.join(
+            F.broadcast(cells), stored["cell"] == F.col("chg_cell"), "left_semi"
+        )
+        report = V.verify_tree(live, stored_sub).where(F.col("status") != "MISSING")
+        report.write.mode("append").parquet(f"{out_dir}/report")
+        lineage(report, f"batch-{batch_id}").write.mode("append").parquet(
+            f"{out_dir}/lineage"
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(reconcile)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def lineage(report: DataFrame, run_id: str) -> DataFrame:
     """Per-cell lineage metrics: (run_id, cell, n_rows, n_ok, n_fail,
     n_added, n_missing) — appended per run, the audit trail that makes

@@ -1,0 +1,59 @@
+"""spark-submit entry point for the flagship verify run.
+
+    spark-submit --master local[8] \
+        --py-files dist/fileverification_spark.zip \
+        jobs/verify_job.py <sf_dir> <out_dir> [run_id]
+
+Mirrors the reference lifecycle E1 (FileVerification/Program.cs:215-279):
+scan -> derive -> verify joins -> report sink + per-status summary, plus
+the engine's lineage table (north_rule: per-partition lineage + metrics).
+On a cluster the same invocation takes `--master yarn --num-executors N`;
+nothing in the job changes — that is the point of keeping all scale
+decisions in conf + table layout rather than code.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from fileverification_spark.operators import verify as V
+from fileverification_spark.sources import pages as P
+from fileverification_spark.streaming import incremental as INC
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fv_verify_out"
+    run_id = sys.argv[3] if len(sys.argv) > 3 else "r1"
+
+    # master/executors come from spark-submit; only runtime-settable SQL
+    # conf here, so the job is cluster-agnostic.
+    spark = SparkSession.builder.appName("fv-verify").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("WARN")
+
+    live = P.pages_with_derived(spark, sf_dir)
+    stored = V.tampered_manifest(live)
+    report = V.verify_tree(live, stored)
+
+    # Sink: report partitioned by status (small cardinality, prunes the
+    # common "show me the FAILs" read); lineage appended per run.
+    report.write.mode("overwrite").partitionBy("status").parquet(f"{out_dir}/report")
+    INC.lineage(spark.read.parquet(f"{out_dir}/report"), run_id).write.mode(
+        "append"
+    ).parquet(f"{out_dir}/lineage")
+
+    counts = {
+        r["status"]: r["n"]
+        for r in V.verify_counts(spark.read.parquet(f"{out_dir}/report")).collect()
+    }
+    print("VERIFY-RESULT " + json.dumps({"run_id": run_id, "counts": counts}))
+
+
+if __name__ == "__main__":
+    main()

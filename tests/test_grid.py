@@ -111,3 +111,26 @@ def test_res_bounds_checked():
         grid.py_cell_encode(0, 0, 21)
     with pytest.raises(ValueError):
         grid.cells_covering_rect(0, 1, 0, 1, -1)
+
+
+def test_cell_encode_pandas_matches_jvm(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark import grid
+
+    enc = grid.cell_encode_pandas(4)
+    df = pages_small.select(
+        grid.cell_encode(F.col("lat"), F.col("lon"), 4).alias("jvm"),
+        enc(F.col("lat"), F.col("lon")).alias("udf"),
+    )
+    assert df.where(F.col("jvm") != F.col("udf")).count() == 0
+
+
+def test_cell_encode_pandas_h3_gated():
+    import pytest
+
+    from fileverification_spark import grid
+
+    if not grid.have_h3():
+        with pytest.raises(ImportError):
+            grid.cell_encode_pandas(4, use_h3=True)

@@ -95,3 +95,57 @@ def test_changed_cells_prunes_unchanged(spark, pages_small):
     got = [(r["res"], r["cell"]) for r in diff.collect()]
     want = [(r["res"], r["cell"]) for r in one.collect()]
     assert got == want
+
+
+def test_salted_digest_invariants(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.operators import manifest as M
+    from fileverification_spark.sources import pages as P
+
+    d1 = M.salted_digests(pages_small, P.LEAF_RES)
+    # deterministic under repartition/order
+    d2 = M.salted_digests(pages_small.repartition(7, "url"), P.LEAF_RES)
+    assert (
+        d1.join(d2, ["res", "cell", "digest", "n_children"]).count() == d1.count()
+    )
+    # tamper sensitivity: flip one child's hash -> exactly that cell differs
+    victim = pages_small.orderBy("doc_id").first()
+    mut = pages_small.withColumn(
+        "text_sha256",
+        F.when(
+            F.col("doc_id") == victim["doc_id"], F.reverse(F.col("text_sha256"))
+        ).otherwise(F.col("text_sha256")),
+    )
+    d3 = M.salted_digests(mut, P.LEAF_RES)
+    diff = d1.alias("a").join(d3.alias("b"), "cell").where(
+        F.col("a.digest") != F.col("b.digest")
+    )
+    assert diff.count() == 1
+    assert diff.first()["cell"] == victim["cell"]
+
+
+def test_mergeable_digest_invariants(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.operators import manifest as M
+    from fileverification_spark.sources import pages as P
+
+    d1 = M.mergeable_digests(pages_small, P.LEAF_RES)
+    d2 = M.mergeable_digests(pages_small.repartition(13), P.LEAF_RES)
+    assert (
+        d1.join(d2, ["res", "cell", "digest", "n_children"]).count() == d1.count()
+    )
+    victim = pages_small.orderBy("doc_id").first()
+    mut = pages_small.withColumn(
+        "text_sha256",
+        F.when(
+            F.col("doc_id") == victim["doc_id"], F.reverse(F.col("text_sha256"))
+        ).otherwise(F.col("text_sha256")),
+    )
+    d3 = M.mergeable_digests(mut, P.LEAF_RES)
+    diff = d1.alias("a").join(d3.alias("b"), "cell").where(
+        F.col("a.digest") != F.col("b.digest")
+    )
+    assert diff.count() == 1
+    assert diff.first()["cell"] == victim["cell"]

@@ -36,3 +36,16 @@ def test_roundtrip(spark, tmp_path):
         ("x.bin", "sha512", "FFFF"),
         ("y.bin", "sha1", "EEEE"),
     ]
+
+
+def test_parse_manifest_lines_df(spark):
+    lines = spark.createDataFrame(
+        [("a.txt|sha256|AAAA",), ("broken|BBBB",), ("c.txt|crc32|CCCC",), ("  ",)],
+        ["value"],
+    )
+    rows = {
+        r["child_key"]: r
+        for r in MIO.parse_manifest_lines(lines).collect()
+    }
+    assert set(rows) == {"a.txt", "c.txt"}
+    assert rows["c.txt"]["algo"] == "sha256"  # unknown algo fallback

@@ -39,3 +39,71 @@ def test_sessionize_invariants(spark):
     assert sum(r["n_events"] for r in sess) == ev.count()
     for r in sess:
         assert r["session_start"] <= r["session_end"]
+
+
+def test_stream_verify_arrivals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.operators import verify as V
+    from fileverification_spark.sources import pages as P
+    from fileverification_spark.streaming import incremental as INC
+
+    base = P.pages(spark, SF)
+    derived = P.with_derived(base)
+    stored = V.tampered_manifest(derived)
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two arrival files = two micro-batch candidates
+    base.where(F.col("doc_id") % 2 == 0).write.mode("append").parquet(pages_dir)
+    base.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(pages_dir)
+
+    INC.stream_verify(spark, pages_dir, stored, out_dir, ckpt)
+    report = spark.read.parquet(f"{out_dir}/report")
+    want = {
+        r["status"]: r["n"]
+        for r in V.verify_counts(
+            V.verify_tree(derived, stored).where(F.col("status") != "MISSING")
+        ).collect()
+    }
+    got = {r["status"]: r["n"] for r in V.verify_counts(report).collect()}
+    assert got == want
+
+    # restart with the same checkpoint: exactly-once, nothing re-appended
+    INC.stream_verify(spark, pages_dir, stored, out_dir, ckpt)
+    assert spark.read.parquet(f"{out_dir}/report").count() == report.count()
+
+    lin = spark.read.parquet(f"{out_dir}/lineage")
+    assert lin.where(F.col("n_rows") <= 0).count() == 0
+
+
+def test_stateful_sessionize_converges_to_batch(spark):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.streaming import stateful as ST
+
+    batch = SW.sessionize(SW.read_events(spark, SF))
+    w_last = {
+        (r["user_id"],): r["session_id"]
+        for r in batch.groupBy("user_id")
+        .agg(F.max("session_id").alias("session_id"))
+        .collect()
+    }
+    all_rows = batch.collect()
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+    all_sessions = {key(r) for r in all_rows}
+    closed = {
+        key(r) for r in all_rows if r["session_id"] != w_last[(r["user_id"],)]
+    }
+
+    stream_df = ST.sessionize_stream(
+        SW.read_events_stream(spark, SF).select("user_id", "ts")
+    )
+    name = f"ss_{__import__('uuid').uuid4().hex[:8]}"
+    got_rows = SW.run_stream_to_memory(stream_df, name).collect()
+    got = {key(r) for r in got_rows}
+    # every gap-closed session must be emitted; timed-out trailing
+    # sessions may or may not finalise on a finite stream
+    assert closed <= got <= all_sessions
+    assert len(closed) > 0

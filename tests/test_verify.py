@@ -101,3 +101,29 @@ def test_tampered_manifest_statuses(spark, pages_small):
     assert counts["MISSING"] == missing
     assert counts["FAIL"] == failed
     assert counts["OK"] == n - added - failed
+
+
+def test_report_log_fold(spark):
+    live = _mk_live(spark, [(1, "u/ok", "aaa"), (1, "u/bad", "bbb")])
+    stored = _mk_stored(
+        spark,
+        [
+            (1, "u/ok", "sha256", _sha("aaa")),
+            (1, "u/bad", "sha256", "DEAD" * 16),
+            (2, "u/gone", "sha256", "AA"),
+        ],
+    )
+    row = V.report_log(V.verify_tree(live, stored)).first()
+    assert row["n_lines"] == 2
+    assert row["log"].split("\n") == [
+        "FAIL: Hash mismatch: u/bad.",
+        "The file 'u/gone' does not exist.",
+    ]
+
+
+def test_report_log_empty(spark):
+    live = _mk_live(spark, [(1, "u/ok", "aaa")])
+    stored = _mk_stored(spark, [(1, "u/ok", "sha256", _sha("aaa"))])
+    row = V.report_log(V.verify_tree(live, stored)).first()
+    assert row["n_lines"] == 0
+    assert row["log"] == ""
