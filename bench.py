@@ -42,10 +42,20 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+
+
 def timed(fn):
-    t0 = time.perf_counter()
-    n = fn()
-    return time.perf_counter() - t0, n
+    """min-of-RUNS wall time: the host is a shared tenant, so a single
+    observation can absorb ambient load spikes (observed 3x swings);
+    min estimates uncontended capability, matching tools/scaling_run.py."""
+    best, n = None, None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, n
 
 
 def main() -> None:

@@ -115,7 +115,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = DEFAULT_BANDS, num_hashes: int = DEFAULT_NUM_HASHES
+    sigs: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    persist: bool = True,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing >= 1 LSH band bucket, with
     est_jaccard = matching signature positions / num_hashes.
@@ -123,7 +126,16 @@ def lsh_candidate_pairs(
     Plan shape: explode B bands per doc -> self equi-join on (band, key)
     -> distinct -> rejoin signatures for the estimate. The band key is a
     sha256 of the slice so bucket strings stay short on the shuffle.
+
+    The plan references ``sigs`` THREE times (band explode + both sides
+    of the estimate rejoin); without materialisation Spark recomputes the
+    full shingle+minhash projection each time (measured 3x cost).
+    ``persist=True`` pins the signature relation (MEMORY_AND_DISK — tiny
+    next to the corpus: ~8B x num_hashes per doc). The 100 TB deployment
+    writes signatures to a table once and feeds that here instead.
     """
+    if persist:
+        sigs = sigs.persist()
     rows = num_hashes // bands
     band_entries = sigs.select(
         "doc_id",
