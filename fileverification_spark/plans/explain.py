@@ -46,6 +46,31 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan — the
+    scale currency: every one is a full network materialisation at 100 TB."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and "Exchange" in line
+        and "Reused" not in line
+    )
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True if the plan contains a map-side (partial) HashAggregate —
+    i.e. combining happens before the shuffle, so skewed groups cannot
+    concentrate raw rows on one reducer."""
+    plan = formatted_plan(df)
+    saw_partial = False
+    for line in plan.splitlines():
+        if "HashAggregate" in line:
+            saw_partial = True  # formatted plans list partial before final
+    return saw_partial and "partial" in plan.lower()
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of distinct whole-stage-codegen spans (formatted plans mark
     nodes with '[codegen id : N]')."""

@@ -50,3 +50,34 @@ def test_derivation_stays_in_codegen(spark):
     pg = P.pages_with_derived(spark, SF)
     # whole derivation (hashing, geocode, cell encode) is one codegen span
     assert X.codegen_stage_count(pg) >= 1
+
+
+def test_mergeable_digest_partial_agg_single_shuffle(spark, pages_small):
+    from fileverification_spark.operators import manifest as M
+
+    d = M.mergeable_digests(pages_small, P.LEAF_RES)
+    # sum-digest must combine map-side and shuffle exactly once
+    assert X.has_partial_aggregate(d)
+    assert X.exchange_count(d) == 1
+
+
+def test_verify_tree_bounded_exchanges(spark, pages_small):
+    from fileverification_spark.operators import verify as V
+
+    rep = V.verify_tree(pages_small, V.tampered_manifest(pages_small))
+    # full-outer join: one exchange per side; slow path broadcasts.
+    # anything above 3 means the plan regressed into extra shuffles.
+    assert X.exchange_count(rep) <= 3
+
+
+def test_incremental_verify_broadcasts_frontier(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.operators import manifest as M
+    from fileverification_spark.operators import verify as V
+    from fileverification_spark.streaming import incremental as INC
+
+    stored = V.tampered_manifest(pages_small)
+    ckpt = M.merkle_ladder(M.digests_from_manifest(stored, P.LEAF_RES), P.LEAF_RES)
+    report, _ = INC.incremental_verify(pages_small, stored, ckpt, P.LEAF_RES)
+    assert X.uses_broadcast_join(report)
