@@ -246,6 +246,11 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ann_lsh_topk(_emb(spark, sf), _ANN_QIDS, _ANN_K)
 
 
+def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # approximate by design -> no SQL oracle (driver records rows-only)
+    return SIM.ann_ivf_topk(_emb(spark, sf), _ANN_QIDS, _ANN_K, n_lists=16, nprobe=8)
+
+
 def _q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     return MM.extract_features(P.pages(spark, sf, with_html=True))
 
@@ -334,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "emb_neardup": _q_emb_neardup,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_features": _q_multimodal,
         "exclusion_filter": _q_exclusion_filter,
         "windowed_counts": _q_windowed_counts,

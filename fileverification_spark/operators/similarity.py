@@ -197,6 +197,117 @@ def ann_lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (inverted-file coarse quantizer — the partition-pruning path)
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(emb: DataFrame, n_lists: int = 16) -> np.ndarray:
+    """Deterministic coarse quantizer: Forgy seeds (the ``n_lists``
+    lowest vec_ids) refined by one Lloyd step over the corpus — one
+    distributed pass, reproducible, no RNG. Centroids are tiny
+    (n_lists x dim) and live on the driver / in broadcasts."""
+    seeds = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").limit(n_lists).collect()
+        ]
+    )
+    assign = _assign_udf(seeds)
+    assigned = emb.select(
+        assign(F.col("embedding")).alias("list_id"), "embedding"
+    )
+    means = (
+        assigned.groupBy("list_id")
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.col("embedding")[d]).alias(f"d{d}")
+                    for d in range(seeds.shape[1])
+                ]
+            ).alias("c")
+        )
+        .collect()
+    )
+    out = seeds.copy()  # lists that captured no vectors keep their seed
+    for r in means:
+        out[r["list_id"]] = np.asarray(r["c"], dtype=np.float64)
+    return out
+
+
+def _assign_udf(centroids: np.ndarray):
+    """pandas UDF: nearest-centroid (L2) list id per vector — one numpy
+    matmul per Arrow batch; ||c||^2 precomputed, argmin over
+    -2*x.c + ||c||^2 (the ||x||^2 term is rank-invariant)."""
+    c = centroids.astype(np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        scores = -2.0 * (m @ c.T) + c_norm2
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return assign
+
+
+def with_ivf_lists(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Attach `list_id` — at scale this is the table's partition key
+    (`PARTITIONED BY (list_id)`), so a query scans nprobe partitions."""
+    assign = _assign_udf(centroids)
+    return emb.withColumn("list_id", assign(F.col("embedding")))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors whose list is among
+    the query's ``nprobe`` nearest centroids. Exact iff every true
+    neighbour falls in a probed list; recall vs cosine_topk is the test
+    metric. Complement to ann_lsh_topk: IVF prunes by *partition*
+    (cluster locality), LSH by *hash bucket* (works with no training)."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_lists)
+    listed = with_ivf_lists(emb, centroids).cache()
+    qrows = listed.where(F.col("vec_id").isin(query_ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        d2 = ((centroids - qv) ** 2).sum(axis=1)
+        for lid in np.argsort(d2, kind="stable")[:nprobe]:
+            probe_rows.append((r["vec_id"], int(lid)))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["query_id", "p_list"])
+    cand = listed.join(
+        F.broadcast(probes),
+        (F.col("list_id") == F.col("p_list"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    qv_df = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), _dbl(F.col("embedding")).alias("qv")
+    )
+    scored = cand.select("query_id", "vec_id", _dbl(F.col("embedding")).alias("v")).join(
+        F.broadcast(qv_df), "query_id"
+    )
+    cos = cosine(F.col("qv"), F.col("v"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "vec_id", F.round(F.col("cos"), COS_ROUND).alias("cos_sim")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------
 

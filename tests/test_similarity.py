@@ -64,3 +64,30 @@ def test_bucket_deterministic(spark):
         for r in SIM.with_lsh_buckets(emb.repartition(5)).collect()
     }
     assert a == b
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = _emb(spark)
+    qids = [0, 10, 20, 30, 40]
+    k = 10
+    exact = SIM.cosine_topk(emb, qids, k).collect()
+    approx = SIM.ann_ivf_topk(emb, qids, k, n_lists=16, nprobe=8).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / k for q in qids]
+    assert sum(recalls) / len(recalls) > 0.5, recalls
+
+
+def test_ivf_assignment_deterministic(spark):
+    emb = _emb(spark).limit(200)
+    c = SIM.ivf_centroids(emb, n_lists=8)
+    a = {r["vec_id"]: r["list_id"] for r in SIM.with_ivf_lists(emb, c).collect()}
+    b = {
+        r["vec_id"]: r["list_id"]
+        for r in SIM.with_ivf_lists(emb.repartition(7), c).collect()
+    }
+    assert a == b
+    assert len(set(a.values())) > 1
