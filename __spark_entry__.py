@@ -180,6 +180,12 @@ def _q_raster_zoom(spark: SparkSession, sf: str) -> DataFrame:
     return S.raster_zoom(fine, res=6, out_res=_RASTER_RES)
 
 
+def _q_raster_vectorize(spark: SparkSession, sf: str) -> DataFrame:
+    # raster -> vector: cells back out as WKT rectangle features
+    raster = S.raster_cells(P.pages_with_derived(spark, sf), _RASTER_RES)
+    return S.raster_vectorize(raster, _RASTER_RES)
+
+
 _ANN_QIDS = [0, 25, 50, 75, 100]
 _ANN_K = 10
 _NEARDUP_TAU = 0.3
@@ -329,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring": _q_knn_ring,
         "raster_cells": _q_raster,
         "raster_zoom": _q_raster_zoom,
+        "raster_vectorize": _q_raster_vectorize,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -456,6 +463,9 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "knn_ring": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "raster_cells": _with() + "\n" + S.sql_raster(_RASTER_RES),
         "raster_zoom": _with() + "\n" + S.sql_raster(_RASTER_RES),
+        "raster_vectorize": _with(f"raster AS ({S.sql_raster(_RASTER_RES)})")
+        + "\n"
+        + S.sql_raster_vectorize(_RASTER_RES),
         "doc_stats": "SELECT doc_id, "
         + ", ".join(
             f"{expr} AS {name}" for name, expr in TX.sql_quality_select().items()

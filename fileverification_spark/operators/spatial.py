@@ -352,6 +352,32 @@ def raster_zoom(per_lang_raster: DataFrame, res: int, out_res: int) -> DataFrame
     )
 
 
+def raster_vectorize(raster: DataFrame, res: int) -> DataFrame:
+    """Raster→vector: emit each cell as a WKT rectangle polygon with its
+    measures — the tile-serving direction (cells become vector features).
+    Pure bit-arithmetic bounds + string building, codegen'd; the oracle
+    mirrors the formatting exactly."""
+    la0, la1, lo0, lo1 = grid.cell_bounds(F.col("cell"), res)
+
+    def pt(lo: F.Column, la: F.Column) -> F.Column:
+        return F.concat(
+            lo.cast("string"), F.lit(" "), la.cast("string")
+        )
+
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        pt(lo0, la0), F.lit(","),
+        pt(lo1, la0), F.lit(","),
+        pt(lo1, la1), F.lit(","),
+        pt(lo0, la1), F.lit(","),
+        pt(lo0, la0),
+        F.lit("))"),
+    )
+    return raster.select(
+        "cell", wkt.alias("wkt"), "n_pages", "n_langs", "lang_hist"
+    )
+
+
 def raster_per_lang(pages: DataFrame, res: int) -> DataFrame:
     """(cell, lang, cnt) — the mergeable raster primitive raster_zoom eats."""
     return (
@@ -410,6 +436,28 @@ SELECT query_id, rank, url FROM (
          p.url
   FROM {pages_rel} p, (VALUES {sql_query_points_values(queries)}) AS q(query_id, qlat, qlon)
 ) WHERE rank <= {k}"""
+
+
+def sql_raster_vectorize(res: int, raster_rel: str = "raster") -> str:
+    """SELECT body mirroring raster_vectorize over a raster CTE."""
+    dlat = 180.0 / (1 << res)
+    dlon = 360.0 / (1 << (res + 1))
+    mask = grid.LAT_MULT - 1
+    la0 = f"(((cell >> 29) & {mask}) * {dlat!r} - 90.0)"
+    lo0 = f"((cell & {mask}) * {dlon!r} - 180.0)"
+    la1 = f"({la0} + {dlat!r})"
+    lo1 = f"({lo0} + {dlon!r})"
+
+    def pt(lo: str, la: str) -> str:
+        return f"CAST({lo} AS VARCHAR) || ' ' || CAST({la} AS VARCHAR)"
+
+    wkt = (
+        f"'POLYGON((' || {pt(lo0, la0)} || ',' || {pt(lo1, la0)} || ',' || "
+        f"{pt(lo1, la1)} || ',' || {pt(lo0, la1)} || ',' || {pt(lo0, la0)} || '))'"
+    )
+    return f"""
+SELECT cell, {wkt} AS wkt, n_pages, n_langs, lang_hist
+FROM {raster_rel}"""
 
 
 def sql_raster(res: int, pages_rel: str = "pages") -> str:

@@ -72,3 +72,32 @@ def test_record_serialize_format(spark):
         hashing.record_serialize(F.col("n"), F.col("a"), F.col("h"))
     ).first()[0]
     assert got == "f.txt|sha256|ABCD"
+
+
+def test_hash_unicode_byte_identical(spark):
+    """SURVEY hard part (d): byte-identical text invariant across Arrow
+    serialization — non-ASCII, control chars, emoji, NFC/NFD variants all
+    hash identically to Python's hashlib over UTF-8 bytes."""
+    import hashlib as H
+
+    from pyspark.sql import functions as F
+
+    texts = [
+        "café",                      # NFC
+        "café",                     # NFD (different bytes -> hash!)
+        "日本語 \U0001f600",  # CJK + emoji (surrogate pair)
+        "line\nbreak\ttab\x01ctrl",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r["text"]: r["h"]
+        for r in df.select(
+            "text", F.upper(F.sha2(F.col("text"), 256)).alias("h")
+        ).collect()
+    }
+    for t in texts:
+        assert got[t] == H.sha256(t.encode("utf-8")).hexdigest().upper(), t
+    # NFC and NFD are different byte strings -> must differ (no implicit
+    # normalisation anywhere in the pipeline)
+    assert got["café"] != got["café"]
