@@ -31,7 +31,7 @@ from fileverification_spark.session import get_spark
 from fileverification_spark.sources import pages as P
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATION = int(os.environ.get("BENCH_REPLICATION", "40"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "80"))
 
 
 def _sf_label(path: str) -> float:
@@ -83,8 +83,12 @@ def main() -> None:
         "merkle_ladder": lambda: M.merkle_ladder(
             M.leaf_digests(live, P.LEAF_RES), P.LEAF_RES
         ).count(),
+        "digests_mergeable": lambda: M.mergeable_digests(live, P.LEAF_RES).count(),
         "pip_pages": lambda: S.pip_join(live, S.default_polygons(), P.LEAF_RES).count(),
         "knn": lambda: S.knn_bruteforce(pg, S.default_query_points(10), 10).count(),
+        "knn_ring": lambda: S.knn_ring(
+            live, S.default_query_points(10), 10, res=3, rings=4
+        ).count(),
         "raster_cells": lambda: S.raster_cells(live, 6).count(),
         "dedup_minhash": lambda: D.lsh_candidate_pairs(
             D.minhash_signatures(docs)
