@@ -19,9 +19,9 @@ import sys
 
 from pyspark.sql import SparkSession
 
+from fileverification_spark import lifecycle as L
 from fileverification_spark.operators import verify as V
 from fileverification_spark.sources import pages as P
-from fileverification_spark.streaming import incremental as INC
 
 
 def main() -> None:
@@ -39,20 +39,17 @@ def main() -> None:
 
     live = P.pages_with_derived(spark, sf_dir)
     stored = V.tampered_manifest(live)
-    report = V.verify_tree(live, stored)
-
-    # Sink: report partitioned by status (small cardinality, prunes the
-    # common "show me the FAILs" read); lineage appended per run.
-    report.write.mode("overwrite").partitionBy("status").parquet(f"{out_dir}/report")
-    INC.lineage(spark.read.parquet(f"{out_dir}/report"), run_id).write.mode(
-        "append"
-    ).parquet(f"{out_dir}/lineage")
-
-    counts = {
-        r["status"]: r["n"]
-        for r in V.verify_counts(spark.read.parquet(f"{out_dir}/report")).collect()
-    }
-    print("VERIFY-RESULT " + json.dumps({"run_id": run_id, "counts": counts}))
+    res = L.run_tree_verify(live, stored, out_dir, run_id)
+    print(
+        "VERIFY-RESULT "
+        + json.dumps(
+            {
+                "run_id": run_id,
+                "counts": res.counts,
+                "elapsed_sec": round(res.elapsed_sec, 2),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
