@@ -149,3 +149,27 @@ def test_mergeable_digest_invariants(spark, pages_small):
     )
     assert diff.count() == 1
     assert diff.first()["cell"] == victim["cell"]
+
+
+def test_salted_digest_splits_hot_cell(spark):
+    """Pathological skew: every row in ONE cell — phase 1 must fan the
+    sort-agg out over multiple salt groups (the explicit skew handling
+    the plain sorted digest lacks)."""
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.operators import manifest as M
+
+    import hashlib
+
+    rows = [
+        (1, f"u/{i}", hashlib.sha256(str(i).encode()).hexdigest().upper())
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["cell", "url", "text_sha256"])
+    sub = df.groupBy(
+        "cell", M._salt_col(F.col("text_sha256")).alias("salt")
+    ).count()
+    assert sub.count() > 4  # hot cell split across salt groups
+    d = M.salted_digests(df, 4)
+    row = d.first()
+    assert row["n_children"] == 500 and len(row["digest"]) == 64
