@@ -261,6 +261,11 @@ def _q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     return MM.extract_features(P.pages(spark, sf, with_html=True))
 
 
+def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    # row-expanding multimodal shape: video -> sampled frames
+    return MM.sample_frames(P.pages(spark, sf, with_html=True), every_n=4)
+
+
 _EXCL = CFG.Exclusions(
     names=["*3"],                      # DOS wildcard on the leaf segment
     paths=["/de/"],                    # case-insensitive path substring
@@ -348,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_features": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
         "exclusion_filter": _q_exclusion_filter,
         "windowed_counts": _q_windowed_counts,
         "sessionize": _q_sessionize,
@@ -487,6 +493,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "ann_cosine_topk": SIM.sql_cosine_topk_query(_ANN_QIDS, _ANN_K),
         "emb_neardup": SIM.sql_neardup_query(_NEARDUP_TAU),
         "multimodal_features": MM.sql_features_query(P.pages_cte(LEAF)),
+        "multimodal_frames": MM.sql_frames_query(P.pages_cte(LEAF)),
         "exclusion_filter": _with()
         + f"\nSELECT doc_id, url FROM pages WHERE NOT {CFG.sql_exclusion_predicate(_EXCL)}",
         "windowed_counts": SW.sql_windowed_counts(),

@@ -62,6 +62,48 @@ def extract_features(pages_with_html: DataFrame) -> DataFrame:
     return narrow.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+FRAME_BYTES = 64  # fake-codec frame granularity (deterministic)
+
+
+def sample_frames(pages_with_html: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one output row per sampled frame — the
+    row-*expanding* multimodal shape (video -> frames), mapInPandas
+    yielding more rows than it consumes. The fake codec derives
+    n_frames = ceil(n_bytes / FRAME_BYTES) and hashes each sampled
+    frame's byte slice; a real decoder swaps in exactly here (same
+    seam as decode_image)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, hashes = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                b = bytes(blob)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    urls.append(url)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.sha256(
+                            b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                        ).hexdigest().upper()
+                    )
+            yield pd.DataFrame(
+                {"url": urls, "frame_idx": idxs, "frame_sha256": hashes}
+            )
+
+    return pages_with_html.select("url", "html").mapInPandas(
+        frames, schema=FRAME_SCHEMA
+    )
+
+
 def decode_image(blob: bytes) -> object:
     """Real image decode — requires an imaging library not present in
     this container. The mapInPandas plumbing above is the production
@@ -75,6 +117,21 @@ def decode_image(blob: bytes) -> object:
         raise NotImplementedError(
             "image decode requires PIL; container ships none (stubbed per task brief)"
         ) from e
+
+
+def sql_frames_query(pages_cte: str, every_n: int = 4) -> str:
+    """Oracle for sample_frames. Slices the VARCHAR form — exact because
+    the synthetic corpus is pure ASCII (byte slice == char slice; checked
+    in tests); a non-ASCII corpus would need a blob-slicing oracle."""
+    return f"""WITH {pages_cte},
+h AS (SELECT url, '<html><body>' || text || '</body></html>' AS html FROM pages),
+f AS (SELECT url, html,
+             unnest(range(0, CAST(ceil(length(html) / {FRAME_BYTES}.0) AS BIGINT),
+                          {every_n})) AS frame_idx
+      FROM h)
+SELECT url, frame_idx,
+       upper(sha256(substring(html, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))) AS frame_sha256
+FROM f"""
 
 
 def sql_features_query(pages_cte: str) -> str:
