@@ -80,13 +80,23 @@ def digests_from_manifest(manifest: DataFrame, res: int) -> DataFrame:
 
 
 def merkle_ladder(
-    leaf: DataFrame, leaf_res: int, min_res: int = 0
+    leaf: DataFrame, leaf_res: int, min_res: int = 0, persist: bool = True
 ) -> DataFrame:
     """Union of digests at every resolution in [min_res, leaf_res].
 
     Parent digest = sha256 over sorted (child_cell_string ‖ child_digest)
     pairs; n_children = number of child *cells*.
+
+    ``persist`` pins the leaf level: every union branch hangs off it, and
+    without materialisation Spark recomputes the expensive leaf sort-agg
+    once per level (measured 4x on the bench; ReuseExchange does not fire
+    across the union branches). Upper levels shrink 8x per step, so their
+    recompute is noise — only the leaf needs pinning. In production the
+    ladder is written to the manifests table per res, which serves the
+    same purpose across runs.
     """
+    if persist:
+        leaf = leaf.persist()
     levels = [leaf]
     cur = leaf
     for r in range(leaf_res, min_res, -1):
