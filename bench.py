@@ -42,7 +42,7 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
 def timed(fn):
