@@ -17,6 +17,7 @@ from fileverification_spark import grid
 from fileverification_spark.functions import text as TX
 from fileverification_spark.streaming import incremental as INC
 from fileverification_spark.streaming import windows as SW
+from fileverification_spark.operators import asof as AS
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
@@ -294,6 +295,23 @@ def _q_events_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return SW.stream_dedup(SW.read_events(spark, sf)).select("event_id")
 
 
+def _q_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # as-of join (union-merge formulation) vs DuckDB's native ASOF JOIN
+    return AS.attribute_to_last_view(SW.read_events(spark, sf))
+
+
+def _q_events_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    # JSON property extraction (props is a JSON string column)
+    ev = SW.read_events(spark, sf)
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+        # explicit round: double->BIGINT cast truncates in Spark but
+        # rounds in DuckDB; round() first makes both engines agree
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+    )
+
+
 def _q_merkle_diff(spark: SparkSession, sf: str) -> DataFrame:
     live = P.pages_with_derived(spark, sf)
     live_ladder = M.merkle_ladder(M.leaf_digests(live, LEAF), LEAF)
@@ -358,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": _q_windowed_counts,
         "sessionize": _q_sessionize,
         "events_dedup": _q_events_dedup,
+        "asof_attribution": _q_asof_attribution,
+        "events_enrich": _q_events_enrich,
         "merkle_diff": _q_merkle_diff,
         "incremental_verify": _q_incremental_verify,
         "lineage": _q_lineage,
@@ -499,6 +519,12 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "windowed_counts": SW.sql_windowed_counts(),
         "sessionize": SW.sql_sessionize(),
         "events_dedup": "SELECT DISTINCT event_id FROM events",
+        "asof_attribution": AS.sql_attribute_to_last_view(),
+        "events_enrich": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT)"
+            " AS prop_k, CAST(round(value * 100, 0) AS BIGINT) AS value_cents"
+            " FROM events"
+        ),
         "merkle_diff": _sql_merkle_diff(),
         # frontier = leaf cells whose live digest differs from the digest of
         # the stored manifest (full-outer: either-side-only cells count).

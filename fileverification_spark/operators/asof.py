@@ -1,0 +1,99 @@
+"""As-of (point-in-time) join — the canonical training-pipeline temporal
+operator Spark lacks as a built-in (task brief: "operator Spark lacks
+(e.g., as-of join)"), expressed as a composition of existing DataFrame
+ops — no UDF, no mapPartitions.
+
+Implementation: the scalable union-merge formulation. Tag both sides,
+union on (key, ts), and carry the latest right-side payload forward with
+``last(ignorenulls)`` over a (key)-partitioned window ordered by
+(ts, side) — right rows sort before left rows at equal ts, giving the
+standard backward as-of semantics (right_ts <= left_ts). ONE shuffle on
+the key, no range-join explosion, no per-key driver loop; skewed keys
+ride AQE like any other window.
+
+The DuckDB oracle is the native ``ASOF LEFT JOIN`` — an independent
+implementation of the same semantics, which makes the parity check a
+real cross-engine test rather than a mirror of our own formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``right_cols``
+    from the right row with the greatest ``right_ts`` <= ``left_ts``
+    within the same ``key`` group (nulls when no prior right row).
+
+    Left columns pass through unchanged; right columns arrive prefixed
+    ``asof_``.
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(key),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+    ).select(*lcols, "_ts", "_side", *[f"asof_{c}" for c in right_cols])
+    u = l.unionByName(r)
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(F.col(f"asof_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def attribute_to_last_view(events: DataFrame) -> DataFrame:
+    """Attribution: every non-view event joined to the user's most recent
+    prior (or simultaneous) 'view' event."""
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    nonviews = events.where(F.col("event_type") != "view").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_join(
+        nonviews, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("asof_view_event_id").alias("view_event_id"),
+    )
+
+
+def sql_attribute_to_last_view(events_rel: str = "events") -> str:
+    """DuckDB native ASOF JOIN oracle (independent implementation)."""
+    return f"""
+SELECT l.event_id, l.user_id, l.event_type, r.view_event_id
+FROM (SELECT event_id, user_id, ts, event_type FROM {events_rel}
+      WHERE event_type != 'view') l
+ASOF LEFT JOIN (SELECT user_id, ts, event_id AS view_event_id
+                FROM {events_rel} WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
