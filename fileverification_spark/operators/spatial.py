@@ -245,6 +245,18 @@ def knn_bruteforce(
     )
 
 
+def ring_guarantee_radius(res: int, rings: int) -> float:
+    """Degrees within which knn_ring is EXACT: any point closer than this
+    to the query necessarily lies inside the (2*rings+1)^2 disk, because
+    leaving the disk requires crossing at least ``rings`` full cell rows/
+    columns. Callers verify ``sqrt(dist2_k) <= radius`` (dist2 is in
+    squared degrees) to certify a result, or widen ``rings`` and retry —
+    the bounded driver-side iteration of SURVEY §4."""
+    dlat = 180.0 / (1 << res)
+    dlon = 360.0 / (1 << (res + 1))
+    return rings * min(dlat, dlon)
+
+
 def knn_ring(
     pages: DataFrame,
     queries: list[tuple[int, float, float]],

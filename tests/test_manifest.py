@@ -173,3 +173,20 @@ def test_salted_digest_splits_hot_cell(spark):
     d = M.salted_digests(df, 4)
     row = d.first()
     assert row["n_children"] == 500 and len(row["digest"]) == 64
+
+
+def test_deep_ladder_res8(spark):
+    """Parameterization sanity at a deeper ladder (res 8 -> 0, nine
+    levels, ~50k cells at the leaf for this corpus)."""
+    from fileverification_spark.operators import manifest as M
+    from fileverification_spark.sources import pages as P
+
+    live = P.pages_with_derived(spark, "/root/testdata/sf0.001", res=8)
+    ladder = M.merkle_ladder(M.leaf_digests(live, 8), 8)
+    per_res = {r["res"]: r["n"] for r in
+               ladder.groupBy("res").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert set(per_res) == set(range(9))
+    # monotone: coarser levels never have more cells
+    for r in range(1, 9):
+        assert per_res[r - 1] <= per_res[r]
+    assert per_res[0] <= 2  # res 0 = 1x2 grid

@@ -75,3 +75,34 @@ def test_raster_total_preserved(spark, pages_small):
             .first()["t"]
         )
         assert total == n
+
+
+def test_ring_guarantee_radius_certifies_exactness(spark, pages_small):
+    """When every query's k-th neighbour lies within the guarantee
+    radius, knn_ring must equal brute force (and does on this corpus)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.operators import spatial as S
+
+    qpts = S.default_query_points(5)
+    k, res, rings = 5, 3, 4
+    radius = S.ring_guarantee_radius(res, rings)
+    # brute-force k-th distance per query
+    exact = S.knn_bruteforce(pages_small, qpts, k)
+    ring = S.knn_ring(pages_small, qpts, k, res=res, rings=rings)
+    e = {(r["query_id"], r["rank"]): r["url"] for r in exact.collect()}
+    g = {(r["query_id"], r["rank"]): r["url"] for r in ring.collect()}
+    # independent certificate: recompute k-th dist from the page table
+    pts = {
+        (q, la, lo): sorted(
+            math.hypot(r["lat"] - la, r["lon"] - lo)
+            for r in pages_small.select("lat", "lon").collect()
+        )[k - 1]
+        for q, la, lo in qpts
+    }
+    for (q, la, lo), dk in pts.items():
+        if dk <= radius:
+            for rank in range(1, k + 1):
+                assert g[(q, rank)] == e[(q, rank)]
