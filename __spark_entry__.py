@@ -167,6 +167,18 @@ def _q_knn_ring(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_knn_adaptive(spark: SparkSession, sf: str) -> DataFrame:
+    # driver-bounded ring widening, certified exact by the guarantee
+    # radius -> shares the brute-force oracle
+    return S.knn_adaptive(
+        P.pages_with_derived(spark, sf), _QPTS, _KNN_K, res=3, rings=1
+    )
+
+
+def _q_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_buckets(_docs(spark, sf))
+
+
 def _q_pip_pages_sql(spark: SparkSession, sf: str) -> DataFrame:
     # pure-JVM edge-explode variant of pip_pages — same rows, no UDF
     return S.pip_join_sql(P.pages_with_derived(spark, sf), _POLYS, res=P.LEAF_RES)
@@ -356,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_counts": _q_pip_counts,
         "knn": _q_knn,
         "knn_ring": _q_knn_ring,
+        "knn_adaptive": _q_knn_adaptive,
         "raster_cells": _q_raster,
         "raster_zoom": _q_raster_zoom,
         "raster_vectorize": _q_raster_vectorize,
@@ -366,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "simhash_buckets": _q_simhash_buckets,
         "ann_cosine_topk": _q_ann_topk,
         "emb_neardup": _q_emb_neardup,
         "ann_lsh_topk": _q_ann_lsh,
@@ -487,6 +501,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         + "\nSELECT poly_id, count(*) AS n_pages FROM pip GROUP BY poly_id",
         "knn": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "knn_ring": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
+        "knn_adaptive": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "raster_cells": _with() + "\n" + S.sql_raster(_RASTER_RES),
         "raster_zoom": _with() + "\n" + S.sql_raster(_RASTER_RES),
         "raster_vectorize": _with(f"raster AS ({S.sql_raster(_RASTER_RES)})")
@@ -510,6 +525,11 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "dedup_minhash": D.sql_lsh_pairs_query(),
         "ngram_jaccard": D.sql_ngram_jaccard_query(),
         "simhash": D.sql_simhash_docs_query(),
+        "simhash_buckets": (
+            f"WITH sh AS ({D.sql_simhash_docs_query()})\n"
+            "SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_id "
+            "FROM sh GROUP BY simhash HAVING count(*) > 1"
+        ),
         "ann_cosine_topk": SIM.sql_cosine_topk_query(_ANN_QIDS, _ANN_K),
         "emb_neardup": SIM.sql_neardup_query(_NEARDUP_TAU),
         "multimodal_features": MM.sql_features_query(P.pages_cte(LEAF)),

@@ -263,6 +263,7 @@ def knn_ring(
     k: int,
     res: int,
     rings: int,
+    keep_dist: bool = False,
 ) -> DataFrame:
     """Scale path: candidates restricted to grid_disk(query_cell, rings)
     before scoring. Exact iff the k-th neighbour lies within the disk's
@@ -302,10 +303,61 @@ def knn_ring(
         "query_id", "url", _dist2(F.col("qlat"), F.col("qlon")).alias("dist2")
     )
     w = W.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("url").asc())
+    cols = ["query_id", "rank", "url"] + (["dist2"] if keep_dist else [])
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "url")
+        .select(*cols)
+    )
+
+
+def knn_adaptive(
+    pages: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    res: int,
+    rings: int = 2,
+    max_rings: int = 64,
+) -> DataFrame:
+    """EXACT kNN with bounded ring widening (SURVEY §4: "ring expansion —
+    bounded loop in driver"). Run knn_ring; certify each query against
+    ring_guarantee_radius (k candidates found AND the k-th distance inside
+    the radius ⇒ provably exact); double the rings for the uncertified
+    remainder and retry; past ``max_rings`` fall back to brute force for
+    the stragglers. Each pass prunes to candidate cells only, so total
+    work stays far below one brute-force scan on any dense corpus."""
+    import math
+
+    remaining = list(queries)
+    results: list[tuple[int, int, str]] = []
+    while remaining:
+        rows = knn_ring(
+            pages, remaining, k, res=res, rings=rings, keep_dist=True
+        ).collect()
+        radius = ring_guarantee_radius(res, rings)
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        retry = []
+        for q in remaining:
+            got = by_q.get(q[0], [])
+            if len(got) >= k and all(
+                math.sqrt(r["dist2"]) <= radius for r in got
+            ):
+                results.extend((r["query_id"], r["rank"], r["url"]) for r in got)
+            else:
+                retry.append(q)
+        if not retry:
+            break
+        if rings >= max_rings:
+            results.extend(
+                (r["query_id"], r["rank"], r["url"])
+                for r in knn_bruteforce(pages, retry, k).collect()
+            )
+            break
+        remaining, rings = retry, rings * 2
+    return pages.sparkSession.createDataFrame(
+        results, "query_id long, rank int, url string"
     )
 
 

@@ -106,3 +106,21 @@ def test_ring_guarantee_radius_certifies_exactness(spark, pages_small):
         if dk <= radius:
             for rank in range(1, k + 1):
                 assert g[(q, rank)] == e[(q, rank)]
+
+
+def test_knn_adaptive_exact(spark, pages_small):
+    from fileverification_spark.operators import spatial as S
+
+    qpts = S.default_query_points(6)
+    k = 5
+    exact = {
+        (r["query_id"], r["rank"]): r["url"]
+        for r in S.knn_bruteforce(pages_small, qpts, k).collect()
+    }
+    # start deliberately too narrow: the driver loop must widen until
+    # certified (or brute-force the stragglers) and end exact
+    got = {
+        (r["query_id"], r["rank"]): r["url"]
+        for r in S.knn_adaptive(pages_small, qpts, k, res=3, rings=1).collect()
+    }
+    assert got == exact
