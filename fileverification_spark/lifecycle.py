@@ -55,8 +55,25 @@ def run_tree_verify(
     import time
 
     t0 = time.perf_counter()
+    stored_skipped = None
     if exclusions is not None:
-        live = CFG.apply_exclusions(live, exclusions)
+        # Reference semantics: exclusion short-circuits BEFORE verify/add
+        # (PathInfo.cs:213-231) but the missing pass is pure existence
+        # (File.Exists, PathInfo.cs:331) — an excluded-but-existing file
+        # is neither verified nor missing, and its manifest entry
+        # survives untouched. So: partition live on the predicate, pull
+        # the excluded keys' entries out of the verify join, and splice
+        # them back into the rewritten manifest verbatim.
+        pred = CFG.exclusion_predicate(exclusions, F.col("url"))
+        excl_keys = live.where(pred).select(
+            F.col("cell").alias("x_cell"), F.col("url").alias("x_key")
+        )
+        live = live.where(~pred)
+        skip_cond = (F.col("cell") == F.col("x_cell")) & (
+            F.col("child_key") == F.col("x_key")
+        )
+        stored_skipped = stored.join(excl_keys, skip_cond, "left_semi")
+        stored = stored.join(excl_keys, skip_cond, "left_anti")
 
     report = V.verify_tree(live, stored)
     report.write.mode("overwrite").partitionBy("status").parquet(
@@ -78,6 +95,10 @@ def run_tree_verify(
             "cell", "child_key", "algo", F.col("stored_hash").alias("hash")
         )
         next_manifest = next_manifest.unionByName(keep_missing)
+    if stored_skipped is not None:
+        next_manifest = next_manifest.unionByName(
+            stored_skipped.select("cell", "child_key", "algo", "hash")
+        )
     next_manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
 
     INC.lineage(report, run_id).write.mode("append").parquet(f"{out_dir}/lineage")

@@ -19,6 +19,7 @@ import sys
 
 from pyspark.sql import SparkSession
 
+from fileverification_spark import config as CFG
 from fileverification_spark import lifecycle as L
 from fileverification_spark.operators import verify as V
 from fileverification_spark.sources import pages as P
@@ -28,6 +29,13 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fv_verify_out"
     run_id = sys.argv[3] if len(sys.argv) > 3 else "r1"
+    # optional settings file (S8): exclusions + allowRemove, the
+    # reference's XML settings as plain JSON
+    cfg = (
+        CFG.JobConfig.from_json(sys.argv[4])
+        if len(sys.argv) > 4
+        else CFG.JobConfig()
+    )
 
     # master/executors come from spark-submit; only runtime-settable SQL
     # conf here, so the job is cluster-agnostic.
@@ -39,7 +47,14 @@ def main() -> None:
 
     live = P.pages_with_derived(spark, sf_dir)
     stored = V.tampered_manifest(live)
-    res = L.run_tree_verify(live, stored, out_dir, run_id)
+    res = L.run_tree_verify(
+        live,
+        stored,
+        out_dir,
+        run_id,
+        exclusions=cfg.exclusions,
+        allow_remove=cfg.allow_remove,
+    )
     print(
         "VERIFY-RESULT "
         + json.dumps(

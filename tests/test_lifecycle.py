@@ -56,3 +56,34 @@ def test_allow_remove_false_keeps_missing(spark, pages_small, tmp_path):
     man = spark.read.parquet(f"{tmp_path}/manifest")
     ghosts = man.where(F.col("child_key").contains("#ghost"))
     assert ghosts.count() > 0  # missing entries retained
+
+
+def test_excluded_entries_neither_verified_nor_missing(spark, pages_small, tmp_path):
+    # Reference: exclusion short-circuits verify/add (PathInfo.cs:213-231)
+    # but the missing pass is pure File.Exists (PathInfo.cs:331) — an
+    # excluded-but-existing file is skipped entirely and its manifest
+    # entry survives.
+    from fileverification_spark import config as C
+
+    stored = V.tampered_manifest(pages_small)
+    ex = C.Exclusions(paths=["/de/"])
+    res = L.run_tree_verify(
+        pages_small, stored, str(tmp_path), "rx", exclusions=ex
+    )
+    report = spark.read.parquet(f"{tmp_path}/report")
+    # no /de/ url in the report at all (except true ghosts, which never
+    # existed so they stay MISSING regardless of exclusion semantics —
+    # ghosts end with #ghost and ARE excluded here only if /de/)
+    de_live = report.where(
+        F.col("child_key").contains("/de/") & ~F.col("child_key").contains("#ghost")
+    )
+    assert de_live.count() == 0
+    # skipped entries retained verbatim in the rewritten manifest
+    man = spark.read.parquet(f"{tmp_path}/manifest")
+    n_de_stored = stored.where(
+        F.col("child_key").contains("/de/") & ~F.col("child_key").contains("#ghost")
+    ).count()
+    n_de_man = man.where(
+        F.col("child_key").contains("/de/") & ~F.col("child_key").contains("#ghost")
+    ).count()
+    assert n_de_man == n_de_stored

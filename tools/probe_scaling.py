@@ -51,8 +51,9 @@ def main() -> None:
     results = []
     for cores in cores_list:
         code = CHILD.format(repo=REPO, cores=cores, pages=pages, man=man)
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=3600)
+        # pin to exactly `cores` CPUs (same protocol as scaling_run.py)
+        cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
                 r = json.loads(line[len("RESULT "):])
