@@ -211,6 +211,75 @@ def mergeable_digests(pages_derived: DataFrame, res: int) -> DataFrame:
     )
 
 
+def _limb_cols(pages_derived: DataFrame, sign: int) -> DataFrame:
+    """(cell, n, l0..l3) per-row limb contributions with ``sign``."""
+    child = F.sha2(F.concat(F.col("url"), F.col("text_sha256")), 256)
+    cols = [F.col("cell"), F.lit(sign).cast("bigint").alias("n")]
+    for i in range(4):
+        limb = F.conv(
+            F.substring(child, 1 + i * _LIMB_HEX, _LIMB_HEX), 16, 10
+        ).cast("decimal(38,0)")
+        cols.append((limb * sign).alias(f"l{i}"))
+    return pages_derived.select(*cols)
+
+
+def update_mergeable_digests(
+    digests: DataFrame,
+    added: DataFrame,
+    removed: DataFrame,
+    res: int,
+) -> DataFrame:
+    """Incrementally maintain mergeable_digests: add the limb sums of
+    ``added`` rows and subtract those of ``removed`` rows — NO rescan of
+    unchanged children (the streaming-arrival maintenance path the sum
+    digest exists for; the sorted Merkle digest cannot do this).
+
+    ``digests`` is prior mergeable_digests output; added/removed are
+    pages-shaped (cell, url, text_sha256). Cells whose child count drops
+    to zero disappear; brand-new cells appear. The result is IDENTICAL
+    to recomputing mergeable_digests over the updated corpus (pinned by
+    tests) — O(|delta|) work instead of O(|corpus|).
+    """
+    delta = (
+        _limb_cols(added, 1)
+        .unionByName(_limb_cols(removed, -1))
+        .groupBy("cell")
+        .agg(
+            F.sum("n").alias("d_n"),
+            *[F.sum(f"l{i}").alias(f"d_l{i}") for i in range(4)],
+        )
+    )
+    old_limbs = digests.select(
+        "cell",
+        F.col("n_children").alias("o_n"),
+        *[
+            F.split(F.col("digest"), "-")[i]
+            .cast("decimal(38,0)")
+            .alias(f"o_l{i}")
+            for i in range(4)
+        ],
+    )
+    merged = old_limbs.join(delta, "cell", "full_outer")
+    mod = F.lit(_LIMB_MOD).cast("decimal(38,0)")
+    n_new = F.coalesce(F.col("o_n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))
+    limb_exprs = []
+    for i in range(4):
+        raw = F.coalesce(F.col(f"o_l{i}"), F.lit(0).cast("decimal(38,0)")) + F.coalesce(
+            F.col(f"d_l{i}"), F.lit(0).cast("decimal(38,0)")
+        )
+        # pmod for decimals: ((raw % m) + m) % m keeps the subtraction
+        # branch non-negative, matching the recompute's plain sum % m
+        limb_exprs.append(
+            (((raw % mod) + mod) % mod).cast("bigint").cast("string")
+        )
+    return merged.where(n_new > 0).select(
+        F.lit(res).alias("res"),
+        "cell",
+        F.concat_ws("-", *limb_exprs).alias("digest"),
+        n_new.alias("n_children"),
+    )
+
+
 def changed_cells(current: DataFrame, checkpoint: DataFrame) -> DataFrame:
     """Cells whose digest differs between current and checkpoint — the
     incremental-verify frontier. FULL outer on (res, cell): a cell present

@@ -190,3 +190,34 @@ def test_deep_ladder_res8(spark):
     for r in range(1, 9):
         assert per_res[r - 1] <= per_res[r]
     assert per_res[0] <= 2  # res 0 = 1x2 grid
+
+
+def test_update_mergeable_digests_equals_recompute(spark, pages_small):
+    """Incremental maintenance == full recompute: remove a slice, add a
+    modified slice, update limb sums — identical digests, O(delta) work."""
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.operators import manifest as M
+    from fileverification_spark.sources import pages as P
+
+    base = M.mergeable_digests(pages_small, P.LEAF_RES)
+    removed = pages_small.where(F.col("doc_id") % 7 == 0)
+    added = (
+        pages_small.where(F.col("doc_id") % 11 == 3)
+        .withColumn("url", F.concat(F.col("url"), F.lit("#v2")))
+        .withColumn("text_sha256", F.reverse(F.col("text_sha256")))
+    )
+    updated_corpus = pages_small.where(F.col("doc_id") % 7 != 0).unionByName(
+        added.select(pages_small.columns)
+    )
+    want = {
+        (r["cell"], r["digest"], r["n_children"])
+        for r in M.mergeable_digests(updated_corpus, P.LEAF_RES).collect()
+    }
+    got = {
+        (r["cell"], r["digest"], r["n_children"])
+        for r in M.update_mergeable_digests(
+            base, added, removed, P.LEAF_RES
+        ).collect()
+    }
+    assert got == want
