@@ -324,6 +324,49 @@ def _q_events_enrich(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tpch_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    # general relational surface (sum/avg battery the reference lacks,
+    # SURVEY §2.5 "Absent" row) — TPC-H Q1 shape over lineitem.
+    # DECIMAL sums: exact and order-independent (double sums' low bits
+    # would depend on partial-aggregation order)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+
+    def dec(c: str):
+        return F.col(c).cast("decimal(18,4)")
+
+    disc_price = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.round(F.avg(dec("l_quantity")).cast("double"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_orders_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # 3-way broadcast-dim join (orders ⋈ customer ⋈ nation) — the
+    # multi-way join surface; dims broadcast, fact never shuffles
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_price"),
+        )
+    )
+
+
 def _q_merkle_diff(spark: SparkSession, sf: str) -> DataFrame:
     live = P.pages_with_derived(spark, sf)
     live_ladder = M.merkle_ladder(M.leaf_digests(live, LEAF), LEAF)
@@ -392,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup": _q_events_dedup,
         "asof_attribution": _q_asof_attribution,
         "events_enrich": _q_events_enrich,
+        "tpch_pricing": _q_tpch_pricing,
+        "orders_by_nation": _q_orders_by_nation,
         "merkle_diff": _q_merkle_diff,
         "incremental_verify": _q_incremental_verify,
         "lineage": _q_lineage,
@@ -545,6 +590,24 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             " AS prop_k, CAST(round(value * 100, 0) AS BIGINT) AS value_cents"
             " FROM events"
         ),
+        "tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8)))
+         AS sum_disc_price,
+       round(CAST(avg(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_nation": """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name""",
         "merkle_diff": _sql_merkle_diff(),
         # frontier = leaf cells whose live digest differs from the digest of
         # the stored manifest (full-outer: either-side-only cells count).
