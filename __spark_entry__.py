@@ -94,9 +94,8 @@ def _q_merkle_ladder(spark: SparkSession, sf: str) -> DataFrame:
 def _q_point_verify(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic target: doc_id = 1 (url + its known-good hash form)
     live = P.pages_with_derived(spark, sf)
-    row = live.where(F.col("doc_id") == 1).select("url", "text_sha256")
-    url, h = row.first()["url"], row.first()["text_sha256"]
-    return V.point_verify(live, url, h.lower())
+    row = live.where(F.col("doc_id") == 1).select("url", "text_sha256").first()
+    return V.point_verify(live, row["url"], row["text_sha256"].lower())
 
 
 def _q_report_log(spark: SparkSession, sf: str) -> DataFrame:
@@ -271,7 +270,19 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
-    return MM.extract_features(P.pages(spark, sf, with_html=True))
+    # contract canon: the float[8] feature vector is emitted as a fixed
+    # %.6f CSV string — the driver's pandas canonicalizer cannot sort or
+    # hash list cells (r01 harness ERR, VERDICT #1); the array form stays
+    # the operator API (MM.extract_features)
+    feats = MM.extract_features(P.pages(spark, sf, with_html=True))
+    return feats.select(
+        "url",
+        "n_bytes",
+        "content_sha256",
+        F.concat_ws(
+            ",", F.transform("feat", lambda x: F.format_string("%.6f", x))
+        ).alias("feat_csv"),
+    )
 
 
 def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
@@ -294,11 +305,28 @@ def _q_exclusion_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
-    return SW.windowed_counts(SW.read_events(spark, sf))
+    # contract canon: timestamps as epoch seconds (window starts are hour
+    # boundaries), DECIMAL sum stringified at fixed scale — both choices
+    # driver-canon-proof (no tz-aware vs naive or Decimal-vs-float64
+    # pandas dtype drift; VERDICT r01 "What's wrong" #3)
+    return SW.windowed_counts(SW.read_events(spark, sf)).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("string").alias("sum_value"),
+    )
 
 
 def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    return SW.sessionize(SW.read_events(spark, sf))
+    # contract canon: session bounds carry sub-second precision -> epoch
+    # micros as BIGINT on both sides
+    return SW.sessionize(SW.read_events(spark, sf)).select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("session_start"),
+        F.unix_micros("session_end").alias("session_end"),
+        "n_events",
+    )
 
 
 def _q_events_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -347,6 +375,19 @@ def _q_tpch_pricing(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg(dec("l_quantity")).cast("double"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        # contract canon: exact decimal sums stringified at their fixed
+        # scale — Spark toPandas keeps DecimalType as decimal.Decimal
+        # objects while DuckDB .df() degrades DECIMAL to float64, so a
+        # numeric output can never hash-match (VERDICT r01 #4)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sum_qty").cast("string").alias("sum_qty"),
+            F.col("sum_base_price").cast("string").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("string").alias("sum_disc_price"),
+            "avg_qty",
+            "count_order",
+        )
     )
 
 
@@ -362,7 +403,9 @@ def _q_orders_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("string")
+            .alias("total_price"),
         )
     )
 
@@ -592,10 +635,12 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         ),
         "tpch_pricing": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+         AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
            * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8)))
+           AS VARCHAR)
          AS sum_disc_price,
        round(CAST(avg(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS avg_qty,
        count(*) AS count_order
@@ -604,7 +649,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""",
         "orders_by_nation": """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS total_price
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n_name""",
@@ -631,10 +676,10 @@ FROM report r SEMI JOIN chg c ON r.cell = c.cell""",
         "lineage": _with(stored, report)
         + """
 SELECT 'r1' AS run_id, cell, count(*) AS n_rows,
-       sum(CASE WHEN status = 'OK' THEN 1 ELSE 0 END) AS n_ok,
-       sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END) AS n_fail,
-       sum(CASE WHEN status = 'ADDED' THEN 1 ELSE 0 END) AS n_added,
-       sum(CASE WHEN status = 'MISSING' THEN 1 ELSE 0 END) AS n_missing
+       CAST(sum(CASE WHEN status = 'OK' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(sum(CASE WHEN status = 'ADDED' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN status = 'MISSING' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM report GROUP BY cell""",
         # ann_lsh_topk: approximate by design -> rows-only check, no oracle
     }

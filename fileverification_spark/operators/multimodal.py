@@ -137,15 +137,19 @@ FROM f"""
 def sql_features_query(pages_cte: str) -> str:
     """Oracle: rebuild html text-side and recompute the hash features.
     sha256(utf8 string) == sha256(bytes) because html is the UTF-8
-    encoding of that exact string."""
+    encoding of that exact string. The feature vector is emitted as a
+    fixed %.6f CSV string (driver pandas canon cannot hash list cells);
+    float32 -> %.6f agrees between engines because both widen the same
+    float32 bits to double before formatting."""
     h = "sha256('<html><body>' || text || '</body></html>')"
-    feat = (
-        f"list_transform(range(1, {N_FEAT + 1}), i -> "
-        f"CAST(CAST(('0x' || substr({h}, 2*i - 1, 2)) AS INT) / 255.0 AS FLOAT))"
+    feat_csv = (
+        f"list_aggr(list_transform(range(1, {N_FEAT + 1}), i -> "
+        f"printf('%.6f', CAST(CAST(('0x' || substr({h}, 2*i - 1, 2)) AS INT)"
+        f" / 255.0 AS FLOAT))), 'string_agg', ',')"
     )
     return f"""WITH {pages_cte}
 SELECT url,
        CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS n_bytes,
        upper({h}) AS content_sha256,
-       {feat} AS feat
+       {feat_csv} AS feat_csv
 FROM pages"""

@@ -527,7 +527,7 @@ FROM {raster_rel}"""
 def sql_raster(res: int, pages_rel: str = "pages") -> str:
     cell = grid.sql_cell_encode("lat", "lon", res)
     return f"""
-SELECT cell, sum(cnt) AS n_pages, count(*) AS n_langs,
+SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_pages, count(*) AS n_langs,
        string_agg(lang || ':' || CAST(cnt AS VARCHAR), ','
                   ORDER BY lang || ':' || CAST(cnt AS VARCHAR)) AS lang_hist
 FROM (

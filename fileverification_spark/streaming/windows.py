@@ -116,9 +116,13 @@ def run_stream_to_memory(
 # ---------------------------------------------------------------------------
 
 def sql_windowed_counts(events_rel: str = "events") -> str:
+    # epoch-seconds BIGINT + stringified decimal sum: mirrors the contract
+    # canon in __spark_entry__._q_windowed_counts (driver pandas canon
+    # can't survive tz-aware/naive or Decimal/float64 drift)
     return f"""
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS sum_value
 FROM {events_rel}
 GROUP BY 1, 2"""
 
@@ -135,10 +139,12 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
-SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+SELECT user_id, session_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_id"""

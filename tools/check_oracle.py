@@ -1,22 +1,30 @@
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — STRICT canon.
 
-Runs every ``queries()`` entry from __spark_entry__.py on Spark and its
-``oracle_sql()`` twin on DuckDB (same parquet views), then compares
-row count, schema (column names), and an order-insensitive value hash
-(columns sorted by name, rows sorted, values canonicalised).
+Round-1 postmortem (VERDICT.md "What's wrong" #5): the old checker
+normalised Decimals, rounded floats and stringified lists, which masked
+nine driver canon mismatches. This version mirrors the driver's observed
+behaviour instead:
+
+- Spark results via ``DataFrame.toPandas()`` (DecimalType -> object of
+  decimal.Decimal, TIMESTAMP_LTZ -> tz-aware datetime64, arrays -> lists);
+- oracle results via ``duckdb .df()`` (HUGEINT/DECIMAL -> float64,
+  TIMESTAMP -> naive datetime64);
+- columns sorted by name, then ``DataFrame.sort_values`` over ALL columns
+  (this is what raised ``unhashable type: 'list'`` in the driver — list
+  columns must crash here too, not be papered over);
+- value hash over ``str(cell)`` with NO rounding or normalisation, so an
+  int64 124 vs float64 124.0 drift fails exactly as the driver fails it.
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import decimal
 import hashlib
-import math
 import sys
-from datetime import datetime
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -26,34 +34,19 @@ TABLES = [
 ]
 
 
-def canon(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round-trip repr keeps full precision; both engines hand back
-        # IEEE doubles so identical bits → identical repr
-        return repr(round(v, 9))
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-mirror canonical form: name-sorted columns, row-sorted by
+    every column (raises on unhashable cells, like the driver)."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+def frame_hash(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode("utf-8", "surrogatepass"))
+    for row in df.itertuples(index=False, name=None):
+        h.update("\x01".join(str(v) for v in row).encode("utf-8", "surrogatepass"))
         h.update(b"\x02")
     return h.hexdigest()
 
@@ -78,48 +71,53 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:30s} SPARK ERROR: {e}")
+            failures += 1
+            continue
         if name not in oracles:
-            print(f"{name:30s} rows={len(srows):7d}  (no oracle — rows-only)")
+            print(f"{name:30s} rows={len(spdf):7d}  (no oracle — rows-only)")
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"{name:30s} ORACLE ERROR: {e}")
             failures += 1
             continue
-        ok_rows = len(srows) == len(orows)
-        ok_schema = sorted(scols) == sorted(ocols)
-        sh = value_hash(scols, srows)
-        oh = value_hash(ocols, orows)
+        try:
+            sc = canon_frame(spdf)
+            oc = canon_frame(opdf)
+        except Exception as e:  # noqa: BLE001 - driver dies here on lists
+            print(f"{name:30s} CANON ERROR (driver would ERR): {e}")
+            failures += 1
+            continue
+        ok_rows = len(sc) == len(oc)
+        ok_schema = list(sc.columns) == list(oc.columns)
+        sh, oh = frame_hash(sc), frame_hash(oc)
         ok_hash = sh == oh
         status = "OK" if (ok_rows and ok_schema and ok_hash) else "MISMATCH"
         print(
-            f"{name:30s} {status}  rows {len(srows)}/{len(orows)}"
+            f"{name:30s} {status}  rows {len(sc)}/{len(oc)}"
             f" schema={'=' if ok_schema else 'DIFF'} hash={'=' if ok_hash else 'DIFF'}"
         )
         if status != "OK":
             failures += 1
             if not ok_schema:
-                print(f"   spark cols: {sorted(scols)}")
-                print(f"   oracle cols: {sorted(ocols)}")
-            if ok_schema and not ok_hash:
-                # show first differing canonical line
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
-                lo = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
-                for a, b in zip(ls, lo):
+                print(f"   spark cols : {list(sc.columns)} {list(sc.dtypes)}")
+                print(f"   oracle cols: {list(oc.columns)} {list(oc.dtypes)}")
+            elif not ok_hash:
+                print(f"   spark dtypes : {dict(zip(sc.columns, map(str, sc.dtypes)))}")
+                print(f"   oracle dtypes: {dict(zip(oc.columns, map(str, oc.dtypes)))}")
+                n = min(len(sc), len(oc))
+                for i in range(n):
+                    a = "\x01".join(str(v) for v in sc.iloc[i])
+                    b = "\x01".join(str(v) for v in oc.iloc[i])
                     if a != b:
-                        print(f"   spark : {a[:200]}")
-                        print(f"   oracle: {b[:200]}")
+                        print(f"   row {i} spark : {a[:220]}")
+                        print(f"   row {i} oracle: {b[:220]}")
                         break
-                if len(ls) != len(lo):
-                    print(f"   row counts differ: {len(ls)} vs {len(lo)}")
     print("FAILURES:", failures)
     return 1 if failures else 0
 
