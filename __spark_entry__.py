@@ -255,18 +255,32 @@ def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_topk(_emb(spark, sf), _ANN_QIDS, _ANN_K)
 
 
+_ANN_MIN_RECALL = 0.5  # floor of the pinned recall tests; measured
+# per-query minima: LSH 0.8, IVF 0.6 across sf0.01/sf0.1
+
+
 def _q_emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    return SIM.neardup_pairs_exact(_emb(spark, sf), _NEARDUP_TAU)
+    # distributed block-pair form: same values as the quadratic baseline
+    # (bit-exact, shared oracle) without the full-corpus broadcast that
+    # made the r01 contract query a cartesian bomb at scale
+    return SIM.neardup_pairs_blocked(_emb(spark, sf), _NEARDUP_TAU)
 
 
 def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # approximate by design -> no SQL oracle (driver records rows-only)
-    return SIM.ann_lsh_topk(_emb(spark, sf), _ANN_QIDS, _ANN_K)
+    # deterministic recall certificate vs the exact top-k (replaces the
+    # r01 rows-only check): hyperplanes are hash-derived, ties break on
+    # vec_id, so every row is TRUE unless recall regresses below floor
+    emb = _emb(spark, sf)
+    ann = SIM.ann_lsh_topk(emb, _ANN_QIDS, _ANN_K)
+    exact = SIM.cosine_topk(emb, _ANN_QIDS, _ANN_K)
+    return SIM.ann_recall_certificate(ann, exact, _ANN_K, _ANN_MIN_RECALL)
 
 
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # approximate by design -> no SQL oracle (driver records rows-only)
-    return SIM.ann_ivf_topk(_emb(spark, sf), _ANN_QIDS, _ANN_K, n_lists=16, nprobe=8)
+    emb = _emb(spark, sf)
+    ann = SIM.ann_ivf_topk(emb, _ANN_QIDS, _ANN_K, n_lists=16, nprobe=8)
+    exact = SIM.cosine_topk(emb, _ANN_QIDS, _ANN_K)
+    return SIM.ann_recall_certificate(ann, exact, _ANN_K, _ANN_MIN_RECALL)
 
 
 def _q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
@@ -468,8 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": _q_simhash_buckets,
         "ann_cosine_topk": _q_ann_topk,
         "emb_neardup": _q_emb_neardup,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
+        "ann_lsh_recall": _q_ann_lsh,
+        "ann_ivf_recall": _q_ann_ivf,
         "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
         "exclusion_filter": _q_exclusion_filter,
@@ -620,6 +634,8 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         ),
         "ann_cosine_topk": SIM.sql_cosine_topk_query(_ANN_QIDS, _ANN_K),
         "emb_neardup": SIM.sql_neardup_query(_NEARDUP_TAU),
+        "ann_lsh_recall": SIM.sql_recall_certificate(_ANN_QIDS, _ANN_K),
+        "ann_ivf_recall": SIM.sql_recall_certificate(_ANN_QIDS, _ANN_K),
         "multimodal_features": MM.sql_features_query(P.pages_cte(LEAF)),
         "multimodal_frames": MM.sql_frames_query(P.pages_cte(LEAF)),
         "exclusion_filter": _with()
@@ -681,5 +697,4 @@ SELECT 'r1' AS run_id, cell, count(*) AS n_rows,
        CAST(sum(CASE WHEN status = 'ADDED' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
        CAST(sum(CASE WHEN status = 'MISSING' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM report GROUP BY cell""",
-        # ann_lsh_topk: approximate by design -> rows-only check, no oracle
     }

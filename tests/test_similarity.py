@@ -81,6 +81,50 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) > 0.5, recalls
 
 
+def test_blocked_neardup_matches_exact_baseline(spark):
+    # the distributed block-pair form must be BIT-identical to the
+    # quadratic broadcast baseline (dim-sequential accumulation mirrors
+    # the JVM fold), across a block count that forces cross-block pairs
+    # whose smaller id lives in the higher block
+    emb = _emb(spark)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in SIM.neardup_pairs_exact(emb, tau=0.3).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        blocked = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in SIM.neardup_pairs_blocked(emb, tau=0.3, n_blocks=n_blocks).collect()
+        }
+        assert blocked == exact, f"n_blocks={n_blocks}"
+    assert exact  # non-vacuous
+
+
+def test_neardup_exact_size_guard(spark):
+    import pytest
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="neardup_pairs_blocked"):
+        SIM.neardup_pairs_exact(emb, tau=0.3, max_rows=10)
+    # explicit opt-out still works
+    assert SIM.neardup_pairs_exact(emb.limit(20), tau=-1.0, max_rows=None).count()
+
+
+def test_ann_recall_certificate_shape_and_floor(spark):
+    emb = _emb(spark)
+    qids, k = [0, 10, 20], 5
+    exact = SIM.cosine_topk(emb, qids, k)
+    # self-certifying: exact vs exact must meet any floor <= 1.0
+    rows = SIM.ann_recall_certificate(exact, exact, k, 1.0).collect()
+    assert sorted(r["query_id"] for r in rows) == qids
+    assert all(r["meets_min_recall"] for r in rows)
+    assert all(r["k"] == k for r in rows)
+    # an empty ANN result certifies FALSE for every query (no silent pass)
+    empty = exact.where(F.lit(False))
+    rows = SIM.ann_recall_certificate(empty, exact, k, 0.2).collect()
+    assert rows and not any(r["meets_min_recall"] for r in rows)
+
+
 def test_ivf_assignment_deterministic(spark):
     emb = _emb(spark).limit(200)
     c = SIM.ivf_centroids(emb, n_lists=8)
