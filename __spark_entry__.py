@@ -98,6 +98,31 @@ def _q_point_verify(spark: SparkSession, sf: str) -> DataFrame:
     return V.point_verify(live, row["url"], row["text_sha256"].lower())
 
 
+def _q_verify_keys(spark: SparkSession, sf: str) -> DataFrame:
+    # S2 multi-key form (SURVEY §3 verify_keys): one OK (ci lowercase
+    # hash), one FAIL (reversed hash), one MISSING (unknown url)
+    live = P.pages_with_derived(spark, sf)
+    r1, r2 = (
+        live.where(F.col("doc_id").isin(1, 2))
+        .orderBy("doc_id")
+        .select("url", "text_sha256")
+        .collect()
+    )
+    keys = [
+        (r1["url"], r1["text_sha256"].lower()),
+        (r2["url"], r2["text_sha256"][::-1]),
+        (r1["url"] + "#nope", "ABC123"),
+    ]
+    return V.verify_keys(live, keys)
+
+
+def _q_verify_cell(spark: SparkSession, sf: str) -> DataFrame:
+    # --excludeSubDir analogue: verify one cell only, no ladder
+    live = P.pages_with_derived(spark, sf)
+    cell = live.where(F.col("doc_id") == 1).first()["cell"]
+    return V.verify_cell(live, V.tampered_manifest(live), cell)
+
+
 def _q_report_log(spark: SparkSession, sf: str) -> DataFrame:
     # A4/S6: ordered fold of the failure log lines (Logger.cs:22-28)
     live = P.pages_with_derived(spark, sf)
@@ -306,8 +331,10 @@ def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 _EXCL = CFG.Exclusions(
     names=["*3"],                      # DOS wildcard on the leaf segment
+    folders=["zh"],                    # Name cascade over the full path
     paths=["/de/"],                    # case-insensitive path substring
     patterns=[r"/en/\d*0$"],           # regex on the full url
+    attributes=["SparseFile", "NoSuchFlag"],  # flag registry + skip-unknown
 )
 
 
@@ -459,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_digests_mergeable": _q_cell_digests_mergeable,
         "merkle_ladder": _q_merkle_ladder,
         "point_verify": _q_point_verify,
+        "verify_keys": _q_verify_keys,
+        "verify_cell": _q_verify_cell,
         "report_log": _q_report_log,
         "hash_only": _q_hash_only,
         "manifest_text_roundtrip": _q_manifest_text_roundtrip,
@@ -566,6 +595,27 @@ def oracle_sql() -> dict[str, str]:
         + """
 SELECT url, text_sha256 AS computed_hash, TRUE AS match
 FROM pages WHERE doc_id = 1""",
+        "verify_keys": _with(
+            """k AS (
+  SELECT url, lower(text_sha256) AS provided_hash FROM pages WHERE doc_id = 1
+  UNION ALL
+  SELECT url, reverse(text_sha256) FROM pages WHERE doc_id = 2
+  UNION ALL
+  SELECT (SELECT url FROM pages WHERE doc_id = 1) || '#nope', 'ABC123')"""
+        )
+        + """
+SELECT k.url, k.provided_hash, p.text_sha256 AS computed_hash,
+  CASE WHEN p.url IS NULL THEN 'MISSING'
+       WHEN lower(p.text_sha256) = lower(k.provided_hash) THEN 'OK'
+       ELSE 'FAIL' END AS status
+FROM k LEFT JOIN pages p ON k.url = p.url""",
+        "verify_cell": _with(
+            "pages_f AS (SELECT * FROM pages WHERE cell = "
+            "(SELECT cell FROM pages WHERE doc_id = 1))",
+            f"stored_f AS ({V.sql_tampered_manifest('pages_f')})",
+        )
+        + "\n"
+        + V.sql_verify_report("pages_f", "stored_f"),
         "report_log": _with(stored, report)
         + """
 SELECT string_agg(line, chr(10) ORDER BY line) AS log,

@@ -201,6 +201,63 @@ def point_verify(live: DataFrame, url: str, provided_hash: str, algo: str = DEFA
     )
 
 
+def verify_keys(
+    live: DataFrame,
+    keys: "DataFrame | list[tuple[str, str]]",
+    algo: str = DEFAULT_ALGO,
+) -> DataFrame:
+    """Multi-key point verify — S2 generalised from one file to a key
+    set (SURVEY §3's ``verify_keys``; the reference loops Program.cs
+    GetFileChecksum per invocation, :300-339). ``keys`` is (url,
+    provided_hash); output one row per key:
+
+    - OK / FAIL — ci hash compare like point_verify (Program.cs:327),
+    - NO_HASH   — page found but hash not computable (null text) —
+                  ERROR_NO_HASH analogue (Program.cs:312),
+    - MISSING   — url not in the live table — ERROR_NOT_FILE analogue.
+
+    Scale: keys broadcast against the pages scan (bucket-pruned point
+    lookups on Iceberg); the tiny matched slice then right-joins back so
+    the big table is scanned exactly once.
+    """
+    if not isinstance(keys, DataFrame):
+        keys = live.sparkSession.createDataFrame(
+            keys, "url string, provided_hash string"
+        )
+    computed = hashing.hash_fixed(F.col("text"), algo)
+    matched = (
+        live.select("url", "text")
+        .join(F.broadcast(keys.select("url")), "url")
+        .select("url", computed.alias("computed_hash"), F.lit(True).alias("found"))
+    )
+    j = keys.join(matched, "url", "left")
+    return j.select(
+        "url",
+        "provided_hash",
+        "computed_hash",
+        F.when(F.col("found").isNull(), F.lit("MISSING"))
+        .when(F.col("computed_hash").isNull(), F.lit("NO_HASH"))
+        .when(
+            hashing.hash_equal_ci(F.col("computed_hash"), F.col("provided_hash")),
+            F.lit("OK"),
+        )
+        .otherwise(F.lit("FAIL"))
+        .alias("status"),
+    )
+
+
+def verify_cell(live: DataFrame, stored: DataFrame, cell: int) -> DataFrame:
+    """Leaf-only verify of ONE cell's direct children — the
+    ``--excludeSubDir`` analogue (Program.cs:58-62, PathInfo.Crawl(false)
+    :258): the cell is the folder, no ladder, no descent. The equality
+    predicate pushes into both scans (partition pruning on a
+    cell-partitioned table: exactly one partition read per side)."""
+    return verify_tree(
+        live.where(F.col("cell") == cell),
+        stored.where(F.col("cell") == cell),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors.
 # ---------------------------------------------------------------------------

@@ -58,6 +58,92 @@ def test_empty_exclusions_keep_all(spark):
     assert C.apply_exclusions(df, C.Exclusions()).count() == 2
 
 
+def test_folder_cascade_on_full_path(spark):
+    # FolderMatch (MatchBase.cs:183-206) hands the FULL path to the Name
+    # cascade: a plain folder name excludes via the contains stage, a DOS
+    # pattern must match the whole path
+    df = _urls(
+        spark,
+        [
+            "https://h/temp/a.txt",
+            "https://h/docs/a.txt",
+            "https://h/docs/temporary/b.txt",
+        ],
+    )
+    kept = [
+        r["url"]
+        for r in C.apply_exclusions(df, C.Exclusions(folders=["temp"])).collect()
+    ]
+    assert kept == ["https://h/docs/a.txt"]
+    kept2 = [
+        r["url"]
+        for r in C.apply_exclusions(
+            df, C.Exclusions(folders=["*/docs/*"])
+        ).collect()
+    ]
+    assert kept2 == ["https://h/temp/a.txt"]
+
+
+def test_attribute_flags_and_skip_unknown(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h/a", "long enough text " * 10),
+            ("https://h/b", "tiny"),
+            ("https://h/.hidden", "long enough text " * 10),
+            ("https://h/c", None),
+        ],
+        ["url", "text"],
+    )
+    ex = C.Exclusions(attributes=["SparseFile", "Hidden", "System", "Bogus"])
+    kept = [r["url"] for r in C.apply_exclusions(df, ex).collect()]
+    assert kept == ["https://h/a"]
+    # unknown flags alone -> exclude nothing (reference skips bad enum names)
+    assert C.apply_exclusions(df, C.Exclusions(attributes=["Bogus"])).count() == 4
+
+
+def test_sql_predicate_mirrors_spark(spark):
+    import duckdb
+
+    rows = [
+        ("https://h/temp/a3.txt", "tiny"),
+        ("https://h/de/x", "long enough text " * 10),
+        ("https://h/en/100", "long enough text " * 10),
+        ("https://h/zh/7", "long enough text " * 10),
+        ("https://h/en/keep", "long enough text " * 10),
+    ]
+    ex = C.Exclusions(
+        names=["*3"],
+        folders=["zh"],
+        paths=["/de/"],
+        patterns=[r"/en/\d*0$"],
+        attributes=["SparseFile", "NoSuchFlag"],
+    )
+    df = spark.createDataFrame(rows, ["url", "text"])
+    kept_spark = sorted(r["url"] for r in C.apply_exclusions(df, ex).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    kept_sql = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT url FROM t WHERE NOT {C.sql_exclusion_predicate(ex)}"
+        ).fetchall()
+    )
+    assert kept_spark == kept_sql == ["https://h/en/keep"]
+
+
+def test_config_from_json_folders_attributes(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(
+        json.dumps(
+            {"exclusions": {"folders": ["tmp"], "attributes": ["Hidden"]}}
+        )
+    )
+    cfg = C.JobConfig.from_json(str(p))
+    assert cfg.exclusions.folders == ["tmp"]
+    assert cfg.exclusions.attributes == ["Hidden"]
+
+
 def test_config_from_json(tmp_path):
     p = tmp_path / "cfg.json"
     p.write_text(

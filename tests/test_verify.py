@@ -127,3 +127,47 @@ def test_report_log_empty(spark):
     row = V.report_log(V.verify_tree(live, stored)).first()
     assert row["n_lines"] == 0
     assert row["log"] == ""
+
+
+def test_verify_keys_statuses(spark):
+    live = _mk_live(
+        spark,
+        [(1, "u/ok", "aaa"), (1, "u/fail", "bbb"), (1, "u/nohash", None)],
+    )
+    out = {
+        r["url"]: r["status"]
+        for r in V.verify_keys(
+            live,
+            [
+                ("u/ok", _sha("aaa").lower()),   # ci compare (Program.cs:327)
+                ("u/fail", "DEAD" * 16),
+                ("u/nohash", _sha("x")),
+                ("u/gone", _sha("x")),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "u/ok": "OK",
+        "u/fail": "FAIL",
+        "u/nohash": "NO_HASH",
+        "u/gone": "MISSING",
+    }
+
+
+def test_verify_cell_scopes_to_one_cell(spark):
+    live = _mk_live(
+        spark, [(1, "u/a", "aaa"), (1, "u/b", "bbb"), (2, "u/c", "ccc")]
+    )
+    stored = _mk_stored(
+        spark,
+        [
+            (1, "u/a", "sha256", _sha("aaa")),
+            (1, "u/b", "sha256", "DEAD" * 16),
+            (2, "u/c", "sha256", "DEAD" * 16),  # would FAIL, but out of scope
+        ],
+    )
+    rows = V.verify_cell(live, stored, 1).collect()
+    assert sorted((r["child_key"], r["status"]) for r in rows) == [
+        ("u/a", "OK"),
+        ("u/b", "FAIL"),
+    ]
