@@ -233,6 +233,19 @@ def py_cell_encode(lat: float, lon: float, res: int) -> int:
     return res * RES_MULT + li * LAT_MULT + lo
 
 
+def py_cell_parent(cell: int, parent_res: int) -> int:
+    """Driver-side twin of ``cell_parent``: the ancestor cell at
+    ``parent_res`` (used to map candidate cells onto a coarser
+    partition-layout column for static partition pruning)."""
+    res = cell // RES_MULT
+    if parent_res > res:
+        raise ValueError(f"parent_res {parent_res} finer than cell res {res}")
+    d = res - parent_res
+    li = (cell % RES_MULT) // LAT_MULT
+    lo = cell % LAT_MULT
+    return parent_res * RES_MULT + (li >> d) * LAT_MULT + (lo >> d)
+
+
 def py_cell_bounds(cell: int) -> tuple[float, float, float, float]:
     res = cell // RES_MULT
     li = (cell % RES_MULT) // LAT_MULT

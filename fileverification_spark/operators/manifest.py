@@ -187,9 +187,14 @@ def mergeable_digests(pages_derived: DataFrame, res: int) -> DataFrame:
     - **incrementally updatable**: add/remove a child = add/subtract its
       limbs — the streaming-arrival path can maintain digests without
       recomputing the cell.
-    Tradeoff: 240-bit additive hash (collision-resistant for integrity
-    checking, weaker than the 256-bit sorted Merkle digest against a
-    chosen-prefix adversary) — documented, and both forms are exposed.
+    Tradeoff: the additive per-limb sum is NOT collision-resistant
+    against a chosen-input adversary — Wagner's generalized-birthday
+    attack finds colliding subsets of attacker-controlled children far
+    below 2^120 work (ADVICE r01). Mergeable digests therefore protect
+    against *accidental* corruption/drift only (bit rot, missed updates,
+    divergent replicas); adversarial tamper-evidence must route through
+    ``leaf_digests`` / ``salted_digests`` (sorted 256-bit Merkle), which
+    remain the audit path. Both forms are exposed for exactly that split.
     """
     child = F.sha2(F.concat(F.col("url"), F.col("text_sha256")), 256)
     aggs = [F.count(F.lit(1)).alias("n_children")]

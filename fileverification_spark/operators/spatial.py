@@ -109,13 +109,29 @@ def polygon_covering(polys: list[Polygon], res: int) -> list[tuple[str, int]]:
     return out
 
 
+def prune_to_cells(
+    pages: DataFrame, cells: "list[int] | set[int]", part_res: int
+) -> DataFrame:
+    """Static partition pruning: when the pages table carries the coarse
+    ``part_cell`` layout column (sources.pages.write_cell_partitioned),
+    map the candidate cells onto their ``part_res`` ancestors and apply a
+    literal IN predicate. Unlike the broadcast candidate JOIN (which
+    filters rows post-scan), a literal predicate on the partition column
+    prunes DIRECTORIES before file listing — at 100 TB only candidate
+    partitions are read. No-op when the column is absent."""
+    if "part_cell" not in pages.columns:
+        return pages
+    parents = sorted({grid.py_cell_parent(c, part_res) for c in cells})
+    return pages.where(F.col("part_cell").isin(parents))
+
+
 def _candidates(
-    pages: DataFrame, polys: list[Polygon], res: int
+    pages: DataFrame, polys: list[Polygon], res: int, part_res: int = 2
 ) -> DataFrame:
     spark = pages.sparkSession
-    cov = spark.createDataFrame(
-        polygon_covering(polys, res), ["poly_id", "cov_cell"]
-    )
+    covering = polygon_covering(polys, res)
+    cov = spark.createDataFrame(covering, ["poly_id", "cov_cell"])
+    pages = prune_to_cells(pages, {c for _, c in covering}, part_res)
     # broadcast: covering is tiny (|polys| x bbox cells) — the join prunes
     # pages to covered cells without a shuffle of the big side.
     return pages.join(F.broadcast(cov), pages["cell"] == cov["cov_cell"], "inner")
@@ -291,6 +307,8 @@ def knn_ring(
     cand_cells = spark.createDataFrame(
         rows, ["query_id", "qlat", "qlon", "cand_cell"]
     )
+    # static partition pruning when the table has the coarse layout column
+    pages = prune_to_cells(pages, {r[3] for r in rows}, part_res=2)
     # page cell must be derived at the *disk's* resolution — pages.cell is
     # at the leaf res and would never match a coarser candidate cell.
     paged = pages.withColumn(
@@ -341,8 +359,12 @@ def knn_adaptive(
         retry = []
         for q in remaining:
             got = by_q.get(q[0], [])
+            # STRICT compare: a neighbour at exactly the guarantee radius
+            # can lie outside the ring disk when the query sits on a cell
+            # edge, so boundary-equal results are not provably exact —
+            # they widen rings / fall through instead (ADVICE r01)
             if len(got) >= k and all(
-                math.sqrt(r["dist2"]) <= radius for r in got
+                math.sqrt(r["dist2"]) < radius for r in got
             ):
                 results.extend((r["query_id"], r["rank"], r["url"]) for r in got)
             else:

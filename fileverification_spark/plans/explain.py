@@ -27,6 +27,19 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     return False
 
 
+def has_partition_filter(df: DataFrame, fragment: str) -> bool:
+    """True if a scan carries a non-empty PartitionFilters entry
+    mentioning ``fragment`` — i.e. the predicate prunes DIRECTORIES of a
+    partitioned layout before file listing, not rows after the scan."""
+    for line in formatted_plan(df).splitlines():
+        if "PartitionFilters" in line and fragment in line:
+            # non-empty: the bracket list has content
+            detail = line.split("PartitionFilters:", 1)[1].strip()
+            if detail not in ("[]", ""):
+                return True
+    return False
+
+
 def read_schema_columns(df: DataFrame) -> list[str]:
     """Columns in the first scan's ReadSchema — what actually gets read."""
     import re
@@ -62,13 +75,13 @@ def exchange_count(df: DataFrame) -> int:
 def has_partial_aggregate(df: DataFrame) -> bool:
     """True if the plan contains a map-side (partial) HashAggregate —
     i.e. combining happens before the shuffle, so skewed groups cannot
-    concentrate raw rows on one reducer."""
-    plan = formatted_plan(df)
-    saw_partial = False
-    for line in plan.splitlines():
-        if "HashAggregate" in line:
-            saw_partial = True  # formatted plans list partial before final
-    return saw_partial and "partial" in plan.lower()
+    concentrate raw rows on one reducer. Matches the ``partial_``-mode
+    aggregate *functions* the formatted plan prints inside HashAggregate
+    detail sections (e.g. ``Functions [1]: [partial_count(1)]``) — a
+    stray 'partial' elsewhere in the plan no longer passes (ADVICE r01)."""
+    import re
+
+    return re.search(r"\bpartial_\w+\(", formatted_plan(df)) is not None
 
 
 def codegen_stage_count(df: DataFrame) -> int:

@@ -138,6 +138,32 @@ def pages_replicated(
     return with_derived(rep, res=res)
 
 
+#: Coarse partition-layout resolution: 2^2 x 2^3 = 32 directories in the
+#: sandbox; a real deployment picks ~res 6-8 (8k-130k partitions) so each
+#: partition holds a bounded slice of the 10^12-row table.
+PART_RES = 2
+
+
+def write_cell_partitioned(
+    pages_derived: DataFrame, path: str, part_res: int = PART_RES
+) -> None:
+    """Materialise the pages table PARTITIONED BY a coarse cell column —
+    the sandbox stand-in for the Iceberg spatial layout. ``part_cell`` is
+    the leaf cell's ancestor at ``part_res``; spatial operators that know
+    their candidate cells turn them into a static ``part_cell IN (...)``
+    predicate, which Spark evaluates against directory names BEFORE
+    listing files — the 'at 100 TB only candidate partitions are read'
+    claim as an actual plan property (pinned in tests/test_plans.py)."""
+    out = pages_derived.withColumn(
+        "part_cell", grid.cell_parent(F.col("cell"), LEAF_RES, part_res)
+    )
+    out.write.mode("overwrite").partitionBy("part_cell").parquet(path)
+
+
+def read_cell_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirror — the same derivation as ANSI SQL over the same
 # parquet view ``documents``. Interpolate with .format(res=...).

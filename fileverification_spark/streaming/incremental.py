@@ -74,8 +74,13 @@ def stream_verify(
     arrive, report rows appended per micro-batch with lineage.
 
     The reference re-runs the whole tree on demand; the streaming twin
-    verifies each arrival batch once, exactly-once across restarts via the
-    Structured Streaming checkpoint (offsets + sink commit log). stored is
+    verifies each arrival batch once. Exactly-once across restarts holds
+    because the sink is *idempotent per batch*: foreachBatch alone is
+    at-least-once (a crash after the write but before the offset commit
+    replays the batch — ADVICE r01), so each batch writes into its own
+    ``batch_id=<id>`` partition with dynamic partition overwrite; a
+    replay overwrites its own partition instead of duplicating rows.
+    stored is
     broadcast-joined per batch *restricted to the batch's cells* — the
     manifest side is filtered by a semi-join before the verify join, so a
     micro-batch touching k cells never scans the full manifest.
@@ -93,16 +98,7 @@ def stream_verify(
     raw = spark.readStream.schema(schema).parquet(pages_dir)
 
     def reconcile(batch: DataFrame, batch_id: int) -> None:
-        live = P.with_derived(batch, res=res)
-        cells = live.select(F.col("cell").alias("chg_cell")).distinct()
-        stored_sub = stored.join(
-            F.broadcast(cells), stored["cell"] == F.col("chg_cell"), "left_semi"
-        )
-        report = V.verify_tree(live, stored_sub).where(F.col("status") != "MISSING")
-        report.write.mode("append").parquet(f"{out_dir}/report")
-        lineage(report, f"batch-{batch_id}").write.mode("append").parquet(
-            f"{out_dir}/lineage"
-        )
+        reconcile_batch(batch, stored, out_dir, batch_id, res)
 
     q = (
         raw.writeStream.foreachBatch(reconcile)
@@ -111,6 +107,30 @@ def stream_verify(
         .start()
     )
     q.awaitTermination()
+
+
+def reconcile_batch(
+    batch: DataFrame, stored: DataFrame, out_dir: str, batch_id: int, res: int
+) -> None:
+    """One micro-batch of stream_verify — exposed so replay-after-crash
+    (foreachBatch re-invoking a committed batch_id) is testable. The sink
+    is idempotent: each batch owns the ``batch_id=<id>`` partition and
+    dynamic partition overwrite replaces exactly that partition on
+    replay, never duplicating rows."""
+    from fileverification_spark.sources import pages as P
+
+    live = P.with_derived(batch, res=res)
+    cells = live.select(F.col("cell").alias("chg_cell")).distinct()
+    stored_sub = stored.join(
+        F.broadcast(cells), stored["cell"] == F.col("chg_cell"), "left_semi"
+    )
+    report = V.verify_tree(live, stored_sub).where(F.col("status") != "MISSING")
+    report.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(f"{out_dir}/report")
+    lineage(report, f"batch-{batch_id}").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("run_id").parquet(f"{out_dir}/lineage")
 
 
 def lineage(report: DataFrame, run_id: str) -> DataFrame:

@@ -81,3 +81,33 @@ def test_incremental_verify_broadcasts_frontier(spark, pages_small):
     ckpt = M.merkle_ladder(M.digests_from_manifest(stored, P.LEAF_RES), P.LEAF_RES)
     report, _ = INC.incremental_verify(pages_small, stored, ckpt, P.LEAF_RES)
     assert X.uses_broadcast_join(report)
+
+
+def test_partitioned_layout_prunes_spatial_scans(spark, tmp_path_factory):
+    """VERDICT r01 #8: on a cell-partitioned layout the candidate-cell
+    predicate must reach the scan as a PARTITION filter (directories
+    pruned before file listing), and results must equal the
+    unpartitioned path."""
+    path = str(tmp_path_factory.mktemp("cellpart") / "pages_part")
+    flat = P.pages_with_derived(spark, SF)
+    P.write_cell_partitioned(flat, path)
+    part = P.read_cell_partitioned(spark, path)
+
+    qpts = S.default_query_points(4)
+    ring_part = S.knn_ring(part, qpts, 5, res=3, rings=4)
+    assert X.has_partition_filter(ring_part, "part_cell")
+    ring_flat = S.knn_ring(flat, qpts, 5, res=3, rings=4)
+    assert sorted(map(tuple, ring_part.collect())) == sorted(
+        map(tuple, ring_flat.collect())
+    )
+
+    polys = S.default_polygons()
+    pip_part = S.pip_join(part, polys, res=P.LEAF_RES)
+    assert X.has_partition_filter(pip_part, "part_cell")
+    pip_flat = S.pip_join(flat, polys, res=P.LEAF_RES)
+    assert sorted(map(tuple, pip_part.collect())) == sorted(
+        map(tuple, pip_flat.collect())
+    )
+
+    # the unpartitioned path must NOT silently claim pruning
+    assert not X.has_partition_filter(ring_flat, "part_cell")

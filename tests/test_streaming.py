@@ -77,6 +77,24 @@ def test_stream_verify_arrivals(spark, tmp_path):
     lin = spark.read.parquet(f"{out_dir}/lineage")
     assert lin.where(F.col("n_rows") <= 0).count() == 0
 
+    # replay-after-crash: foreachBatch is at-least-once, so re-invoking an
+    # already-committed batch_id must overwrite its own partition, not
+    # duplicate rows (idempotent sink) — exercised standalone so the test
+    # doesn't assume the stream's batch boundaries
+    replay_dir = str(tmp_path / "replay")
+    batch0 = base.where(F.col("doc_id") % 2 == 0)
+    INC.reconcile_batch(batch0, stored, replay_dir, batch_id=0, res=P.LEAF_RES)
+    once = spark.read.parquet(f"{replay_dir}/report").count()
+    INC.reconcile_batch(batch0, stored, replay_dir, batch_id=0, res=P.LEAF_RES)
+    assert spark.read.parquet(f"{replay_dir}/report").count() == once
+    assert (
+        spark.read.parquet(f"{replay_dir}/lineage")
+        .groupBy("run_id")
+        .count()
+        .count()
+        == 1
+    )
+
 
 def test_stateful_sessionize_converges_to_batch(spark):
     from pyspark.sql import functions as F
