@@ -434,6 +434,48 @@ def ann_ivf_topk(
     )
 
 
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    tau: float,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup for the HIGH-tau regime: candidate pairs must share at
+    least one LSH bucket (any table), then the exact cosine filter runs
+    on candidates only. Precision is exactly 1.0 (exact rerank); recall
+    is the multi-table collision probability — for cos >= 0.9 with
+    16 tables x 4 planes a true pair is missed with p ~= 4e-6, while at
+    low tau (near-orthogonal pairs) no hashing scheme can prune, which
+    is why the low-tau contract query uses ``neardup_pairs_blocked``
+    (exact, distributed) instead. At scale the (table, bucket) pair is
+    the shuffle key: candidates are generated by a self-join within
+    buckets, never all-pairs."""
+    bucketed = with_lsh_buckets(emb, n_tables, planes_per_table, dim)
+    entries = _bucket_entries(bucketed)
+    a = entries.select(
+        F.col("vec_id").alias("vec_a"), "table", "bucket"
+    )
+    b = entries.select(
+        F.col("vec_id").alias("vec_b"), F.col("table").alias("tb"), F.col("bucket").alias("bb")
+    )
+    cand = (
+        a.join(b, (a["table"] == b["tb"]) & (a["bucket"] == b["bb"]))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), _dbl(F.col("embedding")).alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), _dbl(F.col("embedding")).alias("vb"))
+    scored = cand.join(va, "vec_a").join(vb, "vec_b")
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        scored.withColumn("cos", cos)
+        .where(F.col("cos") >= tau)
+        .select("vec_a", "vec_b", F.round(F.col("cos"), COS_ROUND).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Recall certification (deterministic driver check for the ANN paths)
 # ---------------------------------------------------------------------------

@@ -110,6 +110,25 @@ def test_neardup_exact_size_guard(spark):
     assert SIM.neardup_pairs_exact(emb.limit(20), tau=-1.0, max_rows=None).count()
 
 
+def test_lsh_neardup_subset_of_exact_with_recall(spark):
+    # precision must be exactly 1.0 (exact rerank on candidates); recall
+    # at this corpus's low-similarity pairs is partial — pin a floor and
+    # bit-identical cos values on the pairs it does find
+    emb = _emb(spark)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in SIM.neardup_pairs_exact(emb, tau=0.3).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in SIM.neardup_pairs_lsh(emb, tau=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)          # precision == 1
+    for pair, cs in lsh.items():
+        assert cs == exact[pair]           # identical rerank values
+    assert len(lsh) / len(exact) > 0.5     # recall floor at low tau
+
+
 def test_ann_recall_certificate_shape_and_floor(spark):
     emb = _emb(spark)
     qids, k = [0, 10, 20], 5
