@@ -343,7 +343,14 @@ def knn_adaptive(
     the radius ⇒ provably exact); double the rings for the uncertified
     remainder and retry; past ``max_rings`` fall back to brute force for
     the stragglers. Each pass prunes to candidate cells only, so total
-    work stays far below one brute-force scan on any dense corpus."""
+    work stays far below one brute-force scan on any dense corpus.
+
+    Cost bound: the driver loop holds k x |queries| rows per pass and
+    runs at most log2(max_rings/rings)+1 passes; worst case (pathological
+    sparse corpus) is |retries| x pruned-scan + one brute-force over the
+    straggler set. Designed for interactive query-set sizes (|queries|
+    up to ~10^4, the certified-exactness path) — bulk all-pages kNN
+    belongs to knn_ring with a fixed ring radius instead."""
     import math
 
     remaining = list(queries)

@@ -72,6 +72,21 @@ def exchange_count(df: DataFrame) -> int:
     )
 
 
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Shuffle (hash/range) Exchange nodes only — BroadcastExchange moves
+    a small relation, not the big side, so it doesn't count against the
+    'no shuffle' claims (e.g. bucketed co-located joins)."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and "Exchange" in line
+        and "Broadcast" not in line
+        and "Reused" not in line
+    )
+
+
 def has_partial_aggregate(df: DataFrame) -> bool:
     """True if the plan contains a map-side (partial) HashAggregate —
     i.e. combining happens before the shuffle, so skewed groups cannot

@@ -111,3 +111,40 @@ def test_partitioned_layout_prunes_spatial_scans(spark, tmp_path_factory):
 
     # the unpartitioned path must NOT silently claim pruning
     assert not X.has_partition_filter(ring_flat, "part_cell")
+
+
+def test_bucketed_verify_join_eliminates_shuffle(spark, tmp_path_factory):
+    """The 100 TB co-location story as a plan fact: when live pages and
+    the manifest are bucketed+sorted on the join key (Iceberg
+    `bucket(cell, url)` layout; Hive-style bucketed tables are the
+    sandbox stand-in), verify_tree's full-outer join runs with ZERO
+    shuffle exchanges — only the tiny mixed-algo broadcast moves."""
+    from fileverification_spark.operators import verify as V
+
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    live = P.pages_with_derived(spark, SF).select(
+        "cell", "url", "text", "text_sha256"
+    )
+    stored = V.tampered_manifest(P.pages_with_derived(spark, SF))
+    (
+        live.write.bucketBy(8, "cell", "url").sortBy("cell", "url")
+        .mode("overwrite").option("path", f"{base}/live")
+        .saveAsTable("bkt_live")
+    )
+    (
+        stored.write.bucketBy(8, "cell", "child_key").sortBy("cell", "child_key")
+        .mode("overwrite").option("path", f"{base}/stored")
+        .saveAsTable("bkt_stored")
+    )
+    try:
+        rep_bkt = V.verify_tree(spark.table("bkt_live"), spark.table("bkt_stored"))
+        assert X.shuffle_exchange_count(rep_bkt) == 0, X.formatted_plan(rep_bkt)
+        rep_flat = V.verify_tree(live, stored)
+        assert X.shuffle_exchange_count(rep_flat) > 0
+        key = lambda r: (r["cell"], r["child_key"], r["status"])
+        assert sorted(map(key, rep_bkt.collect())) == sorted(
+            map(key, rep_flat.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_live")
+        spark.sql("DROP TABLE IF EXISTS bkt_stored")
