@@ -223,6 +223,12 @@ def _q_raster_vectorize(spark: SparkSession, sf: str) -> DataFrame:
     return S.raster_vectorize(raster, _RASTER_RES)
 
 
+def _q_rasterize(spark: SparkSession, sf: str) -> DataFrame:
+    # vector -> raster: burn the polygon features into a cell mask
+    # (center-sampling) — the inverse direction of raster_vectorize
+    return S.rasterize_polygons(spark, _POLYS, res=5)
+
+
 _ANN_QIDS = [0, 25, 50, 75, 100]
 _ANN_K = 10
 _NEARDUP_TAU = 0.3
@@ -501,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_cells": _q_raster,
         "raster_zoom": _q_raster_zoom,
         "raster_vectorize": _q_raster_vectorize,
+        "rasterize_polys": _q_rasterize,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -659,6 +666,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "raster_vectorize": _with(f"raster AS ({S.sql_raster(_RASTER_RES)})")
         + "\n"
         + S.sql_raster_vectorize(_RASTER_RES),
+        "rasterize_polys": S.sql_rasterize(_POLYS, res=5),
         "doc_stats": "SELECT doc_id, "
         + ", ".join(
             f"{expr} AS {name}" for name, expr in TX.sql_quality_select().items()

@@ -195,15 +195,9 @@ def pip_join_sql(pages: DataFrame, polys: list[Polygon], res: int) -> DataFrame:
     formula of the pandas UDF and of sql_pip_predicate (oracle).
     """
     spark = pages.sparkSession
-    rows = []
-    for p in polys:
-        v = p.vertices
-        for j in range(len(v)):
-            y1, x1 = v[j]
-            y2, x2 = v[(j + 1) % len(v)]
-            if y1 != y2:  # horizontal edge never crosses (see UDF twin)
-                rows.append((p.poly_id, y1, x1, y2, x2))
-    edges = spark.createDataFrame(rows, ["e_poly", "y1", "x1", "y2", "x2"])
+    edges = spark.createDataFrame(
+        _edge_rows(polys), ["e_poly", "y1", "x1", "y2", "x2"]
+    )
     cand = _candidates(pages, polys, res)
     crossed = cand.join(
         F.broadcast(edges), cand["poly_id"] == edges["e_poly"], "inner"
@@ -469,6 +463,92 @@ def raster_vectorize(raster: DataFrame, res: int) -> DataFrame:
     return raster.select(
         "cell", wkt.alias("wkt"), "n_pages", "n_langs", "lang_hist"
     )
+
+
+def _edge_rows(polys: list[Polygon]) -> list[tuple[str, float, float, float, float]]:
+    """(poly_id, y1, x1, y2, x2) per non-horizontal edge — the shared
+    input of every crossing-parity test (UDF, JVM, rasterize, oracle)."""
+    rows = []
+    for p in polys:
+        v = p.vertices
+        for j in range(len(v)):
+            y1, x1 = v[j]
+            y2, x2 = v[(j + 1) % len(v)]
+            if y1 != y2:  # horizontal edge never crosses
+                rows.append((p.poly_id, y1, x1, y2, x2))
+    return rows
+
+
+def rasterize_polygons(
+    spark: SparkSession, polys: list[Polygon], res: int
+) -> DataFrame:
+    """Vector→raster: burn polygon features into a cell mask at ``res``
+    — (poly_id, cell, clat, clon) for every cell whose CENTER lies
+    inside the polygon (center-sampling rasterization, the common GIS
+    default). Completes the north-star raster<->vector pair:
+    raster_vectorize emits cells as vector features; this takes vector
+    features back to cells.
+
+    Candidates are the conservative bbox covering (driver-side, tiny,
+    broadcast-sized); the exact center test is the same crossing-parity
+    arithmetic as pip_join/pip_join_sql, so all three agree bit-for-bit
+    with the SQL oracle. For country-sized polygons at fine res the
+    covering explodes server-side from the cell range instead — same
+    predicate, candidates generated with sequence()/explode."""
+    cov = spark.createDataFrame(polygon_covering(polys, res), ["poly_id", "cell"])
+    clat, clon = grid.cell_center(F.col("cell"), res)
+    centers = cov.select(
+        "poly_id", "cell", clat.alias("clat"), clon.alias("clon")
+    )
+    edges = spark.createDataFrame(
+        _edge_rows(polys), ["e_poly", "y1", "x1", "y2", "x2"]
+    )
+    crossed = centers.join(
+        F.broadcast(edges), centers["poly_id"] == edges["e_poly"], "inner"
+    ).where(
+        ((F.col("y1") > F.col("clat")) != (F.col("y2") > F.col("clat")))
+        & (
+            F.col("clon")
+            < (F.col("x2") - F.col("x1"))
+            * (F.col("clat") - F.col("y1"))
+            / (F.col("y2") - F.col("y1"))
+            + F.col("x1")
+        )
+    )
+    return (
+        crossed.groupBy("poly_id", "cell", "clat", "clon")
+        .agg(F.count(F.lit(1)).alias("crossings"))
+        .where(F.col("crossings") % 2 == 1)
+        .select("poly_id", "cell", "clat", "clon")
+    )
+
+
+def sql_rasterize(polys: list[Polygon], res: int) -> str:
+    """Oracle for rasterize_polygons: same covering candidates (VALUES),
+    same center arithmetic, same crossing parity."""
+    mask = grid.LAT_MULT - 1
+    dlat = 180.0 / (1 << res)
+    dlon = 360.0 / (1 << (res + 1))
+    vals = ",".join(
+        f"('{pid}', {cell})" for pid, cell in polygon_covering(polys, res)
+    )
+    # mirror grid.cell_center EXACTLY: (lo_bound + hi_bound) * 0.5 —
+    # algebraically equal to lo + d/2 but not bit-identical in IEEE
+    la0 = f"(((cell >> 29) & {mask}) * {dlat!r} - 90.0)"
+    lo0 = f"((cell & {mask}) * {dlon!r} - 180.0)"
+    clat = f"(({la0} + ({la0} + {dlat!r})) * 0.5)"
+    clon = f"(({lo0} + ({lo0} + {dlon!r})) * 0.5)"
+    return f"""
+WITH cov AS (SELECT * FROM (VALUES {vals}) AS t(poly_id, cell)),
+centers AS (SELECT poly_id, cell, {clat} AS clat, {clon} AS clon FROM cov)
+SELECT c.poly_id, c.cell, c.clat, c.clon
+FROM centers c,
+     (VALUES {sql_polygon_edges_values(polys)}) AS e(poly_id, y1, x1, y2, x2)
+WHERE c.poly_id = e.poly_id
+  AND ((e.y1 > c.clat) != (e.y2 > c.clat))
+  AND (c.clon < (e.x2 - e.x1) * (c.clat - e.y1) / (e.y2 - e.y1) + e.x1)
+GROUP BY c.poly_id, c.cell, c.clat, c.clon
+HAVING count(*) % 2 = 1"""
 
 
 def raster_per_lang(pages: DataFrame, res: int) -> DataFrame:

@@ -3,6 +3,7 @@ parameters, raster zoom-out equals direct aggregation."""
 
 from __future__ import annotations
 
+from fileverification_spark import grid
 from fileverification_spark.operators import spatial as S
 
 
@@ -124,3 +125,29 @@ def test_knn_adaptive_exact(spark, pages_small):
         for r in S.knn_adaptive(pages_small, qpts, k, res=3, rings=1).collect()
     }
     assert got == exact
+
+
+def test_rasterize_agrees_with_pip_udf(spark):
+    # vector->raster mask centers must be exactly the points the pandas-
+    # UDF ray caster accepts: feed each candidate cell center through
+    # pip_join (as synthetic pages) and compare the surviving sets
+    from pyspark.sql import functions as F
+
+    polys = S.default_polygons()
+    res = 5
+    mask = S.rasterize_polygons(spark, polys, res)
+    got = {(r["poly_id"], r["cell"]) for r in mask.collect()}
+    assert got  # non-vacuous
+
+    cov = S.polygon_covering(polys, res)
+    centers = spark.createDataFrame(
+        [(f"{pid}:{cell}", cell) for pid, cell in cov], ["url", "cell"]
+    )
+    clat, clon = grid.cell_center(F.col("cell"), res)
+    pages = centers.select("url", "cell", clat.alias("lat"), clon.alias("lon"))
+    via_pip = {
+        (r["poly_id"], int(r["url"].split(":")[1]))
+        for r in S.pip_join(pages, polys, res=res).collect()
+        if r["poly_id"] == r["url"].split(":")[0]
+    }
+    assert got == via_pip
