@@ -64,3 +64,16 @@ def test_cell_id_round_trips_res_and_indices(lat, lon, res):
     lo = cell % grid.LAT_MULT
     assert 0 <= li < (1 << res)
     assert 0 <= lo < (1 << (res + 1))
+
+
+@settings(max_examples=300)
+@given(lat=lat_s, lon=lon_s, res=res_s)
+def test_py_cell_parent_matches_direct_encode(lat, lon, res):
+    """The ancestor of a point's cell at any coarser res must equal
+    encoding the point directly at that res — the invariant static
+    partition pruning (spatial.prune_to_cells) relies on."""
+    cell = grid.py_cell_encode(lat, lon, res)
+    for parent_res in range(res + 1):
+        assert grid.py_cell_parent(cell, parent_res) == grid.py_cell_encode(
+            lat, lon, parent_res
+        )
