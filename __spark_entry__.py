@@ -179,6 +179,14 @@ def _q_pip_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DJ_RADIUS = 3.0
+
+
+def _q_distance_join(spark: SparkSession, sf: str) -> DataFrame:
+    # bucketed all-pairs-within-radius; oracle is the O(n^2) cross join
+    return S.distance_self_join(P.pages_with_derived(spark, sf), _DJ_RADIUS)
+
+
 def _q_knn(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_bruteforce(P.pages_with_derived(spark, sf), _QPTS, _KNN_K)
 
@@ -502,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_pages_sql": _q_pip_pages_sql,
         "pip_counts": _q_pip_counts,
         "knn": _q_knn,
+        "distance_join": _q_distance_join,
         "knn_ring": _q_knn_ring,
         "knn_adaptive": _q_knn_adaptive,
         "raster_cells": _q_raster,
@@ -659,6 +668,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "pip_counts": _with(f"pip AS ({S.sql_pip(_POLYS)})")
         + "\nSELECT poly_id, count(*) AS n_pages FROM pip GROUP BY poly_id",
         "knn": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
+        "distance_join": _with() + "\n" + S.sql_distance_self_join(_DJ_RADIUS),
         "knn_ring": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "knn_adaptive": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "raster_cells": _with() + "\n" + S.sql_raster(_RASTER_RES),

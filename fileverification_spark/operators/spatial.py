@@ -643,3 +643,100 @@ FROM (
   SELECT {cell} AS cell, lang, count(*) AS cnt
   FROM {pages_rel} GROUP BY 1, 2
 ) GROUP BY cell"""
+
+
+# ---------------------------------------------------------------------------
+# Distance join (all pairs within radius)
+# ---------------------------------------------------------------------------
+
+
+def distance_join_res(radius: float) -> int:
+    """Finest grid resolution whose cell extent still covers ``radius``.
+
+    Quadtree cells are square in degrees (lat extent 180/2^r == lon extent
+    360/2^(r+1)), so one Chebyshev ring (k=1, 9 cells) around a point's
+    cell is guaranteed to contain every point within ``radius`` when
+    extent(res) >= radius. The finest such res keeps per-cell occupancy —
+    and therefore the per-bucket pair blow-up — as small as the guarantee
+    allows. Clamped to [1, MAX_RES] (res 0 has only 2 lon columns, where
+    the wrap-around disk would duplicate keys)."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    res = int(math.floor(math.log2(180.0 / radius))) if radius < 180.0 else 1
+    return max(1, min(grid.MAX_RES, res))
+
+
+def distance_self_join(
+    pages: DataFrame, radius: float, res: int | None = None
+) -> DataFrame:
+    """All unordered page pairs within Euclidean degree distance ``radius``:
+    (l_url, r_url, dist2), l_url < r_url.
+
+    The reference has no spatial surface; this is the 'verify every file
+    against every nearby file' analogue of its per-folder O(n*m) scans
+    (FileVerification/PathInfo.cs:427-537) re-expressed as a bucketed
+    equi-join. Scale shape:
+
+    - build side keyed by its own cell (1 row/point);
+    - probe side exploded to the 3x3 Chebyshev disk (grid_disk k=1,
+      9 rows/point) — both sides shuffle on the cell key, NO cross join,
+      no broadcast of a big side;
+    - exact ``dist2 <= radius^2`` re-check on bucket-mates only;
+    - ``l_url < r_url`` dedupes the unordered pair (each true pair meets
+      exactly once because the right point's own cell appears in exactly
+      one disk entry of the left point).
+
+    Skew: a hot cell with n points costs O(n^2) inside its bucket. The
+    mitigation is a finer ``res`` (more, smaller buckets — still correct,
+    disk stays k=1 only while extent(res) >= radius; below that callers
+    must raise k), not salting — salting cannot split an all-pairs bucket
+    without replicating the whole bucket anyway. ``distance_join_res``
+    picks the finest guaranteed res.
+    """
+    if res is None:
+        res = distance_join_res(radius)
+    extent = 180.0 / (1 << res)
+    if extent < radius:
+        raise ValueError(
+            f"res {res} cell extent {extent} < radius {radius}: one ring "
+            "no longer covers the radius; use a coarser res"
+        )
+    pts = pages.select("url", "lat", "lon")
+    left = pts.select(
+        F.col("url").alias("l_url"),
+        F.col("lat").alias("l_lat"),
+        F.col("lon").alias("l_lon"),
+        F.explode(
+            grid.grid_disk(grid.cell_encode(F.col("lat"), F.col("lon"), res), res, 1)
+        ).alias("bucket"),
+    )
+    right = pts.select(
+        F.col("url").alias("r_url"),
+        F.col("lat").alias("r_lat"),
+        F.col("lon").alias("r_lon"),
+        grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("bucket"),
+    )
+    dy = F.col("l_lat") - F.col("r_lat")
+    dx = F.col("l_lon") - F.col("r_lon")
+    dist2 = dy * dy + dx * dx
+    return (
+        left.join(right, "bucket", "inner")
+        .where(F.col("l_url") < F.col("r_url"))
+        .withColumn("dist2", dist2)
+        .where(F.col("dist2") <= F.lit(radius * radius))
+        .select("l_url", "r_url", "dist2")
+    )
+
+
+def sql_distance_self_join(radius: float, pages_rel: str = "pages") -> str:
+    """Oracle twin: the O(n^2) cross-join form with the identical dist2
+    arithmetic (same operand order, so IEEE doubles agree bit-for-bit)."""
+    r2 = repr(radius * radius)
+    return f"""
+SELECT a.url AS l_url, b.url AS r_url,
+       (a.lat - b.lat) * (a.lat - b.lat)
+     + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+FROM {pages_rel} a, {pages_rel} b
+WHERE a.url < b.url
+  AND (a.lat - b.lat) * (a.lat - b.lat)
+    + (a.lon - b.lon) * (a.lon - b.lon) <= {r2}"""

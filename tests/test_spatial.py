@@ -151,3 +151,62 @@ def test_rasterize_agrees_with_pip_udf(spark):
         if r["poly_id"] == r["url"].split(":")[0]
     }
     assert got == via_pip
+
+
+def test_distance_join_matches_bruteforce(spark, pages_small):
+    """Bucketed pair join == O(n^2) cross join, at an auto-chosen res and
+    at a deliberately finer-than-default res (still covered by one ring)."""
+    from pyspark.sql import functions as F
+
+    radius = 3.0
+    a = pages_small.select(
+        F.col("url").alias("l_url"),
+        F.col("lat").alias("l_lat"),
+        F.col("lon").alias("l_lon"),
+    )
+    b = pages_small.select(
+        F.col("url").alias("r_url"),
+        F.col("lat").alias("r_lat"),
+        F.col("lon").alias("r_lon"),
+    )
+    dy = F.col("l_lat") - F.col("r_lat")
+    dx = F.col("l_lon") - F.col("r_lon")
+    want = _as_set(
+        a.crossJoin(b)
+        .where(F.col("l_url") < F.col("r_url"))
+        .withColumn("dist2", dy * dy + dx * dx)
+        .where(F.col("dist2") <= radius * radius)
+        .select("l_url", "r_url"),
+        ["l_url", "r_url"],
+    )
+    assert want, "fixture must produce at least one close pair"
+    for res in (None, S.distance_join_res(radius)):
+        got = _as_set(
+            S.distance_self_join(pages_small, radius, res=res),
+            ["l_url", "r_url"],
+        )
+        assert got == want
+
+
+def test_distance_join_res_guarantee():
+    """Chosen res always keeps one Chebyshev ring covering the radius."""
+    for radius in (0.01, 0.5, 1.0, 3.0, 10.0, 90.0, 179.0, 400.0):
+        res = S.distance_join_res(radius)
+        assert 1 <= res <= grid.MAX_RES
+        if radius <= 90.0:  # finer than res 1 exists to pick
+            assert 180.0 / (1 << res) >= radius, (radius, res)
+
+
+def test_distance_join_plan_has_no_cartesian(spark, pages_small):
+    """The scale guarantee: a real equi-join on the bucket key, never a
+    cartesian/broadcast-nested-loop expansion."""
+    from fileverification_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(S.distance_self_join(pages_small, 3.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the bucket key; at test scale AQE may elect broadcast
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
