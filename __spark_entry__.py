@@ -237,6 +237,18 @@ def _q_rasterize(spark: SparkSession, sf: str) -> DataFrame:
     return S.rasterize_polygons(spark, _POLYS, res=5)
 
 
+def _q_compact_cells(spark: SparkSession, sf: str) -> DataFrame:
+    # minimal mixed-res cover of the rasterized mask (H3 compact analogue)
+    mask = S.rasterize_polygons(spark, _POLYS, res=5).select("cell")
+    return S.compact_cells(mask, res=5)
+
+
+def _q_uncompact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # uncompact(compact(mask)) must equal mask — oracle is the mask itself
+    mask = S.rasterize_polygons(spark, _POLYS, res=5).select("cell")
+    return S.uncompact_cells(S.compact_cells(mask, res=5), 5).distinct()
+
+
 _ANN_QIDS = [0, 25, 50, 75, 100]
 _ANN_K = 10
 _NEARDUP_TAU = 0.3
@@ -517,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_zoom": _q_raster_zoom,
         "raster_vectorize": _q_raster_vectorize,
         "rasterize_polys": _q_rasterize,
+        "compact_cells": _q_compact_cells,
+        "uncompact_roundtrip": _q_uncompact_roundtrip,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -677,6 +691,12 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         + "\n"
         + S.sql_raster_vectorize(_RASTER_RES),
         "rasterize_polys": S.sql_rasterize(_POLYS, res=5),
+        "compact_cells": S.sql_compact(
+            5, f"(SELECT DISTINCT cell FROM ({S.sql_rasterize(_POLYS, res=5)}) AS _m) AS _mask"
+        ),
+        "uncompact_roundtrip": (
+            f"SELECT DISTINCT cell FROM ({S.sql_rasterize(_POLYS, res=5)}) AS _m"
+        ),
         "doc_stats": "SELECT doc_id, "
         + ", ".join(
             f"{expr} AS {name}" for name, expr in TX.sql_quality_select().items()

@@ -740,3 +740,107 @@ FROM {pages_rel} a, {pages_rel} b
 WHERE a.url < b.url
   AND (a.lat - b.lat) * (a.lat - b.lat)
     + (a.lon - b.lon) * (a.lon - b.lon) <= {r2}"""
+
+
+# ---------------------------------------------------------------------------
+# Cell-mask compaction (H3 compact/uncompact analogue)
+# ---------------------------------------------------------------------------
+
+
+def compact_cells(cells: DataFrame, res: int, col: str = "cell") -> DataFrame:
+    """Minimal mixed-resolution cover of a cell mask: every complete
+    4-sibling group is replaced by its parent, recursively to res 0.
+
+    The folder-tree analogue: a directory whose children are all present
+    is represented by the directory itself, not the leaf list — the same
+    collapse the reference's per-folder hash files perform implicitly
+    (FileVerification/PathInfo.cs:427-537). On a 10^12-row table a
+    compacted polygon covering is what makes ``cell IN (...)`` partition
+    pruning lists tractable at coarse partition resolutions.
+
+    Fully lazy: ``res`` chained levels of (groupBy parent HAVING
+    count=4) + anti-join, each level shrinking the live set 4x; no
+    driver-side loop over data, no collect. Input cells must be at
+    resolution ``res`` (ids carry their res, so output rows at different
+    resolutions stay unambiguous)."""
+    cur = cells.select(F.col(col).alias("cell")).distinct()
+    outs = []
+    for r in range(res, 0, -1):
+        with_p = cur.withColumn(
+            "parent", grid.cell_parent(F.col("cell"), r, r - 1)
+        )
+        full = (
+            with_p.groupBy("parent")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == 4)
+            .select("parent")
+        )
+        outs.append(with_p.join(full, "parent", "left_anti").select("cell"))
+        cur = full.select(F.col("parent").alias("cell"))
+    outs.append(cur)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def uncompact_cells(
+    compacted: DataFrame, target_res: int, col: str = "cell"
+) -> DataFrame:
+    """Inverse of compact_cells: expand every cell to its descendants at
+    ``target_res`` (a cell at res r has 4^(target-r) of them). Pure
+    codegen'd sequence/explode — row count grows exactly by the
+    descendant factor, no Python, no shuffle."""
+    r = F.expr("CAST(cell >> 58 AS INT)")
+    d = F.lit(target_res) - r
+    n = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {target_res} - CAST(cell >> 58 AS INT))"
+    )
+    src = compacted.select(
+        F.col(col).alias("cell"),
+        grid.cell_lat_idx(F.col(col)).alias("la"),
+        grid.cell_lon_idx(F.col(col)).alias("lo"),
+        n.alias("n"),
+    ).where(d >= 0)
+    out = (
+        src.select(
+            "cell", "la", "lo", "n",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("di"),
+        )
+        .select(
+            "la", "lo", "n", "di",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("dj"),
+        )
+        .select(
+            (
+                F.lit(target_res).cast("bigint") * F.lit(grid.RES_MULT)
+                + (F.col("la") * F.col("n") + F.col("di")) * F.lit(grid.LAT_MULT)
+                + (F.col("lo") * F.col("n") + F.col("dj"))
+            ).alias("cell")
+        )
+    )
+    return out
+
+
+def sql_compact(res: int, cells_rel: str = "cells") -> str:
+    """Oracle twin of compact_cells: the identical level chain as CTEs.
+    Returns a full query (chain of WITH clauses over ``cells_rel``)."""
+    ctes = [f"cur{res} AS (SELECT DISTINCT cell FROM {cells_rel})"]
+    selects = []
+    for r in range(res, 0, -1):
+        parent = grid.sql_cell_parent("cell", r, r - 1)
+        ctes.append(
+            f"p{r} AS (SELECT cell, {parent} AS parent FROM cur{r})"
+        )
+        ctes.append(
+            f"full{r} AS (SELECT parent FROM p{r} "
+            f"GROUP BY parent HAVING count(*) = 4)"
+        )
+        ctes.append(
+            f"keep{r} AS (SELECT cell FROM p{r} "
+            f"WHERE parent NOT IN (SELECT parent FROM full{r}))"
+        )
+        ctes.append(f"cur{r-1} AS (SELECT parent AS cell FROM full{r})")
+        selects.append(f"SELECT cell FROM keep{r}")
+    selects.append("SELECT cell FROM cur0")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)

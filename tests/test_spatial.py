@@ -210,3 +210,58 @@ def test_distance_join_plan_has_no_cartesian(spark, pages_small):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_compact_uncompact_roundtrip(spark):
+    """uncompact(compact(mask)) == mask on the polygon raster mask."""
+    mask = S.rasterize_polygons(spark, S.default_polygons(), 5).select("cell")
+    comp = S.compact_cells(mask, 5)
+    back = S.uncompact_cells(comp, 5)
+    assert _as_set(back, ["cell"]) == _as_set(mask, ["cell"])
+
+
+def test_compact_is_minimal_and_collapses(spark):
+    """No complete 4-sibling group survives compaction, and a full parent
+    block actually collapses all the way."""
+    from pyspark.sql import functions as F
+
+    from fileverification_spark import grid
+
+    mask = S.rasterize_polygons(spark, S.default_polygons(), 5).select("cell")
+    comp = S.compact_cells(mask, 5)
+    rows = [r.cell for r in comp.collect()]
+    assert len(rows) == len(set(rows))
+    by_parent: dict = {}
+    for c in rows:
+        r = c >> 58
+        if r == 0:
+            continue
+        by_parent.setdefault(grid.py_cell_parent(c, r - 1), []).append(c)
+    for parent, kids in by_parent.items():
+        assert len(kids) < 4, f"complete sibling group left under {parent}"
+
+    # a full 2x2 block at res 2 (all 4 children of one res-1 parent)
+    full = spark.createDataFrame(
+        [(2 * grid.RES_MULT + la * grid.LAT_MULT + lo,)
+         for la in (2, 3) for lo in (2, 3)],
+        ["cell"],
+    )
+    got = [r.cell for r in S.compact_cells(full, 2).collect()]
+    assert got == [1 * grid.RES_MULT + 1 * grid.LAT_MULT + 1]
+
+
+def test_uncompact_counts_by_depth(spark):
+    """A cell at res r expands to exactly 4^(target-r) descendants."""
+    from fileverification_spark import grid
+
+    cells = spark.createDataFrame(
+        [(0 * grid.RES_MULT + 0 * grid.LAT_MULT + 1,),
+         (2 * grid.RES_MULT + 1 * grid.LAT_MULT + 3,)],
+        ["cell"],
+    )
+    out = S.uncompact_cells(cells, 4)
+    assert out.count() == 4 ** 4 + 4 ** 2
+    # all outputs are at the target res and distinct
+    rows = [r.cell for r in out.collect()]
+    assert len(rows) == len(set(rows))
+    assert all(c >> 58 == 4 for c in rows)
