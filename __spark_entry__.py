@@ -237,6 +237,27 @@ def _q_rasterize(spark: SparkSession, sf: str) -> DataFrame:
     return S.rasterize_polygons(spark, _POLYS, res=5)
 
 
+_BBOX = (-35.0, 20.0, -60.0, 30.0)
+
+
+def _q_bbox(spark: SparkSession, sf: str) -> DataFrame:
+    # rectangle range query: covering prefilter (scan-prunable) + exact test
+    return S.bbox_query(P.pages_with_derived(spark, sf), *_BBOX)
+
+
+def _q_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # per-polygon lang histogram over the exact PIP result
+    pip = S.pip_join(
+        P.pages_with_derived(spark, sf), _POLYS, res=P.LEAF_RES, keep=("lang",)
+    )
+    return S.zonal_stats(pip)
+
+
+def _q_top_lang_cell(spark: SparkSession, sf: str) -> DataFrame:
+    # per-tile heavy hitter via WindowGroupLimit
+    return S.top_lang_per_cell(P.pages_with_derived(spark, sf), _RASTER_RES)
+
+
 def _q_compact_cells(spark: SparkSession, sf: str) -> DataFrame:
     # minimal mixed-res cover of the rasterized mask (H3 compact analogue)
     mask = S.rasterize_polygons(spark, _POLYS, res=5).select("cell")
@@ -531,6 +552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_polys": _q_rasterize,
         "compact_cells": _q_compact_cells,
         "uncompact_roundtrip": _q_uncompact_roundtrip,
+        "bbox_query": _q_bbox,
+        "zonal_stats": _q_zonal_stats,
+        "top_lang_cell": _q_top_lang_cell,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -697,6 +721,9 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "uncompact_roundtrip": (
             f"SELECT DISTINCT cell FROM ({S.sql_rasterize(_POLYS, res=5)}) AS _m"
         ),
+        "bbox_query": _with() + "\n" + S.sql_bbox(*_BBOX),
+        "zonal_stats": _with() + "\n" + S.sql_zonal_stats(_POLYS),
+        "top_lang_cell": _with() + "\n" + S.sql_top_lang_per_cell(_RASTER_RES),
         "doc_stats": "SELECT doc_id, "
         + ", ".join(
             f"{expr} AS {name}" for name, expr in TX.sql_quality_select().items()

@@ -177,14 +177,19 @@ def _pip_pandas_udf(polys: list[Polygon]):
     return inside
 
 
-def pip_join(pages: DataFrame, polys: list[Polygon], res: int) -> DataFrame:
-    """(poly_id, url, lat, lon) for every page inside a polygon —
+def pip_join(
+    pages: DataFrame,
+    polys: list[Polygon],
+    res: int,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(poly_id, url, lat, lon[, *keep]) for every page inside a polygon —
     cell-prefilter + exact pandas-UDF test (the canonical path)."""
     cand = _candidates(pages, polys, res)
     inside = _pip_pandas_udf(polys)
     return cand.where(
         inside(F.col("poly_id"), F.col("lat"), F.col("lon"))
-    ).select("poly_id", "url", "lat", "lon")
+    ).select("poly_id", "url", "lat", "lon", *keep)
 
 
 def pip_join_sql(pages: DataFrame, polys: list[Polygon], res: int) -> DataFrame:
@@ -844,3 +849,136 @@ def sql_compact(res: int, cells_rel: str = "cells") -> str:
         selects.append(f"SELECT cell FROM keep{r}")
     selects.append("SELECT cell FROM cur0")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# BBox range query + zonal statistics + per-cell heavy hitter
+# ---------------------------------------------------------------------------
+
+
+def bbox_query(
+    pages: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    res: int = 4,
+    part_res: int = 2,
+) -> DataFrame:
+    """Pages inside a lat/lon rectangle: cell-covering prefilter (and,
+    on the cell-partitioned layout, a literal partition-prune via
+    prune_to_cells) then the exact bounds test. The covering predicate is
+    redundant with the exact test — it exists purely so the scan can skip
+    non-candidate partitions/row-groups at 100 TB; Catalyst pushes both
+    into the parquet scan."""
+    cover = grid.cells_covering_rect(lat_min, lat_max, lon_min, lon_max, res)
+    pruned = prune_to_cells(pages, cover, part_res)
+    cell = grid.cell_encode(F.col("lat"), F.col("lon"), res)
+    return (
+        pruned.where(cell.isin(cover))
+        .where(
+            (F.col("lat") >= lat_min)
+            & (F.col("lat") <= lat_max)
+            & (F.col("lon") >= lon_min)
+            & (F.col("lon") <= lon_max)
+        )
+        .select("url", "lat", "lon", "lang")
+    )
+
+
+def sql_bbox(
+    lat_min: float, lat_max: float, lon_min: float, lon_max: float,
+    pages_rel: str = "pages",
+) -> str:
+    """Oracle twin: the exact bounds test alone (the covering prefilter is
+    semantics-free by construction, so the oracle omits it — any covering
+    bug shows up as a row diff)."""
+    return f"""
+SELECT url, lat, lon, lang FROM {pages_rel}
+WHERE lat >= {lat_min!r} AND lat <= {lat_max!r}
+  AND lon >= {lon_min!r} AND lon <= {lon_max!r}"""
+
+
+def zonal_stats(pip: DataFrame) -> DataFrame:
+    """Per-polygon aggregates over a pip_join result — page count,
+    distinct langs, and the sorted lang:count histogram string (the
+    vector-side twin of raster_cells' per-cell stats). One partial-agg
+    shuffle on poly_id; |polys| output rows."""
+    per_lang = pip.groupBy("poly_id", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_lang.groupBy("poly_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_pages"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", F.col("lang"), F.col("cnt").cast("string"))
+                )
+            ),
+        ).alias("lang_hist"),
+    )
+
+
+def sql_zonal_stats(polys: list[Polygon], pages_rel: str = "pages") -> str:
+    """Oracle: PIP subquery (shared predicate) + the same two-level agg."""
+    return f"""
+SELECT poly_id,
+       CAST(sum(cnt) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       string_agg(lang || ':' || CAST(cnt AS VARCHAR), ','
+                  ORDER BY lang || ':' || CAST(cnt AS VARCHAR)) AS lang_hist
+FROM (
+  SELECT poly_id, lang, count(*) AS cnt
+  FROM ({sql_pip_with_lang(polys, pages_rel)}) AS _pip
+  GROUP BY poly_id, lang
+) GROUP BY poly_id"""
+
+
+def sql_pip_with_lang(polys: list[Polygon], pages_rel: str = "pages") -> str:
+    """sql_pip variant that also carries lang through (for zonal stats)."""
+    return f"""
+SELECT p.poly_id, p.url, p.lat, p.lon, p.lang FROM (
+  SELECT c.poly_id, g.url, g.lat, g.lon, g.lang, count(*) AS crossings
+  FROM {pages_rel} g,
+       (VALUES {sql_polygon_edges_values(polys)}) AS c(poly_id, y1, x1, y2, x2)
+  WHERE ((c.y1 > g.lat) != (c.y2 > g.lat))
+    AND (g.lon < (c.x2 - c.x1) * (g.lat - c.y1) / (c.y2 - c.y1) + c.x1)
+  GROUP BY c.poly_id, g.url, g.lat, g.lon, g.lang
+) p WHERE p.crossings % 2 = 1"""
+
+
+def top_lang_per_cell(pages: DataFrame, res: int) -> DataFrame:
+    """Heavy hitter per tile: the most frequent lang in each cell at
+    ``res`` (ties broken lexicographically) — (cell, top_lang, cnt).
+    groupBy + WindowGroupLimit: the rank-1 filter is pushed into the
+    window operator, so only one row per cell survives the final sort."""
+    per = (
+        pages.select(
+            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"),
+            "lang",
+        )
+        .groupBy("cell", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("cell").orderBy(F.col("cnt").desc(), F.col("lang").asc())
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cell", F.col("lang").alias("top_lang"), "cnt")
+    )
+
+
+def sql_top_lang_per_cell(res: int, pages_rel: str = "pages") -> str:
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+SELECT cell, lang AS top_lang, cnt FROM (
+  SELECT cell, lang, cnt,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY cnt DESC, lang ASC) AS rk
+  FROM (
+    SELECT {cell} AS cell, lang, count(*) AS cnt
+    FROM {pages_rel} GROUP BY 1, 2
+  )
+) WHERE rk = 1"""

@@ -265,3 +265,73 @@ def test_uncompact_counts_by_depth(spark):
     rows = [r.cell for r in out.collect()]
     assert len(rows) == len(set(rows))
     assert all(c >> 58 == 4 for c in rows)
+
+
+def test_bbox_query_equals_plain_filter(spark, pages_small):
+    """Covering prefilter is semantics-free: bbox_query == exact bounds
+    filter with no prefilter, for boxes crossing cell boundaries."""
+    from pyspark.sql import functions as F
+
+    for box in ((-35.0, 20.0, -60.0, 30.0), (-0.1, 0.1, -0.1, 0.1),
+                (80.0, 90.0, 170.0, 180.0)):
+        la0, la1, lo0, lo1 = box
+        want = _as_set(
+            pages_small.where(
+                (F.col("lat") >= la0) & (F.col("lat") <= la1)
+                & (F.col("lon") >= lo0) & (F.col("lon") <= lo1)
+            ).select("url"),
+            ["url"],
+        )
+        got = _as_set(S.bbox_query(pages_small, *box), ["url"])
+        assert got == want, box
+
+
+def test_zonal_stats_consistent_with_pip(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    polys = S.default_polygons()
+    pip = S.pip_join(pages_small, polys, res=4, keep=("lang",))
+    zs = S.zonal_stats(pip)
+    # per-polygon n_pages must equal the raw pip row count per polygon
+    want = {
+        (r["poly_id"], r["n"]) for r in
+        pip.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {(r["poly_id"], r["n_pages"]) for r in zs.collect()}
+    assert got == want
+    # histogram entries sum to n_pages
+    for r in zs.collect():
+        total = sum(int(kv.split(":")[1]) for kv in r["lang_hist"].split(","))
+        assert total == r["n_pages"]
+        assert len(r["lang_hist"].split(",")) == r["n_langs"]
+
+
+def test_top_lang_per_cell_semantics_and_plan(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.plans.explain import formatted_plan
+
+    res = 3
+    top = S.top_lang_per_cell(pages_small, res)
+    rows = top.collect()
+    assert len(rows) == len({r["cell"] for r in rows})  # one row per cell
+    # cross-check against the full per-cell histogram
+    per = (
+        pages_small.select(
+            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"),
+            "lang",
+        )
+        .groupBy("cell", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    best: dict = {}
+    for r in per:
+        key = r["cell"]
+        cand = (-r["cnt"], r["lang"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    for r in rows:
+        assert (-r["cnt"], r["top_lang"]) == best[r["cell"]]
+    # rank-1 filter should be pushed into the window (WindowGroupLimit)
+    assert "WindowGroupLimit" in formatted_plan(top)
