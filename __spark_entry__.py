@@ -16,6 +16,7 @@ from fileverification_spark import config as CFG
 from fileverification_spark import grid
 from fileverification_spark.functions import text as TX
 from fileverification_spark.streaming import incremental as INC
+from fileverification_spark.streaming import geofence as SG
 from fileverification_spark.streaming import windows as SW
 from fileverification_spark.operators import asof as AS
 from fileverification_spark.operators import dedup as D
@@ -392,6 +393,18 @@ def _q_exclusion_filter(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "url")
 
 
+def _q_geofence_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    # spatial x streaming composition, batch form (= oracle); the
+    # streaming twin's availableNow == batch convergence is pytest-pinned
+    hits = SG.geofence_hits(SW.read_events(spark, sf), _POLYS)
+    return SG.geofence_alerts_exact_users(hits).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "poly_id",
+        "n_events",
+        "n_users",
+    )
+
+
 def _q_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     # contract canon: timestamps as epoch seconds (window starts are hour
     # boundaries), DECIMAL sum stringified at fixed scale — both choices
@@ -570,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
         "exclusion_filter": _q_exclusion_filter,
+        "geofence_alerts": _q_geofence_alerts,
         "windowed_counts": _q_windowed_counts,
         "sessionize": _q_sessionize,
         "events_dedup": _q_events_dedup,
@@ -755,6 +769,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "multimodal_frames": MM.sql_frames_query(P.pages_cte(LEAF)),
         "exclusion_filter": _with()
         + f"\nSELECT doc_id, url FROM pages WHERE NOT {CFG.sql_exclusion_predicate(_EXCL)}",
+        "geofence_alerts": SG.sql_geofence_alerts(_POLYS),
         "windowed_counts": SW.sql_windowed_counts(),
         "sessionize": SW.sql_sessionize(),
         "events_dedup": "SELECT DISTINCT event_id FROM events",

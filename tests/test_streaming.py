@@ -125,3 +125,36 @@ def test_stateful_sessionize_converges_to_batch(spark):
     # sessions may or may not finalise on a finite stream
     assert closed <= got <= all_sessions
     assert len(closed) > 0
+
+
+def test_geofence_stream_matches_batch(spark):
+    """Geofence alerting: the streaming pipeline (stateless PIP + watermarked
+    window agg) converges to the batch form on the same events; n_events
+    identical, n_users HLL vs exact compared by key presence."""
+    from fileverification_spark.operators import spatial as S
+    from fileverification_spark.streaming import geofence as SG
+
+    polys = S.default_polygons()
+    batch_hits = SG.geofence_hits(SW.read_events(spark, SF), polys)
+    batch = SG.geofence_alerts_exact_users(batch_hits).collect()
+    assert batch, "fixture events must hit at least one fence"
+
+    stream_hits = SG.geofence_hits(SW.read_events_stream(spark, SF), polys)
+    stream_df = SG.geofence_alerts(stream_hits, streaming=True)
+    name = f"gf_{uuid.uuid4().hex[:8]}"
+    got = SW.run_stream_to_memory(stream_df, name, output_mode="complete").collect()
+
+    cols = ["window_start", "poly_id", "n_events"]
+    assert _key(got, cols) == _key(batch, cols)
+
+
+def test_geofence_hits_subset_of_events(spark):
+    from fileverification_spark.operators import spatial as S
+    from fileverification_spark.streaming import geofence as SG
+
+    ev = SW.read_events(spark, SF)
+    hits = SG.geofence_hits(ev, S.default_polygons())
+    n_ev, n_hits = ev.count(), hits.count()
+    assert 0 < n_hits < n_ev
+    # one row per (event, fence): no duplicate pairs from the covering join
+    assert hits.select("event_id", "poly_id").distinct().count() == n_hits
