@@ -19,6 +19,7 @@ from fileverification_spark.streaming import incremental as INC
 from fileverification_spark.streaming import geofence as SG
 from fileverification_spark.streaming import windows as SW
 from fileverification_spark.operators import asof as AS
+from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
@@ -183,6 +184,13 @@ def _q_pip_counts(spark: SparkSession, sf: str) -> DataFrame:
 _DJ_RADIUS = 3.0
 
 
+def _q_nn_join(spark: SparkSession, sf: str) -> DataFrame:
+    # distributed NN join (both sides large): ring-escalation certify;
+    # oracle is the O(n^2) window form
+    pg = P.pages_with_derived(spark, sf)
+    return S.nn_join(pg, pg)
+
+
 def _q_distance_join(spark: SparkSession, sf: str) -> DataFrame:
     # bucketed all-pairs-within-radius; oracle is the O(n^2) cross join
     return S.distance_self_join(P.pages_with_derived(spark, sf), _DJ_RADIUS)
@@ -307,6 +315,12 @@ def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_exact(_docs(spark, sf))
+
+
+def _q_curation_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # end-to-end corpus build: exact dedup -> quality gates -> per-lang
+    # token accounting, one declarative plan
+    return CUR.curation_stats(CUR.curate(_docs(spark, sf)))
 
 
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -557,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_counts": _q_pip_counts,
         "knn": _q_knn,
         "distance_join": _q_distance_join,
+        "nn_join": _q_nn_join,
         "knn_ring": _q_knn_ring,
         "knn_adaptive": _q_knn_adaptive,
         "raster_cells": _q_raster,
@@ -572,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "curation_stats": _q_curation_stats,
         "dedup_minhash": _q_dedup_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -721,6 +737,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         + "\nSELECT poly_id, count(*) AS n_pages FROM pip GROUP BY poly_id",
         "knn": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "distance_join": _with() + "\n" + S.sql_distance_self_join(_DJ_RADIUS),
+        "nn_join": _with() + "\n" + S.sql_nn_join(),
         "knn_ring": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "knn_adaptive": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "raster_cells": _with() + "\n" + S.sql_raster(_RASTER_RES),
@@ -753,6 +770,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             f"(SELECT doc_id, {TX.sql_fingerprint('text')} AS fp FROM documents) "
             f"GROUP BY fp"
         ),
+        "curation_stats": CUR.sql_curation_stats(),
         "dedup_minhash": D.sql_lsh_pairs_query(),
         "ngram_jaccard": D.sql_ngram_jaccard_query(),
         "simhash": D.sql_simhash_docs_query(),

@@ -99,7 +99,22 @@ def main() -> None:
             P.pages(spark, SF_DIR, with_html=True)
         ).count(),
     }
+    # round-2 additions — kept out of battery_r01_sec so the original
+    # 11-query total stays comparable across rounds
+    r2_cases = {
+        "distance_join": lambda: S.distance_self_join(live, 0.35).count(),
+        # res0 sized to the bench density (~3 rows/cell at 400k points)
+        "nn_join": lambda: S.nn_join(live, live, res0=8).count(),
+        "compact_cells": lambda: S.compact_cells(
+            S.rasterize_polygons(spark, S.default_polygons(), 7).select("cell"), 7
+        ).count(),
+        "top_lang_cell": lambda: S.top_lang_per_cell(live, 6).count(),
+    }
     for name, fn in cases.items():
+        t, _ = timed(fn)
+        results[name] = round(t, 3)
+    battery_r01 = round(sum(results.values()), 3)
+    for name, fn in r2_cases.items():
         t, _ = timed(fn)
         results[name] = round(t, 3)
 
@@ -110,6 +125,7 @@ def main() -> None:
                 "metric": "spatial-join + per-cell Merkle-manifest verification throughput",
                 "value": total,
                 "unit": "sec",
+                "battery_r01_sec": battery_r01,
                 "queries": results,
                 "sf": _sf_label(SF_DIR),
                 "pages_per_sec": round(pages_per_sec, 1),

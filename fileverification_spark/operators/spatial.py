@@ -982,3 +982,115 @@ SELECT cell, lang AS top_lang, cnt FROM (
     FROM {pages_rel} GROUP BY 1, 2
   )
 ) WHERE rk = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor join (both sides distributed)
+# ---------------------------------------------------------------------------
+
+
+def nn_join(
+    left: DataFrame,
+    right: DataFrame,
+    resolutions: "tuple[int, ...] | None" = None,
+    res0: int | None = None,
+) -> DataFrame:
+    """For every left point, its single nearest right point:
+    (url, nn_url, dist2). Both sides can be arbitrarily large — unlike
+    knn_* (whose query list is a driver-side broadcast), this is a true
+    table-to-table NN join.
+
+    Plan shape (fully lazy, no driver iteration over data). For each
+    level in ``resolutions`` (finest first; default (5, 3, 1), or
+    (res0, res0-2, res0-4 floored at 1) when ``res0`` is given):
+
+      - the still-unmatched left rows explode to their 3x3 cell disk;
+      - equi-join against right keyed by its own cell at that res;
+      - per-left-point rank-1 window picks the closest candidate;
+      - the match is CERTIFIED iff sqrt(dist2) < ring_guarantee_radius
+        (strict: a tie exactly on the guarantee circle could sit outside
+        the disk — ADVICE r01 on knn_adaptive applies here too);
+      - certified rows exit; the rest fall to the next (coarser) level,
+        where the guarantee radius is 4x larger.
+
+    Rows uncertified after the last level (nearest neighbor beyond the
+    coarsest guarantee, or an empty right side) hit a cartesian re-scan —
+    by then the leftover population is the pathological tail only.
+
+    The level count is a FIXED short ladder, not a loop-to-convergence:
+    each level's ``remaining`` embeds the previous level's subtree twice
+    (anti-join of its own derivative), so lineage grows 2^levels — three
+    levels is cheap, ten would double the optimizer's input a thousandfold.
+    Choose the finest level so mean cell occupancy is O(1..100) rows
+    (res ~ log2(sqrt(area/n_right)) finer side); the coarser levels exist
+    only to certify sparse regions.
+    """
+    if resolutions is None:
+        r0 = 5 if res0 is None else res0
+        resolutions = tuple(dict.fromkeys(max(1, r0 - 2 * i) for i in range(3)))
+    if not resolutions or any(r < 1 for r in resolutions):
+        raise ValueError("resolutions must be >= 1")
+    remaining = left.select("url", "lat", "lon")
+    rights = right.select(
+        F.col("url").alias("nn_url"),
+        F.col("lat").alias("r_lat"),
+        F.col("lon").alias("r_lon"),
+    )
+    dy = F.col("lat") - F.col("r_lat")
+    dx = F.col("lon") - F.col("r_lon")
+    dist2 = dy * dy + dx * dx
+    w = W.partitionBy("url").orderBy(F.col("dist2").asc(), F.col("nn_url").asc())
+    certified_parts: list[DataFrame] = []
+    for res in resolutions:
+        guard = ring_guarantee_radius(res, 1)
+        cand = remaining.withColumn(
+            "bucket",
+            F.explode(
+                grid.grid_disk(
+                    grid.cell_encode(F.col("lat"), F.col("lon"), res), res, 1
+                )
+            ),
+        ).join(
+            rights.withColumn(
+                "bucket", grid.cell_encode(F.col("r_lat"), F.col("r_lon"), res)
+            ),
+            "bucket",
+            "inner",
+        ).where(F.col("url") != F.col("nn_url"))
+        best = (
+            cand.withColumn("dist2", dist2)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("url", "nn_url", "dist2")
+        )
+        certified = best.where(F.col("dist2") < F.lit(guard * guard))
+        certified_parts.append(certified)
+        remaining = remaining.join(certified, "url", "left_anti")
+    # pathological tail: cartesian re-scan of whatever survived every level
+    tail_cand = remaining.crossJoin(rights).where(
+        F.col("url") != F.col("nn_url")
+    )
+    tail = (
+        tail_cand.withColumn("dist2", dist2)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("url", "nn_url", "dist2")
+    )
+    out = certified_parts[0]
+    for part in certified_parts[1:]:
+        out = out.unionByName(part)
+    return out.unionByName(tail)
+
+
+def sql_nn_join(pages_rel: str = "pages") -> str:
+    """Oracle: the O(n^2) window form with identical dist2 arithmetic and
+    the same (dist2, nn_url) tie-break."""
+    d2 = "(a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)"
+    return f"""
+SELECT url, nn_url, dist2 FROM (
+  SELECT a.url, b.url AS nn_url, {d2} AS dist2,
+         row_number() OVER (PARTITION BY a.url
+                            ORDER BY {d2} ASC, b.url ASC) AS rk
+  FROM {pages_rel} a, {pages_rel} b
+  WHERE a.url != b.url
+) WHERE rk = 1"""

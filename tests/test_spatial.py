@@ -335,3 +335,55 @@ def test_top_lang_per_cell_semantics_and_plan(spark, pages_small):
         assert (-r["cnt"], r["top_lang"]) == best[r["cell"]]
     # rank-1 filter should be pushed into the window (WindowGroupLimit)
     assert "WindowGroupLimit" in formatted_plan(top)
+
+
+def test_nn_join_matches_bruteforce(spark, pages_small):
+    """Ring-escalation NN join == exact window-over-cross-join, including
+    when forced through several escalation levels (coarse start res)."""
+    from pyspark.sql import functions as F
+
+    a = pages_small.select("url", "lat", "lon")
+    b = pages_small.select(
+        F.col("url").alias("nn_url"),
+        F.col("lat").alias("r_lat"),
+        F.col("lon").alias("r_lon"),
+    )
+    dy = F.col("lat") - F.col("r_lat")
+    dx = F.col("lon") - F.col("r_lon")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy(F.col("dist2").asc(), F.col("nn_url").asc())
+    want = {
+        (r["url"], r["nn_url"])
+        for r in a.crossJoin(b)
+        .where(F.col("url") != F.col("nn_url"))
+        .withColumn("dist2", dy * dy + dx * dx)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+    for ladder in (None, (8, 6, 4), (2,)):
+        got = {
+            (r["url"], r["nn_url"])
+            for r in S.nn_join(pages_small, pages_small, resolutions=ladder).collect()
+        }
+        assert got == want, ladder
+    # every left row gets exactly one answer
+    assert len(want) == pages_small.count()
+
+
+def test_nn_join_tail_handles_sparse_right(spark, pages_small):
+    """A 3-row right side forces most matches through the cartesian tail
+    (few cells occupied) — result must still be the true nearest."""
+    from pyspark.sql import functions as F
+
+    right = pages_small.orderBy("url").limit(3)
+    got = {r["url"]: r["nn_url"] for r in S.nn_join(pages_small, right).collect()}
+    rrows = [(r["url"], r["lat"], r["lon"]) for r in right.collect()]
+    for r in pages_small.collect():
+        best = min(
+            ((ru, (r["lat"] - la) ** 2 + (r["lon"] - lo) ** 2)
+             for ru, la, lo in rrows if ru != r["url"]),
+            key=lambda t: (t[1], t[0]),
+        )
+        assert got[r["url"]] == best[0]
