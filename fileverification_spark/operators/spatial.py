@@ -768,21 +768,54 @@ def compact_cells(cells: DataFrame, res: int, col: str = "cell") -> DataFrame:
     driver-side loop over data, no collect. Input cells must be at
     resolution ``res`` (ids carry their res, so output rows at different
     resolutions stay unambiguous)."""
-    cur = cells.select(F.col(col).alias("cell")).distinct()
-    outs = []
-    for r in range(res, 0, -1):
-        with_p = cur.withColumn(
-            "parent", grid.cell_parent(F.col("cell"), r, r - 1)
-        )
-        full = (
-            with_p.groupBy("parent")
+    if res == 0:
+        return cells.select(F.col(col).alias("cell")).distinct()
+    # The leaf set is referenced by every level below; localCheckpoint
+    # (lazy) truncates its lineage so the res+1 consumers share ONE
+    # materialisation of the (tiny, |cells|-row) mask instead of res+1
+    # copies of however expensive the producing plan was. At cluster
+    # scale substitute a reliable checkpoint dir / staged table.
+    leaf = (
+        cells.select(F.col(col).alias("cell"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # Non-recursive: an ancestor at level r is FULL iff all 4^(res-r) of
+    # its descendant slots are present, so every level aggregates straight
+    # off the leaf set — each full[r] is leaf -> one groupBy, and the
+    # compacted output at level r is full[r] minus cells whose parent is
+    # itself full. A recursive promote-the-parents chain is semantically
+    # identical but embeds level r's subtree in level r-1 TWICE, growing
+    # the logical plan 2^res-fold (measured: 102 Exchange nodes at res 7
+    # vs 15 here); with shared leaf lineage the duplicated aggregations
+    # also canonicalize identically for exchange reuse.
+    full: dict[int, DataFrame] = {}
+    for r in range(0, res):
+        cnt = (
+            leaf.groupBy(
+                grid.cell_parent(F.col("cell"), res, r).alias("cell")
+            )
             .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") == 4)
-            .select("parent")
         )
-        outs.append(with_p.join(full, "parent", "left_anti").select("cell"))
-        cur = full.select(F.col("parent").alias("cell"))
-    outs.append(cur)
+        full[r] = cnt.where(F.col("n") == 4 ** (res - r)).select("cell")
+    outs = []
+    outs.append(
+        leaf.withColumn("p", grid.cell_parent(F.col("cell"), res, res - 1))
+        .join(
+            full[res - 1].select(F.col("cell").alias("p")), "p", "left_anti"
+        )
+        .select("cell")
+    )
+    for r in range(res - 1, 0, -1):
+        outs.append(
+            full[r]
+            .withColumn("p", grid.cell_parent(F.col("cell"), r, r - 1))
+            .join(
+                full[r - 1].select(F.col("cell").alias("p")), "p", "left_anti"
+            )
+            .select("cell")
+        )
+    outs.append(full[0])
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -989,6 +1022,16 @@ SELECT cell, lang AS top_lang, cnt FROM (
 # ---------------------------------------------------------------------------
 
 
+def _argmin_pair(cand: DataFrame) -> DataFrame:
+    """rank-1 by (dist2, nn_url) per url — as min(struct(...)), NOT a
+    row_number window: struct-min is partial-aggregatable, so the shuffle
+    carries one candidate per (url, map partition) instead of sorting the
+    full candidate set. The struct field order IS the tie-break."""
+    return cand.groupBy("url").agg(
+        F.min(F.struct(F.col("dist2"), F.col("nn_url"))).alias("b")
+    ).select("url", F.col("b.nn_url").alias("nn_url"), F.col("b.dist2").alias("dist2"))
+
+
 def nn_join(
     left: DataFrame,
     right: DataFrame,
@@ -1039,7 +1082,6 @@ def nn_join(
     dy = F.col("lat") - F.col("r_lat")
     dx = F.col("lon") - F.col("r_lon")
     dist2 = dy * dy + dx * dx
-    w = W.partitionBy("url").orderBy(F.col("dist2").asc(), F.col("nn_url").asc())
     certified_parts: list[DataFrame] = []
     for res in resolutions:
         guard = ring_guarantee_radius(res, 1)
@@ -1057,12 +1099,7 @@ def nn_join(
             "bucket",
             "inner",
         ).where(F.col("url") != F.col("nn_url"))
-        best = (
-            cand.withColumn("dist2", dist2)
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("url", "nn_url", "dist2")
-        )
+        best = _argmin_pair(cand.withColumn("dist2", dist2))
         certified = best.where(F.col("dist2") < F.lit(guard * guard))
         certified_parts.append(certified)
         remaining = remaining.join(certified, "url", "left_anti")
@@ -1070,12 +1107,7 @@ def nn_join(
     tail_cand = remaining.crossJoin(rights).where(
         F.col("url") != F.col("nn_url")
     )
-    tail = (
-        tail_cand.withColumn("dist2", dist2)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("url", "nn_url", "dist2")
-    )
+    tail = _argmin_pair(tail_cand.withColumn("dist2", dist2))
     out = certified_parts[0]
     for part in certified_parts[1:]:
         out = out.unionByName(part)
