@@ -148,3 +148,23 @@ def test_bucketed_verify_join_eliminates_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_live")
         spark.sql("DROP TABLE IF EXISTS bkt_stored")
+
+
+def test_nn_join_uses_partial_aggregation(spark, pages_small):
+    """The per-point argmin must be a partial-aggregatable struct-min (map-
+    side combine shrinks the shuffle), never a full-sort window rank."""
+    df = S.nn_join(pages_small, pages_small, resolutions=(4,))
+    plan = X.formatted_plan(df)
+    assert X.has_partial_aggregate(df)
+    assert "WindowGroupLimit" not in plan and "Window" not in plan
+    assert "CartesianProduct" not in plan.split("Union")[0]  # levels join on cell
+
+
+def test_compact_cells_plan_is_linear_in_levels(spark):
+    """Non-recursive compaction: Exchange count stays O(levels), not
+    O(2^levels) (the recursive promote-chain measured 102 at res 7)."""
+    import re
+
+    mask = S.rasterize_polygons(spark, S.default_polygons(), 7).select("cell")
+    plan = X.formatted_plan(S.compact_cells(mask, 7))
+    assert len(re.findall(r"\bExchange\b", plan)) <= 50
