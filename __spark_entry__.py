@@ -25,6 +25,7 @@ from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
+from fileverification_spark.operators import trajectory as TJ
 from fileverification_spark.operators import verify as V
 from fileverification_spark.functions import hashing as H
 from fileverification_spark.sources import manifest_io as MIO
@@ -260,6 +261,19 @@ def _q_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
         P.pages_with_derived(spark, sf), _POLYS, res=P.LEAF_RES, keep=("lang",)
     )
     return S.zonal_stats(pip)
+
+
+def _q_raster_diff(spark: SparkSession, sf: str) -> DataFrame:
+    # change detection between the even- and odd-doc_id epochs
+    pg = P.pages_with_derived(spark, sf)
+    ra = S.raster_cells(pg.where(F.col("doc_id") % 2 == 0), _RASTER_RES)
+    rb = S.raster_cells(pg.where(F.col("doc_id") % 2 == 1), _RASTER_RES)
+    return S.raster_diff(ra, rb)
+
+
+def _q_od_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    # mobility flow matrix over geocoded event trajectories
+    return TJ.od_matrix(SW.read_events(spark, sf))
 
 
 def _q_top_lang_cell(spark: SparkSession, sf: str) -> DataFrame:
@@ -583,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_query": _q_bbox,
         "zonal_stats": _q_zonal_stats,
         "top_lang_cell": _q_top_lang_cell,
+        "raster_diff": _q_raster_diff,
+        "od_matrix": _q_od_matrix,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -755,6 +771,10 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "bbox_query": _with() + "\n" + S.sql_bbox(*_BBOX),
         "zonal_stats": _with() + "\n" + S.sql_zonal_stats(_POLYS),
         "top_lang_cell": _with() + "\n" + S.sql_top_lang_per_cell(_RASTER_RES),
+        "raster_diff": _with() + "\n" + S.sql_raster_diff(
+            _RASTER_RES, "doc_id % 2 = 0", "doc_id % 2 = 1"
+        ),
+        "od_matrix": TJ.sql_od_matrix(),
         "doc_stats": "SELECT doc_id, "
         + ", ".join(
             f"{expr} AS {name}" for name, expr in TX.sql_quality_select().items()

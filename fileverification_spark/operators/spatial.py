@@ -1126,3 +1126,44 @@ SELECT url, nn_url, dist2 FROM (
   FROM {pages_rel} a, {pages_rel} b
   WHERE a.url != b.url
 ) WHERE rk = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Raster algebra: change detection between two rasters
+# ---------------------------------------------------------------------------
+
+
+def raster_diff(raster_a: DataFrame, raster_b: DataFrame) -> DataFrame:
+    """Per-cell change detection between two page-count rasters (same
+    res): (cell, n_a, n_b, delta). Full-outer on the cell key — a cell
+    present in only one epoch reports the other side as 0, the exact
+    analogue of verify_tree's ADDED/MISSING split (FV/PathInfo.cs:427-537)
+    lifted from files to tiles. One shuffle on cell; inputs are already
+    aggregated so the join is |cells| x |cells|-bounded, never |pages|."""
+    a = raster_a.select("cell", F.col("n_pages").alias("n_a"))
+    b = raster_b.select("cell", F.col("n_pages").alias("n_b"))
+    return (
+        a.join(b, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        )
+        .withColumn("delta", (F.col("n_a") - F.col("n_b")).cast("bigint"))
+    )
+
+
+def sql_raster_diff(res: int, pred_a: str, pred_b: str,
+                    pages_rel: str = "pages") -> str:
+    """Oracle: two grouped subqueries full-outer-joined, same coalesce."""
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+SELECT COALESCE(a.cell, b.cell) AS cell,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(a.n, 0) - COALESCE(b.n, 0) AS BIGINT) AS delta
+FROM      (SELECT {cell} AS cell, count(*) AS n FROM {pages_rel}
+           WHERE {pred_a} GROUP BY 1) a
+FULL JOIN (SELECT {cell} AS cell, count(*) AS n FROM {pages_rel}
+           WHERE {pred_b} GROUP BY 1) b
+ON a.cell = b.cell"""

@@ -1,0 +1,84 @@
+"""Trajectory analytics over the events stream table: per-user cell
+paths and the origin->destination flow matrix.
+
+Each event is geocoded deterministically (streaming.geofence.with_geo)
+and snapped to a grid cell; a user's time-ordered event sequence is a
+trajectory of cells, and every consecutive pair with differing cells is
+one O->D movement. The flow matrix aggregates those movements — the
+standard mobility-analytics primitive (OD matrix) a geospatial engine
+ships next to PIP/kNN/raster.
+
+Scale shape: the lag window shuffles once on user_id (state per user is
+one row); the flow aggregation shuffles once on the (origin, dest) pair
+key with map-side partial aggregation. No Python anywhere. Ordering
+inside a user is (ts, event_id) — event_id breaks timestamp ties so the
+transition sequence is total and both engines derive the identical
+matrix (a bare ts order would be nondeterministic under collisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from fileverification_spark import grid
+from fileverification_spark.streaming import geofence as SG
+
+OD_RES = 3
+
+
+def cell_transitions(events: DataFrame, res: int = OD_RES) -> DataFrame:
+    """(user_id, ts, from_cell, to_cell) for every consecutive event pair
+    of a user that changed cell."""
+    geo = SG.with_geo(events).withColumn(
+        "cell", grid.cell_encode(F.col("lat"), F.col("lon"), res)
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = geo.withColumn("from_cell", F.lag("cell").over(w))
+    return (
+        with_prev.where(
+            F.col("from_cell").isNotNull()
+            & (F.col("from_cell") != F.col("cell"))
+        )
+        .select(
+            "user_id", "ts", "from_cell", F.col("cell").alias("to_cell")
+        )
+    )
+
+
+def od_matrix(events: DataFrame, res: int = OD_RES) -> DataFrame:
+    """(from_cell, to_cell, n_moves, n_users) — the flow matrix."""
+    t = cell_transitions(events, res)
+    return t.groupBy("from_cell", "to_cell").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def sql_od_matrix(res: int = OD_RES, events_rel: str = "events") -> str:
+    """Oracle: identical geocode + lag + pair aggregation."""
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+WITH geo AS (
+  SELECT user_id, ts, event_id,
+         (CAST(('0x' || substr(h, 1, 8)) AS BIGINT) / 4294967296.0
+          * 180.0 - 90.0) AS lat,
+         (CAST(('0x' || substr(h, 9, 8)) AS BIGINT) / 4294967296.0
+          * 360.0 - 180.0) AS lon
+  FROM (SELECT *, sha256(CAST(event_id AS VARCHAR)) AS h FROM {events_rel})
+),
+cells AS (SELECT user_id, ts, event_id, {cell} AS cell FROM geo),
+moves AS (
+  SELECT user_id,
+         lag(cell) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS from_cell,
+         cell AS to_cell
+  FROM cells
+)
+SELECT from_cell, to_cell,
+       count(*) AS n_moves,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM moves
+WHERE from_cell IS NOT NULL AND from_cell != to_cell
+GROUP BY from_cell, to_cell"""

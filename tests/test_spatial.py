@@ -387,3 +387,20 @@ def test_nn_join_tail_handles_sparse_right(spark, pages_small):
             key=lambda t: (t[1], t[0]),
         )
         assert got[r["url"]] == best[0]
+
+
+def test_raster_diff_identities(spark, pages_small):
+    from pyspark.sql import functions as F
+
+    even = pages_small.where(F.col("doc_id") % 2 == 0)
+    odd = pages_small.where(F.col("doc_id") % 2 == 1)
+    ra, rb = S.raster_cells(even, 3), S.raster_cells(odd, 3)
+    d = S.raster_diff(ra, rb)
+    rows = d.collect()
+    # totals reconcile with the inputs
+    assert sum(r["n_a"] for r in rows) == even.count()
+    assert sum(r["n_b"] for r in rows) == odd.count()
+    assert all(r["delta"] == r["n_a"] - r["n_b"] for r in rows)
+    # self-diff is all-zero
+    z = S.raster_diff(ra, ra).collect()
+    assert all(r["delta"] == 0 for r in z) and len(z) > 0

@@ -1,0 +1,45 @@
+"""OD matrix semantics: transitions reconstruct from a driver-side replay
+of each user's ordered event sequence."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from fileverification_spark import grid
+from fileverification_spark.operators import trajectory as TJ
+from fileverification_spark.streaming import geofence as SG
+from fileverification_spark.streaming import windows as SW
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_od_matrix_matches_replay(spark):
+    from pyspark.sql import functions as F
+
+    ev = SW.read_events(spark, SF)
+    got = {
+        (r["from_cell"], r["to_cell"]): (r["n_moves"], r["n_users"])
+        for r in TJ.od_matrix(ev).collect()
+    }
+    geo = SG.with_geo(ev).withColumn(
+        "cell", grid.cell_encode(F.col("lat"), F.col("lon"), TJ.OD_RES)
+    )
+    seqs: dict = {}
+    for r in geo.select("user_id", "ts", "event_id", "cell").collect():
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["cell"]))
+    moves = Counter()
+    users: dict = {}
+    for uid, seq in seqs.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            if a != b:
+                moves[(a, b)] += 1
+                users.setdefault((a, b), set()).add(uid)
+    want = {k: (n, len(users[k])) for k, n in moves.items()}
+    assert got == want and len(got) > 0
+
+
+def test_cell_transitions_drop_same_cell(spark):
+    ev = SW.read_events(spark, SF)
+    t = TJ.cell_transitions(ev).collect()
+    assert all(r["from_cell"] != r["to_cell"] for r in t)
