@@ -77,3 +77,78 @@ def test_py_cell_parent_matches_direct_encode(lat, lon, res):
         assert grid.py_cell_parent(cell, parent_res) == grid.py_cell_encode(
             lat, lon, parent_res
         )
+
+
+# ---------------------------------------------------------------------------
+# Pair-join cover guarantees (pure geometry — the property distance_join
+# and nn_join certification rest on)
+# ---------------------------------------------------------------------------
+
+
+def _py_disk(cell: int, res: int, k: int = 1) -> set:
+    """Python mirror of grid.grid_disk: lon wraps, lat rows clamp away."""
+    nlat, nlon = 1 << res, 1 << (res + 1)
+    la = (cell >> 29) & (grid.LAT_MULT - 1)
+    lo = cell & (grid.LAT_MULT - 1)
+    out = set()
+    for dla in range(-k, k + 1):
+        r = la + dla
+        if not 0 <= r < nlat:
+            continue
+        for dlo in range(-k, k + 1):
+            out.add(res * grid.RES_MULT + r * grid.LAT_MULT + (lo + dlo) % nlon)
+    return out
+
+
+@settings(max_examples=300)
+@given(
+    lat=st.floats(min_value=-89.999, max_value=89.999),
+    lon=st.floats(min_value=-179.999, max_value=179.999),
+    radius=st.floats(min_value=1e-3, max_value=60.0),
+    ang=st.floats(min_value=0.0, max_value=6.283185),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_distance_join_ring_cover_never_loses_a_pair(lat, lon, radius, ang, frac):
+    """Any point within `radius` of (lat, lon) lands in the 3x3 disk of
+    its cell at distance_join_res(radius) — the completeness invariant of
+    the bucketed pair join."""
+    import math
+
+    from fileverification_spark.operators import spatial as S
+
+    res = S.distance_join_res(radius)
+    d = radius * frac
+    lat2 = lat + d * math.cos(ang)
+    lon2 = lon + d * math.sin(ang)
+    if not (-90.0 <= lat2 <= 90.0 and -180.0 <= lon2 <= 180.0):
+        return  # off-globe displacement: no wrap in the metric either
+    c1 = grid.py_cell_encode(lat, lon, res)
+    c2 = grid.py_cell_encode(lat2, lon2, res)
+    assert c2 in _py_disk(c1, res, 1)
+
+
+@settings(max_examples=300)
+@given(
+    lat=st.floats(min_value=-89.999, max_value=89.999),
+    lon=st.floats(min_value=-179.999, max_value=179.999),
+    res=st.integers(min_value=1, max_value=12),
+    ang=st.floats(min_value=0.0, max_value=6.283185),
+    frac=st.floats(min_value=0.0, max_value=0.999),
+)
+def test_nn_certify_guard_is_inside_disk(lat, lon, res, ang, frac):
+    """Any point STRICTLY closer than ring_guarantee_radius(res, 1) is in
+    the 3x3 disk — so a certified NN (dist < guard) cannot be beaten by an
+    unseen point outside the disk."""
+    import math
+
+    from fileverification_spark.operators import spatial as S
+
+    guard = S.ring_guarantee_radius(res, 1)
+    d = guard * frac
+    lat2 = lat + d * math.cos(ang)
+    lon2 = lon + d * math.sin(ang)
+    if not (-90.0 <= lat2 <= 90.0 and -180.0 <= lon2 <= 180.0):
+        return
+    c1 = grid.py_cell_encode(lat, lon, res)
+    c2 = grid.py_cell_encode(lat2, lon2, res)
+    assert c2 in _py_disk(c1, res, 1)
