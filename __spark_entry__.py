@@ -276,6 +276,11 @@ def _q_od_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return TJ.od_matrix(SW.read_events(spark, sf))
 
 
+def _q_raster_users(spark: SparkSession, sf: str) -> DataFrame:
+    # per-cell exact distinct users (HLL twin pinned in tests)
+    return TJ.raster_users(SW.read_events(spark, sf))
+
+
 def _q_top_lang_cell(spark: SparkSession, sf: str) -> DataFrame:
     # per-tile heavy hitter via WindowGroupLimit
     return S.top_lang_per_cell(P.pages_with_derived(spark, sf), _RASTER_RES)
@@ -599,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_lang_cell": _q_top_lang_cell,
         "raster_diff": _q_raster_diff,
         "od_matrix": _q_od_matrix,
+        "raster_users": _q_raster_users,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -775,6 +781,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             _RASTER_RES, "doc_id % 2 = 0", "doc_id % 2 = 1"
         ),
         "od_matrix": TJ.sql_od_matrix(),
+        "raster_users": TJ.sql_raster_users(),
         "doc_stats": "SELECT doc_id, "
         + ", ".join(
             f"{expr} AS {name}" for name, expr in TX.sql_quality_select().items()

@@ -82,3 +82,48 @@ SELECT from_cell, to_cell,
 FROM moves
 WHERE from_cell IS NOT NULL AND from_cell != to_cell
 GROUP BY from_cell, to_cell"""
+
+
+def raster_users(events: DataFrame, res: int = OD_RES) -> DataFrame:
+    """(cell, n_events, n_users) per cell over geocoded events — the
+    events-table sibling of spatial.raster_cells. n_users is exact
+    count_distinct: a two-level shuffle ((cell, user) then cell), the
+    price of exactness the contract needs; raster_users_approx is the
+    single-shuffle HLL twin for 100 TB dashboards."""
+    geo = SG.with_geo(events).withColumn(
+        "cell", grid.cell_encode(F.col("lat"), F.col("lon"), res)
+    )
+    return geo.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def raster_users_approx(events: DataFrame, res: int = OD_RES,
+                        rsd: float = 0.02) -> DataFrame:
+    """HLL variant: one shuffle, mergeable state — the scale path. Error
+    vs exact is pinned by tests, not assumed."""
+    geo = SG.with_geo(events).withColumn(
+        "cell", grid.cell_encode(F.col("lat"), F.col("lon"), res)
+    )
+    return geo.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd).alias("n_users"),
+    )
+
+
+def sql_raster_users(res: int = OD_RES, events_rel: str = "events") -> str:
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+WITH geo AS (
+  SELECT user_id, event_id,
+         (CAST(('0x' || substr(h, 1, 8)) AS BIGINT) / 4294967296.0
+          * 180.0 - 90.0) AS lat,
+         (CAST(('0x' || substr(h, 9, 8)) AS BIGINT) / 4294967296.0
+          * 360.0 - 180.0) AS lon
+  FROM (SELECT *, sha256(CAST(event_id AS VARCHAR)) AS h FROM {events_rel})
+)
+SELECT {cell} AS cell,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM geo GROUP BY 1"""

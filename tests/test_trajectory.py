@@ -43,3 +43,18 @@ def test_cell_transitions_drop_same_cell(spark):
     ev = SW.read_events(spark, SF)
     t = TJ.cell_transitions(ev).collect()
     assert all(r["from_cell"] != r["to_cell"] for r in t)
+
+
+def test_raster_users_exact_and_hll(spark):
+    from fileverification_spark.streaming import windows as SWm
+
+    ev = SWm.read_events(spark, SF)
+    exact = {r["cell"]: (r["n_events"], r["n_users"])
+             for r in TJ.raster_users(ev).collect()}
+    assert sum(n for n, _ in exact.values()) == ev.count()
+    approx = {r["cell"]: r["n_users"]
+              for r in TJ.raster_users_approx(ev).collect()}
+    assert set(approx) == set(exact)
+    # HLL relative error within 3x the configured rsd on every cell
+    for cell, (_, n) in exact.items():
+        assert abs(approx[cell] - n) <= max(3, 0.06 * n), (cell, n, approx[cell])
