@@ -29,14 +29,15 @@ MIN_QUALITY = 0.4
 
 def dedup_keepers(docs: DataFrame) -> DataFrame:
     """One surviving row per distinct (normalised) content: the min-doc_id
-    keeper, matching operators.dedup.dedup_exact's keeper rule."""
-    fp = docs.withColumn("fp", TX.fingerprint(F.col("text")))
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
-    return fp.join(
-        keep,
-        (fp["fp"] == keep["fp"]) & (fp["doc_id"] == keep["keeper_id"]),
-        "inner",
-    ).select(docs["*"])
+    keeper. Delegates the keeper computation to dedup.dedup_exact (one
+    rule, one implementation) and semi-joins on the unique doc_id — a
+    narrow bigint shuffle key instead of the 64-char fingerprint string."""
+    from fileverification_spark.operators import dedup as D
+
+    keepers = D.dedup_exact(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "semi")
 
 
 def curate(

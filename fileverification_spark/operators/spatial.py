@@ -125,6 +125,22 @@ def prune_to_cells(
     return pages.where(F.col("part_cell").isin(parents))
 
 
+def pip_candidates(
+    pages: DataFrame, polys: list[Polygon], res: int, part_res: int = 2
+) -> DataFrame:
+    """Public covering prefilter: broadcast (poly_id, cell) covering equi-
+    joined on the input's `cell` column (works for any relation carrying
+    one — pages, geocoded events). The exact test runs on the output."""
+    return _candidates(pages, polys, res, part_res)
+
+
+def pip_inside_udf(polys: list[Polygon]):
+    """Public handle on the vectorized exact point-in-polygon test (the
+    stateless ray-cast pandas UDF) for composition outside this module —
+    e.g. streaming geofence filters."""
+    return _pip_pandas_udf(polys)
+
+
 def _candidates(
     pages: DataFrame, polys: list[Polygon], res: int, part_res: int = 2
 ) -> DataFrame:
@@ -667,7 +683,16 @@ def distance_join_res(radius: float) -> int:
     the wrap-around disk would duplicate keys)."""
     if radius <= 0:
         raise ValueError("radius must be positive")
-    res = int(math.floor(math.log2(180.0 / radius))) if radius < 180.0 else 1
+    if radius > 90.0:
+        # extent(1) = 90 is the coarsest usable level (res 0's two lon
+        # columns would duplicate wrap-around disk keys), so no permitted
+        # res covers a larger radius — and a >90-degree search on a
+        # 360-degree world is a near-cross-join; express that explicitly.
+        raise ValueError(
+            "radius > 90 degrees exceeds the res-1 cell extent; use an "
+            "explicit crossJoin for globe-scale radii"
+        )
+    res = int(math.floor(math.log2(180.0 / radius)))
     return max(1, min(grid.MAX_RES, res))
 
 
@@ -829,17 +854,31 @@ def uncompact_cells(
     ``target_res`` (a cell at res r has 4^(target-r) of them). Pure
     codegen'd sequence/explode — row count grows exactly by the
     descendant factor, no Python, no shuffle."""
-    r = F.expr("CAST(cell >> 58 AS INT)")
+    # alias first so the arithmetic below can safely name "cell"
+    base = compacted.select(F.col(col).alias("cell"))
+    r = grid.cell_res(F.col("cell")).cast("int")
     d = F.lit(target_res) - r
     n = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), {target_res} - CAST(cell >> 58 AS INT))"
     )
-    src = compacted.select(
-        F.col(col).alias("cell"),
-        grid.cell_lat_idx(F.col(col)).alias("la"),
-        grid.cell_lon_idx(F.col(col)).alias("lo"),
-        n.alias("n"),
-    ).where(d >= 0)
+    src = base.select(
+        F.col("cell"),
+        grid.cell_lat_idx(F.col("cell")).alias("la"),
+        grid.cell_lon_idx(F.col("cell")).alias("lo"),
+        # a cell FINER than target_res cannot be expanded; failing loud
+        # beats silently dropping it (an inverse that loses rows isn't one)
+        F.when(
+            d >= 0, n
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("uncompact_cells: input cell at res "),
+                    r.cast("string"),
+                    F.lit(f" is finer than target_res {target_res}"),
+                )
+            ).cast("bigint")
+        ).alias("n"),
+    )
     out = (
         src.select(
             "cell", "la", "lo", "n",
@@ -1037,6 +1076,7 @@ def nn_join(
     right: DataFrame,
     resolutions: "tuple[int, ...] | None" = None,
     res0: int | None = None,
+    exclude_same_key: bool = True,
 ) -> DataFrame:
     """For every left point, its single nearest right point:
     (url, nn_url, dist2). Both sides can be arbitrarily large — unlike
@@ -1059,6 +1099,12 @@ def nn_join(
     Rows uncertified after the last level (nearest neighbor beyond the
     coarsest guarantee, or an empty right side) hit a cartesian re-scan —
     by then the leftover population is the pathological tail only.
+
+    ``exclude_same_key=True`` (default) drops candidates whose url equals
+    the query's — correct for the self-join reading ("nearest OTHER
+    page"). For a cross-table join where both sides can legitimately
+    carry the same key (e.g. epoch A vs epoch B of one corpus), pass
+    False, or the true nearest would be silently skipped.
 
     The level count is a FIXED short ladder, not a loop-to-convergence:
     each level's ``remaining`` embeds the previous level's subtree twice
@@ -1098,15 +1144,17 @@ def nn_join(
             ),
             "bucket",
             "inner",
-        ).where(F.col("url") != F.col("nn_url"))
+        )
+        if exclude_same_key:
+            cand = cand.where(F.col("url") != F.col("nn_url"))
         best = _argmin_pair(cand.withColumn("dist2", dist2))
         certified = best.where(F.col("dist2") < F.lit(guard * guard))
         certified_parts.append(certified)
         remaining = remaining.join(certified, "url", "left_anti")
     # pathological tail: cartesian re-scan of whatever survived every level
-    tail_cand = remaining.crossJoin(rights).where(
-        F.col("url") != F.col("nn_url")
-    )
+    tail_cand = remaining.crossJoin(rights)
+    if exclude_same_key:
+        tail_cand = tail_cand.where(F.col("url") != F.col("nn_url"))
     tail = _argmin_pair(tail_cand.withColumn("dist2", dist2))
     out = certified_parts[0]
     for part in certified_parts[1:]:

@@ -60,14 +60,7 @@ def sql_od_matrix(res: int = OD_RES, events_rel: str = "events") -> str:
     """Oracle: identical geocode + lag + pair aggregation."""
     cell = grid.sql_cell_encode("lat", "lon", res)
     return f"""
-WITH geo AS (
-  SELECT user_id, ts, event_id,
-         (CAST(('0x' || substr(h, 1, 8)) AS BIGINT) / 4294967296.0
-          * 180.0 - 90.0) AS lat,
-         (CAST(('0x' || substr(h, 9, 8)) AS BIGINT) / 4294967296.0
-          * 360.0 - 180.0) AS lon
-  FROM (SELECT *, sha256(CAST(event_id AS VARCHAR)) AS h FROM {events_rel})
-),
+WITH {SG.sql_geo_cte(events_rel, "user_id, ts, event_id")},
 cells AS (SELECT user_id, ts, event_id, {cell} AS cell FROM geo),
 moves AS (
   SELECT user_id,
@@ -115,14 +108,7 @@ def raster_users_approx(events: DataFrame, res: int = OD_RES,
 def sql_raster_users(res: int = OD_RES, events_rel: str = "events") -> str:
     cell = grid.sql_cell_encode("lat", "lon", res)
     return f"""
-WITH geo AS (
-  SELECT user_id, event_id,
-         (CAST(('0x' || substr(h, 1, 8)) AS BIGINT) / 4294967296.0
-          * 180.0 - 90.0) AS lat,
-         (CAST(('0x' || substr(h, 9, 8)) AS BIGINT) / 4294967296.0
-          * 360.0 - 180.0) AS lon
-  FROM (SELECT *, sha256(CAST(event_id AS VARCHAR)) AS h FROM {events_rel})
-)
+WITH {SG.sql_geo_cte(events_rel, "user_id, event_id")}
 SELECT {cell} AS cell,
        count(*) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -13,8 +13,10 @@ test, not trusted.
 Scale notes: JSONL is splittable line-by-line, so the read
 parallelises like parquet; the explicit schema skips Spark's
 whole-file inference scan (at 100 TB, inference alone would be a full
-extra pass). Timestamps travel as ISO-8601 strings — JSON has no
-timestamp type — and are restored with to_timestamp on read.
+extra pass). Timestamps travel as ISO-8601 strings with microseconds — JSON
+has no timestamp type, and a seconds-only format would silently truncate
+sub-second precision, changing the url|ts geo-hash derivation downstream
+(review r02) — and are restored with to_timestamp on read.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-TS_FMT = "yyyy-MM-dd HH:mm:ss"
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 READ_SCHEMA = T.StructType(
     [

@@ -52,15 +52,14 @@ def geofence_hits(
 ) -> DataFrame:
     """(event_id, ts, user_id, poly_id, lat, lon) for every event inside a
     fence. Stateless: broadcast covering equi-join + pandas-UDF exact
-    test — safe to apply to a stream before any watermark/aggregation."""
-    spark = events.sparkSession
-    covering = S.polygon_covering(polys, res)
-    cov = spark.createDataFrame(covering, ["poly_id", "cov_cell"])
+    test — safe to apply to a stream before any watermark/aggregation.
+    Both stages are the public spatial primitives, so covering/prune
+    behavior stays identical to the batch PIP path by construction."""
     geo = with_geo(events).withColumn(
         "cell", grid.cell_encode(F.col("lat"), F.col("lon"), res)
     )
-    cand = geo.join(F.broadcast(cov), geo["cell"] == cov["cov_cell"], "inner")
-    inside = S._pip_pandas_udf(polys)
+    cand = S.pip_candidates(geo, polys, res)
+    inside = S.pip_inside_udf(polys)
     return cand.where(
         inside(F.col("poly_id"), F.col("lat"), F.col("lon"))
     ).select("event_id", "ts", "user_id", "poly_id", "lat", "lon")
@@ -106,19 +105,28 @@ def geofence_alerts_exact_users(hits: DataFrame) -> DataFrame:
     )
 
 
-def sql_geofence_alerts(polys: list[S.Polygon], events_rel: str = "events") -> str:
-    """Oracle: geocode derivation + crossing-parity PIP + hourly counts,
-    all in one query. Output canon: epoch-seconds window_start (BIGINT),
-    BIGINT counts — driver-canon-proof."""
-    return f"""
-WITH geo AS (
-  SELECT event_id, ts, user_id,
+def sql_geo_cte(events_rel: str = "events",
+                cols: str = "event_id, ts, user_id") -> str:
+    """The ONE DuckDB mirror of with_geo: ``geo`` CTE body deriving
+    lat/lon from sha256(event_id). Every events-table oracle composes
+    this helper so an edit to the derivation cannot de-sync a subset of
+    oracles from the Spark side (review r02)."""
+    return f"""geo AS (
+  SELECT {cols},
          (CAST(('0x' || substr(h, 1, 8)) AS BIGINT) / 4294967296.0
           * 180.0 - 90.0) AS lat,
          (CAST(('0x' || substr(h, 9, 8)) AS BIGINT) / 4294967296.0
           * 360.0 - 180.0) AS lon
   FROM (SELECT *, sha256(CAST(event_id AS VARCHAR)) AS h FROM {events_rel})
-),
+)"""
+
+
+def sql_geofence_alerts(polys: list[S.Polygon], events_rel: str = "events") -> str:
+    """Oracle: geocode derivation + crossing-parity PIP + hourly counts,
+    all in one query. Output canon: epoch-seconds window_start (BIGINT),
+    BIGINT counts — driver-canon-proof."""
+    return f"""
+WITH {sql_geo_cte(events_rel)},
 hits AS (
   SELECT p.event_id, p.ts, p.user_id, p.poly_id FROM (
     SELECT c.poly_id, g.event_id, g.ts, g.user_id, count(*) AS crossings

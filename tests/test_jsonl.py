@@ -33,8 +33,11 @@ def test_jsonl_read_is_schema_explicit(spark, tmp_path):
 
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/part-00000.json", "w") as f:
-        f.write('{"doc_id": 1, "url": "u1", "warc_ts": "2024-01-01 00:00:00", "text": "t", "lang": "en"}\n')
+        f.write('{"doc_id": 1, "url": "u1", "warc_ts": "2024-01-01T00:00:00.250000", "text": "t", "lang": "en"}\n')
         f.write("NOT JSON AT ALL\n")
     rows = J.read_pages_jsonl(spark, path).collect()
     good = [r for r in rows if r["url"] == "u1"]
     assert len(good) == 1 and good[0]["warc_ts"] is not None
+    # sub-second precision survives the transport (truncation would
+    # silently change the url|ts geo-hash derivation)
+    assert good[0]["warc_ts"].microsecond == 250000

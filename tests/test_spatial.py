@@ -180,21 +180,37 @@ def test_distance_join_matches_bruteforce(spark, pages_small):
         ["l_url", "r_url"],
     )
     assert want, "fixture must produce at least one close pair"
-    for res in (None, S.distance_join_res(radius)):
+    # None = auto (finest guaranteed res); also a deliberately COARSER
+    # res (bigger buckets, same answer) — a finer one would violate the
+    # one-ring cover and correctly raises
+    for res in (None, S.distance_join_res(radius) - 1):
         got = _as_set(
             S.distance_self_join(pages_small, radius, res=res),
             ["l_url", "r_url"],
         )
         assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.distance_self_join(pages_small, radius,
+                             res=S.distance_join_res(radius) + 2)
+    with pytest.raises(ValueError):
+        S.distance_join_res(120.0)
 
 
 def test_distance_join_res_guarantee():
-    """Chosen res always keeps one Chebyshev ring covering the radius."""
-    for radius in (0.01, 0.5, 1.0, 3.0, 10.0, 90.0, 179.0, 400.0):
+    """Chosen res always keeps one Chebyshev ring covering the radius;
+    radii beyond the res-1 extent are an explicit error, not a silently
+    broken cover."""
+    import pytest
+
+    for radius in (0.01, 0.5, 1.0, 3.0, 10.0, 90.0):
         res = S.distance_join_res(radius)
         assert 1 <= res <= grid.MAX_RES
-        if radius <= 90.0:  # finer than res 1 exists to pick
-            assert 180.0 / (1 << res) >= radius, (radius, res)
+        assert 180.0 / (1 << res) >= radius, (radius, res)
+    for radius in (90.001, 179.0, 400.0):
+        with pytest.raises(ValueError):
+            S.distance_join_res(radius)
 
 
 def test_distance_join_plan_has_no_cartesian(spark, pages_small):
@@ -404,3 +420,40 @@ def test_raster_diff_identities(spark, pages_small):
     # self-diff is all-zero
     z = S.raster_diff(ra, ra).collect()
     assert all(r["delta"] == 0 for r in z) and len(z) > 0
+
+
+def test_uncompact_rejects_finer_cells_and_honors_col(spark):
+    import pytest
+
+    finer = spark.createDataFrame(
+        [(6 * grid.RES_MULT + 1 * grid.LAT_MULT + 1,)], ["c"]
+    )
+    with pytest.raises(Exception, match="finer than target_res"):
+        S.uncompact_cells(finer, 5, col="c").collect()
+    ok = spark.createDataFrame(
+        [(2 * grid.RES_MULT + 1 * grid.LAT_MULT + 3,)], ["c"]
+    )
+    assert S.uncompact_cells(ok, 4, col="c").count() == 16
+
+
+def test_nn_join_cross_table_same_key(spark, pages_small):
+    """Cross-table NN with overlapping keys: exclude_same_key=False must
+    return the true nearest even when it shares the url."""
+    from pyspark.sql import functions as F
+
+    left = pages_small.limit(20).select("url", "lat", "lon")
+    # epoch B = same keys, slightly shifted coordinates -> for each left
+    # row its own shifted twin is (almost surely) the nearest
+    right = left.select(
+        "url",
+        (F.col("lat") + F.lit(1e-4)).alias("lat"),
+        "lon",
+    )
+    got = {r["url"]: r["nn_url"]
+           for r in S.nn_join(left, right, resolutions=(5,),
+                              exclude_same_key=False).collect()}
+    assert got and all(u == v for u, v in got.items())
+    # default self-exclusion: twin is skipped, answers differ
+    excl = {r["url"]: r["nn_url"]
+            for r in S.nn_join(left, right, resolutions=(2,)).collect()}
+    assert all(u != v for u, v in excl.items())
