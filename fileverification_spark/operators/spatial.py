@@ -1148,7 +1148,14 @@ def nn_join(
         if exclude_same_key:
             cand = cand.where(F.col("url") != F.col("nn_url"))
         best = _argmin_pair(cand.withColumn("dist2", dist2))
-        certified = best.where(F.col("dist2") < F.lit(guard * guard))
+        # certified feeds BOTH the output union and the next level's
+        # anti-join; staging it (lazy localCheckpoint, bounded by |left|)
+        # stops the level's join+argmin from recomputing once per
+        # consumer — measured 3x on the tail path. At cluster scale this
+        # is the staged-table materialisation between passes.
+        certified = best.where(
+            F.col("dist2") < F.lit(guard * guard)
+        ).localCheckpoint(eager=False)
         certified_parts.append(certified)
         remaining = remaining.join(certified, "url", "left_anti")
     # pathological tail: cartesian re-scan of whatever survived every level
