@@ -281,6 +281,18 @@ def _q_raster_users(spark: SparkSession, sf: str) -> DataFrame:
     return TJ.raster_users(SW.read_events(spark, sf))
 
 
+def _q_fence_dwells(spark: SparkSession, sf: str) -> DataFrame:
+    # per (user, fence) gap-session dwell spans; epoch-micros canon
+    return TJ.fence_dwells(SW.read_events(spark, sf), _POLYS).select(
+        "user_id",
+        "poly_id",
+        "session_id",
+        F.unix_micros("enter_ts").alias("enter_ts"),
+        F.unix_micros("exit_ts").alias("exit_ts"),
+        "n_events",
+    )
+
+
 def _q_top_lang_cell(spark: SparkSession, sf: str) -> DataFrame:
     # per-tile heavy hitter via WindowGroupLimit
     return S.top_lang_per_cell(P.pages_with_derived(spark, sf), _RASTER_RES)
@@ -605,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_diff": _q_raster_diff,
         "od_matrix": _q_od_matrix,
         "raster_users": _q_raster_users,
+        "fence_dwells": _q_fence_dwells,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -782,6 +795,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         ),
         "od_matrix": TJ.sql_od_matrix(),
         "raster_users": TJ.sql_raster_users(),
+        "fence_dwells": TJ.sql_fence_dwells(_POLYS),
         "doc_stats": "SELECT doc_id, "
         + ", ".join(
             f"{expr} AS {name}" for name, expr in TX.sql_quality_select().items()

@@ -113,3 +113,85 @@ SELECT {cell} AS cell,
        count(*) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM geo GROUP BY 1"""
+
+
+DWELL_GAP_MIN = 30
+
+
+def fence_dwells(
+    events: DataFrame,
+    polys: list,
+    res: int = 4,
+    gap_min: int = DWELL_GAP_MIN,
+) -> DataFrame:
+    """Dwell sessions per (user, fence): consecutive in-fence events of a
+    user with gaps <= gap_min form one dwell — (user_id, poly_id,
+    enter_ts, exit_ts, n_events). Composes the stateless geofence hit
+    filter with the gap-session rule of streaming.windows.sessionize,
+    partitioned by (user, fence). One window shuffle on (user_id,
+    poly_id) — per-key state is a single lag row, so the same shape runs
+    under applyInPandasWithState for the streaming twin."""
+    hits = SG.geofence_hits(events, polys, res)
+    w = W.partitionBy("user_id", "poly_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_new = hits.withColumn(
+        "is_new", (gap.isNull() | (gap > gap_min * 60)).cast("int")
+    )
+    with_sid = with_new.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return with_sid.groupBy("user_id", "poly_id", "session_id").agg(
+        F.min("ts").alias("enter_ts"),
+        F.max("ts").alias("exit_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sql_fence_dwells(
+    polys: list,
+    events_rel: str = "events",
+    res: int = 4,
+    gap_min: int = DWELL_GAP_MIN,
+) -> str:
+    """Oracle: geo CTE + crossing-parity PIP + the identical gap-session
+    window chain. Timestamps exported as epoch-microsecond BIGINTs (canon-
+    proof), matching the contract query's column casts."""
+    from fileverification_spark.operators import spatial as SP
+
+    return f"""
+WITH {SG.sql_geo_cte(events_rel)},
+hits AS (
+  SELECT p.event_id, p.ts, p.user_id, p.poly_id FROM (
+    SELECT c.poly_id, g.event_id, g.ts, g.user_id, count(*) AS crossings
+    FROM geo g,
+         (VALUES {SP.sql_polygon_edges_values(polys)})
+           AS c(poly_id, y1, x1, y2, x2)
+    WHERE ((c.y1 > g.lat) != (c.y2 > g.lat))
+      AND (g.lon < (c.x2 - c.x1) * (g.lat - c.y1) / (c.y2 - c.y1) + c.x1)
+    GROUP BY c.poly_id, g.event_id, g.ts, g.user_id
+  ) p WHERE p.crossings % 2 = 1
+),
+g2 AS (
+  SELECT user_id, poly_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id, poly_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id,
+                     poly_id ORDER BY ts, event_id)) > {gap_min * 60}
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM hits
+),
+s AS (
+  SELECT user_id, poly_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id, poly_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM g2
+)
+SELECT user_id, poly_id, session_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS enter_ts,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS exit_ts,
+       count(*) AS n_events
+FROM s GROUP BY user_id, poly_id, session_id"""

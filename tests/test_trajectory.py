@@ -58,3 +58,25 @@ def test_raster_users_exact_and_hll(spark):
     # HLL relative error within 3x the configured rsd on every cell
     for cell, (_, n) in exact.items():
         assert abs(approx[cell] - n) <= max(3, 0.06 * n), (cell, n, approx[cell])
+
+
+def test_fence_dwells_invariants(spark):
+    from fileverification_spark.operators import spatial as S
+
+    ev = SW.read_events(spark, SF)
+    polys = S.default_polygons()
+    dwells = TJ.fence_dwells(ev, polys).collect()
+    hits_n = SG.geofence_hits(ev, polys).count()
+    assert dwells and sum(r["n_events"] for r in dwells) == hits_n
+    for r in dwells:
+        assert r["enter_ts"] <= r["exit_ts"]
+    # dwells of one (user, fence) never overlap and respect the gap rule
+    by_key: dict = {}
+    for r in dwells:
+        by_key.setdefault((r["user_id"], r["poly_id"]), []).append(
+            (r["enter_ts"], r["exit_ts"])
+        )
+    for spans in by_key.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert (s2 - e1).total_seconds() > TJ.DWELL_GAP_MIN * 60
