@@ -293,6 +293,18 @@ def _q_fence_dwells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HOTSPOT_RES = 4
+_HOTSPOT_MIN = 4
+
+
+def _q_hotspots(spark: SparkSession, sf: str) -> DataFrame:
+    # grid clustering: hot cells merged into 8-neighborhood components;
+    # oracle pins the components via recursive-CTE closure
+    return S.hotspots(
+        P.pages_with_derived(spark, sf), _HOTSPOT_RES, _HOTSPOT_MIN
+    )
+
+
 def _q_top_lang_cell(spark: SparkSession, sf: str) -> DataFrame:
     # per-tile heavy hitter via WindowGroupLimit
     return S.top_lang_per_cell(P.pages_with_derived(spark, sf), _RASTER_RES)
@@ -615,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "top_lang_cell": _q_top_lang_cell,
         "raster_diff": _q_raster_diff,
+        "hotspots": _q_hotspots,
         "od_matrix": _q_od_matrix,
         "raster_users": _q_raster_users,
         "fence_dwells": _q_fence_dwells,
@@ -790,6 +803,11 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "bbox_query": _with() + "\n" + S.sql_bbox(*_BBOX),
         "zonal_stats": _with() + "\n" + S.sql_zonal_stats(_POLYS),
         "top_lang_cell": _with() + "\n" + S.sql_top_lang_per_cell(_RASTER_RES),
+        # RECURSIVE must sit on the single WITH covering all CTEs
+        "hotspots": "WITH RECURSIVE "
+        + P.pages_cte(LEAF)
+        + ",\n"
+        + S.sql_hotspots(_HOTSPOT_RES, _HOTSPOT_MIN),
         "raster_diff": _with() + "\n" + S.sql_raster_diff(
             _RASTER_RES, "doc_id % 2 = 0", "doc_id % 2 = 1"
         ),

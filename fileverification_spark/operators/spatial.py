@@ -1222,3 +1222,114 @@ FROM      (SELECT {cell} AS cell, count(*) AS n FROM {pages_rel}
 FULL JOIN (SELECT {cell} AS cell, count(*) AS n FROM {pages_rel}
            WHERE {pred_b} GROUP BY 1) b
 ON a.cell = b.cell"""
+
+
+# ---------------------------------------------------------------------------
+# Hotspot detection (grid clustering via connected components)
+# ---------------------------------------------------------------------------
+
+
+def hotspots(pages: DataFrame, res: int, min_count: int) -> DataFrame:
+    """Spatial clusters of activity: cells with >= min_count pages,
+    merged into connected components over 8-neighborhood adjacency
+    (longitude wraps) — (cell, n_pages, hotspot_id), hotspot_id = the
+    smallest cell id in the component.
+
+    Scale split mirrors knn_adaptive/ivf_centroids: the heavy part (per-
+    cell counts) is a distributed partial-agg; the component merge runs
+    driver-side union-find over the HOT CELLS ONLY — a relation bounded
+    by |cells at res| and in practice tiny next to |pages| (hotspots are
+    by definition rare). Labels broadcast back onto the raster. The
+    DuckDB oracle computes the identical components with a recursive-CTE
+    transitive closure, so the component semantics are pinned end-to-end,
+    not just the counts."""
+    raster = (
+        pages.select(
+            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .where(F.col("n_pages") >= min_count)
+    )
+    hot = [r["cell"] for r in raster.select("cell").collect()]
+    nlon = 1 << (res + 1)
+    mask = grid.LAT_MULT - 1
+    parent = {c: c for c in hot}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root union keeps the label = smallest cell id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    hotset = set(hot)
+    for c in hot:
+        la, lo = (c >> 29) & mask, c & mask
+        for dla in (-1, 0, 1):
+            for dlo in (-1, 0, 1):
+                if dla == 0 and dlo == 0:
+                    continue
+                n = (
+                    res * grid.RES_MULT
+                    + (la + dla) * grid.LAT_MULT
+                    + (lo + dlo) % nlon
+                )
+                if 0 <= la + dla < (1 << res) and n in hotset:
+                    union(c, n)
+    labels = [(c, find(c)) for c in hot]
+    spark = pages.sparkSession
+    if not labels:
+        lab_df = spark.createDataFrame(
+            [], "cell bigint, hotspot_id bigint"
+        )
+    else:
+        lab_df = spark.createDataFrame(labels, ["cell", "hotspot_id"])
+    return raster.join(F.broadcast(lab_df), "cell", "inner").select(
+        "cell", "n_pages", "hotspot_id"
+    )
+
+
+def sql_hotspots(res: int, min_count: int, pages_rel: str = "pages") -> str:
+    """Oracle: hot cells + recursive-CTE transitive closure; hotspot_id =
+    min reachable cell. The closure is over hot cells only, so the
+    recursion is tiny, like the driver-side union-find it mirrors."""
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    nlat = 1 << res
+    nlon = 1 << (res + 1)
+    mask = grid.LAT_MULT - 1
+    la = f"((cell >> 29) & {mask})"
+    lo = f"(cell & {mask})"
+    # CTE LIST ONLY (no WITH keyword): the caller splices this into its
+    # own WITH RECURSIVE clause (e.g. after the pages CTE)
+    return f"""hot AS (
+  SELECT cell, count(*) AS n_pages FROM (
+    SELECT {cell} AS cell FROM {pages_rel}
+  ) GROUP BY cell HAVING count(*) >= {min_count}
+),
+edges AS (
+  SELECT a.cell AS b1, b.cell AS b2
+  FROM hot a, hot b
+  WHERE a.cell != b.cell
+    AND abs(({la.replace('cell', 'a.cell')}) - ({la.replace('cell', 'b.cell')})) <= 1
+    AND (abs(({lo.replace('cell', 'a.cell')}) - ({lo.replace('cell', 'b.cell')})) <= 1
+         OR abs(({lo.replace('cell', 'a.cell')}) - ({lo.replace('cell', 'b.cell')})) = {nlon - 1})
+    AND ({la.replace('cell', 'a.cell')}) < {nlat}
+),
+reach AS (
+  SELECT cell AS a, cell AS b FROM hot
+  UNION
+  SELECT r.a, e.b2 FROM reach r JOIN edges e ON r.b = e.b1
+)
+SELECT h.cell, h.n_pages, m.hotspot_id
+FROM hot h JOIN (
+  SELECT a AS cell, min(b) AS hotspot_id FROM reach GROUP BY a
+) m ON h.cell = m.cell"""

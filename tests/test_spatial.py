@@ -457,3 +457,35 @@ def test_nn_join_cross_table_same_key(spark, pages_small):
     excl = {r["url"]: r["nn_url"]
             for r in S.nn_join(left, right, resolutions=(2,)).collect()}
     assert all(u != v for u, v in excl.items())
+
+
+def test_hotspots_components(spark):
+    """Two adjacent hot cells merge; an isolated one keeps its own label;
+    a pair straddling the longitude wrap seam merges too."""
+    from pyspark.sql import functions as F
+
+    res, mc = 3, 3
+    dlat, dlon = 180.0 / (1 << res), 360.0 / (1 << (res + 1))
+
+    def pts(la_idx, lo_idx, n):
+        lat = -90.0 + (la_idx + 0.5) * dlat
+        lon = -180.0 + (lo_idx + 0.5) * dlon
+        return [(f"u{la_idx}_{lo_idx}_{i}", lat, lon) for i in range(n)]
+
+    rows = (
+        pts(1, 1, 3) + pts(1, 2, 4)      # adjacent pair -> one component
+        + pts(4, 8, 5)                   # isolated
+        + pts(6, 0, 3) + pts(6, 15, 3)   # wrap seam (lon 0 and nlon-1)
+        + pts(3, 4, 2)                   # below threshold -> not hot
+    )
+    pages = spark.createDataFrame(rows, ["url", "lat", "lon"])
+    got = {r["cell"]: r["hotspot_id"] for r in S.hotspots(pages, res, mc).collect()}
+
+    def cell(la, lo):
+        return res * grid.RES_MULT + la * grid.LAT_MULT + lo
+
+    assert cell(3, 4) not in got
+    assert got[cell(1, 1)] == got[cell(1, 2)] == cell(1, 1)
+    assert got[cell(4, 8)] == cell(4, 8)
+    assert got[cell(6, 0)] == got[cell(6, 15)] == cell(6, 0)
+    assert len(got) == 5
