@@ -360,6 +360,12 @@ def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_exact(_docs(spark, sf))
 
 
+def _q_ann_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # int8-quantized cosine top-k: the memory-bound ANN scale path with a
+    # bit-exact quantize->reconstruct->rank oracle
+    return SIM.cosine_topk_quantized(_emb(spark, sf), _ANN_QIDS, _ANN_K)
+
+
 def _q_curation_stats(spark: SparkSession, sf: str) -> DataFrame:
     # end-to-end corpus build: exact dedup -> quality gates -> per-lang
     # token accounting, one declarative plan
@@ -641,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_buckets": _q_simhash_buckets,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_quantized_topk": _q_ann_quantized_topk,
         "emb_neardup": _q_emb_neardup,
         "ann_lsh_recall": _q_ann_lsh,
         "ann_ivf_recall": _q_ann_ivf,
@@ -839,6 +846,9 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             "FROM sh GROUP BY simhash HAVING count(*) > 1"
         ),
         "ann_cosine_topk": SIM.sql_cosine_topk_query(_ANN_QIDS, _ANN_K),
+        "ann_quantized_topk": SIM.sql_cosine_topk_quantized_query(
+            _ANN_QIDS, _ANN_K
+        ),
         "emb_neardup": SIM.sql_neardup_query(_NEARDUP_TAU),
         "ann_lsh_recall": SIM.sql_recall_certificate(_ANN_QIDS, _ANN_K),
         "ann_ivf_recall": SIM.sql_recall_certificate(_ANN_QIDS, _ANN_K),

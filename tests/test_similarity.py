@@ -154,3 +154,27 @@ def test_ivf_assignment_deterministic(spark):
     }
     assert a == b
     assert len(set(a.values())) > 1
+
+
+def test_quantized_topk_recall(spark):
+    """int8 reconstruction must keep top-k recall high vs exact cosine
+    (>= 0.8 at k=10 on the fixture), and codes must be integral in
+    [-127, 127]."""
+    from fileverification_spark.operators import similarity as SIM
+
+    emb = _emb(spark)
+    qids = [0, 10, 20]
+    k = 10
+    exact = SIM.cosine_topk(emb, qids, k).collect()
+    quant = SIM.cosine_topk_quantized(emb, qids, k).collect()
+    e = {}
+    g = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in quant:
+        g.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(e[q] & g[q]) / k for q in e]
+    assert min(recalls) >= 0.8, recalls
+
+    codes = SIM.quantize_embeddings(emb).select("codes").first()["codes"]
+    assert all(c == int(c) and -127 <= c <= 127 for c in codes)
