@@ -598,74 +598,102 @@ def _q_lineage(spark: SparkSession, sf: str) -> DataFrame:
     return INC.lineage(report, "r1")
 
 
+# The driver executes at most ~50 contract queries per round (r01 ran
+# 47/47, r02 ran exactly 50/65 — VERDICT r02 "What's wrong" #1). The
+# contract is therefore capped at 50 entries, ordered so that queries
+# with the LEAST driver evidence run first: the 14 r02-unrun queries
+# (including all six r01 canon failures) lead, the 36 r02-driver-green
+# queries follow. Twin/variant queries (shared oracle or trivial
+# derivation of a kept query) live in _DEMOTED instead — still oracle-
+# checked every CI run by tests/test_demoted_contract.py through the
+# driver-mirror strict checker, just not spending driver-window slots.
+_CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    # -- never driver-green (r02 unrun; r01 canon failures among them) --
+    "multimodal_features": _q_multimodal,
+    "multimodal_frames": _q_multimodal_frames,
+    "exclusion_filter": _q_exclusion_filter,
+    "geofence_alerts": _q_geofence_alerts,
+    "windowed_counts": _q_windowed_counts,
+    "sessionize": _q_sessionize,
+    "asof_attribution": _q_asof_attribution,
+    "events_enrich": _q_events_enrich,
+    "tpch_pricing": _q_tpch_pricing,
+    "orders_by_nation": _q_orders_by_nation,
+    "merkle_diff": _q_merkle_diff,
+    "incremental_verify": _q_incremental_verify,
+    "lineage": _q_lineage,
+    "ann_ivf_recall": _q_ann_ivf,
+    # -- r02 driver-green --
+    "pages_derive": _q_pages_derive,
+    "verify_report": _q_verify_report,
+    "verify_counts": _q_verify_counts,
+    "manifest_leaf": _q_manifest_leaf,
+    "merkle_ladder": _q_merkle_ladder,
+    "verify_keys": _q_verify_keys,
+    "report_log": _q_report_log,
+    "manifest_text_roundtrip": _q_manifest_text_roundtrip,
+    "manifest_remove_missing": _q_manifest_remove_missing,
+    "pip_pages": _q_pip_pages,
+    "knn": _q_knn,
+    "distance_join": _q_distance_join,
+    "nn_join": _q_nn_join,
+    "raster_cells": _q_raster,
+    "rasterize_polys": _q_rasterize,
+    "compact_cells": _q_compact_cells,
+    "bbox_query": _q_bbox,
+    "zonal_stats": _q_zonal_stats,
+    "top_lang_cell": _q_top_lang_cell,
+    "raster_diff": _q_raster_diff,
+    "hotspots": _q_hotspots,
+    "od_matrix": _q_od_matrix,
+    "raster_users": _q_raster_users,
+    "fence_dwells": _q_fence_dwells,
+    "doc_stats": _q_doc_stats,
+    "lang_id": _q_lang_id,
+    "fingerprint": _q_fingerprint,
+    "dedup_exact": _q_dedup_exact,
+    "curation_stats": _q_curation_stats,
+    "dedup_minhash": _q_dedup_minhash,
+    "ngram_jaccard": _q_ngram_jaccard,
+    "simhash": _q_simhash,
+    "ann_cosine_topk": _q_ann_topk,
+    "ann_quantized_topk": _q_ann_quantized_topk,
+    "emb_neardup": _q_emb_neardup,
+    "ann_lsh_recall": _q_ann_lsh,
+}
+
+# Twin/variant queries, all r02-driver-green, demoted to keep the
+# contract <= 50. Each is subsumed by a kept query (shared oracle) or is
+# a trivial derivation; tests/test_demoted_contract.py runs every one
+# through tools/check_oracle's strict canon at sf0.001 each CI run.
+_DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    "cell_digests": _q_cell_digests,            # base level of merkle_ladder
+    "cell_digests_salted": _q_cell_digests_salted,
+    "cell_digests_mergeable": _q_cell_digests_mergeable,
+    "point_verify": _q_point_verify,            # single-key form of verify_keys
+    "verify_cell": _q_verify_cell,              # cell-filtered verify_report
+    "hash_only": _q_hash_only,                  # projection of pages_derive
+    "pip_pages_sql": _q_pip_pages_sql,          # JVM twin of pip_pages
+    "pip_counts": _q_pip_counts,                # groupBy of pip_pages
+    "knn_ring": _q_knn_ring,                    # same oracle as knn
+    "knn_adaptive": _q_knn_adaptive,            # same oracle as knn
+    "raster_zoom": _q_raster_zoom,              # same oracle as raster_cells
+    "raster_vectorize": _q_raster_vectorize,    # WKT formatting of raster_cells
+    "uncompact_roundtrip": _q_uncompact_roundtrip,  # inverse of compact_cells
+    "simhash_buckets": _q_simhash_buckets,      # groupBy of simhash
+    "events_dedup": _q_events_dedup,            # key-set projection; streaming
+                                                # twin pytest-pinned
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "pages_derive": _q_pages_derive,
-        "verify_report": _q_verify_report,
-        "verify_counts": _q_verify_counts,
-        "manifest_leaf": _q_manifest_leaf,
-        "cell_digests": _q_cell_digests,
-        "cell_digests_salted": _q_cell_digests_salted,
-        "cell_digests_mergeable": _q_cell_digests_mergeable,
-        "merkle_ladder": _q_merkle_ladder,
-        "point_verify": _q_point_verify,
-        "verify_keys": _q_verify_keys,
-        "verify_cell": _q_verify_cell,
-        "report_log": _q_report_log,
-        "hash_only": _q_hash_only,
-        "manifest_text_roundtrip": _q_manifest_text_roundtrip,
-        "manifest_remove_missing": _q_manifest_remove_missing,
-        "pip_pages": _q_pip_pages,
-        "pip_pages_sql": _q_pip_pages_sql,
-        "pip_counts": _q_pip_counts,
-        "knn": _q_knn,
-        "distance_join": _q_distance_join,
-        "nn_join": _q_nn_join,
-        "knn_ring": _q_knn_ring,
-        "knn_adaptive": _q_knn_adaptive,
-        "raster_cells": _q_raster,
-        "raster_zoom": _q_raster_zoom,
-        "raster_vectorize": _q_raster_vectorize,
-        "rasterize_polys": _q_rasterize,
-        "compact_cells": _q_compact_cells,
-        "uncompact_roundtrip": _q_uncompact_roundtrip,
-        "bbox_query": _q_bbox,
-        "zonal_stats": _q_zonal_stats,
-        "top_lang_cell": _q_top_lang_cell,
-        "raster_diff": _q_raster_diff,
-        "hotspots": _q_hotspots,
-        "od_matrix": _q_od_matrix,
-        "raster_users": _q_raster_users,
-        "fence_dwells": _q_fence_dwells,
-        "doc_stats": _q_doc_stats,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "curation_stats": _q_curation_stats,
-        "dedup_minhash": _q_dedup_minhash,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash": _q_simhash,
-        "simhash_buckets": _q_simhash_buckets,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_quantized_topk": _q_ann_quantized_topk,
-        "emb_neardup": _q_emb_neardup,
-        "ann_lsh_recall": _q_ann_lsh,
-        "ann_ivf_recall": _q_ann_ivf,
-        "multimodal_features": _q_multimodal,
-        "multimodal_frames": _q_multimodal_frames,
-        "exclusion_filter": _q_exclusion_filter,
-        "geofence_alerts": _q_geofence_alerts,
-        "windowed_counts": _q_windowed_counts,
-        "sessionize": _q_sessionize,
-        "events_dedup": _q_events_dedup,
-        "asof_attribution": _q_asof_attribution,
-        "events_enrich": _q_events_enrich,
-        "tpch_pricing": _q_tpch_pricing,
-        "orders_by_nation": _q_orders_by_nation,
-        "merkle_diff": _q_merkle_diff,
-        "incremental_verify": _q_incremental_verify,
-        "lineage": _q_lineage,
-    }
+    return dict(_CONTRACT)
+
+
+def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Twin/variant queries outside the driver window — oracle-checked by
+    tests/test_demoted_contract.py with the same strict canon."""
+    return dict(_DEMOTED)
 
 
 # ---------------------------------------------------------------------------
@@ -713,6 +741,18 @@ WHERE s.digest IS NULL OR l.digest IS NULL OR l.digest != s.digest"""
 
 
 def oracle_sql() -> dict[str, str]:
+    """Oracles for the driver contract — keys match queries() exactly."""
+    full = _all_oracle_sql()
+    return {k: full[k] for k in _CONTRACT}
+
+
+def demoted_oracle_sql() -> dict[str, str]:
+    """Oracles for the demoted twin queries (pytest gate)."""
+    full = _all_oracle_sql()
+    return {k: full[k] for k in _DEMOTED}
+
+
+def _all_oracle_sql() -> dict[str, str]:
     stored = f"stored AS ({V.sql_tampered_manifest()})"
     report = f"report AS ({V.sql_verify_report()})"
     return {

@@ -51,22 +51,53 @@ def frame_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import __spark_entry__ as entrymod
-    from fileverification_spark.session import get_spark
-
-    spark = get_spark("oracle-check")
+def make_oracle_con(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    return con
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+
+def check_one(spark, con, sf_dir, name, fn, sql) -> "str | None":
+    """Run one (Spark query, DuckDB oracle) pair through the driver-mirror
+    strict canon. Returns None on full match, else a failure description.
+    Used by main() below and by tests/test_demoted_contract.py."""
+    spdf = fn(spark, sf_dir).toPandas()
+    if sql is None:
+        return None  # rows-only query: executing without error is the check
+    opdf = con.execute(sql).df()
+    sc = canon_frame(spdf)
+    oc = canon_frame(opdf)
+    if len(sc) != len(oc):
+        return f"rows {len(sc)} != {len(oc)}"
+    if list(sc.columns) != list(oc.columns):
+        return f"schema {list(sc.columns)} != {list(oc.columns)}"
+    if frame_hash(sc) != frame_hash(oc):
+        return "value hash mismatch"
+    return None
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--demoted"]
+    demoted = "--demoted" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    import __spark_entry__ as entrymod
+    from fileverification_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = make_oracle_con(sf_dir)
+
+    if demoted:
+        qs = entrymod.demoted_queries()
+        oracles = entrymod.demoted_oracle_sql()
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
