@@ -725,6 +725,12 @@ def distance_self_join(
     """
     if res is None:
         res = distance_join_res(radius)
+    if res < 1:
+        # res 0 has only two lon columns, so the +/-1 disk offsets alias
+        # mod 2 and duplicate bucket keys (duplicated output pairs) —
+        # same floor distance_join_res enforces, here for explicit res
+        # (ADVICE r02 #1)
+        raise ValueError("res must be >= 1 (res 0 wrap-around aliases)")
     extent = 180.0 / (1 << res)
     if extent < radius:
         raise ValueError(
@@ -856,24 +862,22 @@ def uncompact_cells(
     descendant factor, no Python, no shuffle."""
     # alias first so the arithmetic below can safely name "cell"
     base = compacted.select(F.col(col).alias("cell"))
-    r = grid.cell_res(F.col("cell")).cast("int")
-    d = F.lit(target_res) - r
-    n = F.expr(
-        f"shiftleft(CAST(1 AS BIGINT), {target_res} - CAST(cell >> 58 AS INT))"
-    )
     src = base.select(
         F.col("cell"),
         grid.cell_lat_idx(F.col("cell")).alias("la"),
         grid.cell_lon_idx(F.col("cell")).alias("lo"),
+        (F.lit(target_res) - grid.cell_res(F.col("cell")).cast("int")).alias("d"),
+    ).select(
+        "cell", "la", "lo",
         # a cell FINER than target_res cannot be expanded; failing loud
         # beats silently dropping it (an inverse that loses rows isn't one)
         F.when(
-            d >= 0, n
+            F.col("d") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), d)")
         ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("uncompact_cells: input cell at res "),
-                    r.cast("string"),
+                    (F.lit(target_res) - F.col("d")).cast("string"),
                     F.lit(f" is finer than target_res {target_res}"),
                 )
             ).cast("bigint")
@@ -976,9 +980,13 @@ def zonal_stats(pip: DataFrame) -> DataFrame:
     distinct langs, and the sorted lang:count histogram string (the
     vector-side twin of raster_cells' per-cell stats). One partial-agg
     shuffle on poly_id; |polys| output rows."""
-    per_lang = pip.groupBy("poly_id", "lang").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # NULL lang folds to '' BEFORE grouping: concat_ws would silently skip
+    # a null operand (bare count entry) while the SQL twin's `lang || ':'`
+    # nulls the whole element and string_agg drops it — coalescing on both
+    # sides keeps the histograms identical on NULL-lang rows (ADVICE r02 #2)
+    per_lang = pip.groupBy(
+        "poly_id", F.coalesce(F.col("lang"), F.lit("")).alias("lang")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     return per_lang.groupBy("poly_id").agg(
         F.sum("cnt").cast("bigint").alias("n_pages"),
         F.count(F.lit(1)).cast("bigint").alias("n_langs"),
@@ -1002,9 +1010,9 @@ SELECT poly_id,
        string_agg(lang || ':' || CAST(cnt AS VARCHAR), ','
                   ORDER BY lang || ':' || CAST(cnt AS VARCHAR)) AS lang_hist
 FROM (
-  SELECT poly_id, lang, count(*) AS cnt
+  SELECT poly_id, coalesce(lang, '') AS lang, count(*) AS cnt
   FROM ({sql_pip_with_lang(polys, pages_rel)}) AS _pip
-  GROUP BY poly_id, lang
+  GROUP BY 1, 2
 ) GROUP BY poly_id"""
 
 
@@ -1229,7 +1237,31 @@ ON a.cell = b.cell"""
 # ---------------------------------------------------------------------------
 
 
-def hotspots(pages: DataFrame, res: int, min_count: int) -> DataFrame:
+def _hot_raster(pages: DataFrame, res: int, min_count: int) -> DataFrame:
+    """(cell, n_pages) for cells with >= min_count pages: the heavy,
+    fully distributed partial-agg shared by both hotspot paths."""
+    return (
+        pages.select(
+            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .where(F.col("n_pages") >= min_count)
+    )
+
+
+# Driver-side union-find is O(|hot cells|) driver memory; past this many
+# hot cells the caller must use hotspots_distributed (ADVICE r02 #3:
+# res 12+/min_count 1 could otherwise OOM the driver silently).
+HOTSPOTS_MAX_DRIVER_CELLS = 2_000_000
+
+
+def hotspots(
+    pages: DataFrame,
+    res: int,
+    min_count: int,
+    max_driver_cells: int = HOTSPOTS_MAX_DRIVER_CELLS,
+) -> DataFrame:
     """Spatial clusters of activity: cells with >= min_count pages,
     merged into connected components over 8-neighborhood adjacency
     (longitude wraps) — (cell, n_pages, hotspot_id), hotspot_id = the
@@ -1242,16 +1274,24 @@ def hotspots(pages: DataFrame, res: int, min_count: int) -> DataFrame:
     by definition rare). Labels broadcast back onto the raster. The
     DuckDB oracle computes the identical components with a recursive-CTE
     transitive closure, so the component semantics are pinned end-to-end,
-    not just the counts."""
-    raster = (
-        pages.select(
-            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell")
+    not just the counts.
+
+    The hot set is NOT bounded by the input size: at a fine ``res`` with
+    a low ``min_count`` a 100x corpus makes more cells hot at a fixed
+    threshold. The driver path therefore fails loud past
+    ``max_driver_cells`` and points at :func:`hotspots_distributed`
+    (min-label propagation, no driver collect), which is the scale path."""
+    raster = _hot_raster(pages, res, min_count)
+    # limit(N+1) bounds the collect itself, so the guard cannot OOM the
+    # driver on the way to raising
+    hot_rows = raster.select("cell").limit(max_driver_cells + 1).collect()
+    if len(hot_rows) > max_driver_cells:
+        raise ValueError(
+            f"hotspots: >{max_driver_cells} hot cells exceeds the driver "
+            "union-find bound; use hotspots_distributed() or raise "
+            "min_count / coarsen res"
         )
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_pages"))
-        .where(F.col("n_pages") >= min_count)
-    )
-    hot = [r["cell"] for r in raster.select("cell").collect()]
+    hot = [r["cell"] for r in hot_rows]
     nlon = 1 << (res + 1)
     mask = grid.LAT_MULT - 1
     parent = {c: c for c in hot}
@@ -1296,6 +1336,86 @@ def hotspots(pages: DataFrame, res: int, min_count: int) -> DataFrame:
     return raster.join(F.broadcast(lab_df), "cell", "inner").select(
         "cell", "n_pages", "hotspot_id"
     )
+
+
+def hotspots_distributed(
+    pages: DataFrame,
+    res: int,
+    min_count: int,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Scale path for :func:`hotspots`: identical output (cell, n_pages,
+    hotspot_id), NO driver-side collect of the hot set (VERDICT r02 #4).
+
+    Connected components by min-label propagation over the hot-cell
+    relation:
+
+    - hot raster = the same distributed partial-agg as the driver path;
+    - edge relation built once: each hot cell explodes its 3x3 Chebyshev
+      disk (grid_disk k=1, longitude wraps) and semi-joins back to the
+      hot set — |edges| <= 8|hot|, shuffled on the cell key;
+    - iterate label(cell) <- min(label(cell), min label over neighbors)
+      to fixpoint. Each sweep is one equi-join + one partial-agg min on
+      the TINY hot relation (never |pages|); the loop runs O(component
+      diameter) sweeps, each eagerly localCheckpointed so lineage stays
+      flat instead of doubling per iteration (same staging discipline as
+      nn_join levels). Convergence is detected with a changed-row count
+      — one driver-side scalar per sweep, never row data.
+
+    The driver path (:func:`hotspots`) stays preferable interactively at
+    coarse res: label propagation pays ~diameter shuffle rounds where
+    union-find pays one collect. At fine res / low min_count — where the
+    hot set is unbounded in the input and the driver path fails loud —
+    this form is the only safe one. ``max_iters`` bounds pathological
+    snake-shaped components; it raises rather than returning unconverged
+    labels (a wrong component id is a correctness bug, not a timeout)."""
+    raster = _hot_raster(pages, res, min_count).persist()
+    hot = raster.select("cell")
+    # symmetric adjacency: (cell, nbr) with both endpoints hot
+    nbrs = hot.select(
+        "cell",
+        F.explode(grid.grid_disk(F.col("cell"), res, 1)).alias("nbr"),
+    ).where(F.col("cell") != F.col("nbr"))
+    edges = nbrs.join(
+        hot.select(F.col("cell").alias("nbr")), "nbr", "left_semi"
+    ).persist()
+
+    labels = hot.select("cell", F.col("cell").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        msgs = edges.join(labels, "cell", "inner").select(
+            F.col("nbr").alias("cell"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("cell")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "cell")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        raster.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"hotspots_distributed: labels not converged after {max_iters} "
+            "sweeps (component diameter exceeds max_iters)"
+        )
+    out = (
+        raster.join(labels, "cell", "inner")
+        .select("cell", "n_pages", F.col("label").alias("hotspot_id"))
+        .localCheckpoint(eager=True)
+    )
+    raster.unpersist()
+    edges.unpersist()
+    return out
 
 
 def sql_hotspots(res: int, min_count: int, pages_rel: str = "pages") -> str:

@@ -16,7 +16,12 @@ whole-file inference scan (at 100 TB, inference alone would be a full
 extra pass). Timestamps travel as ISO-8601 strings with microseconds — JSON
 has no timestamp type, and a seconds-only format would silently truncate
 sub-second precision, changing the url|ts geo-hash derivation downstream
-(review r02) — and are restored with to_timestamp on read.
+(review r02) — and are restored with to_timestamp on read. The format
+carries an explicit zone offset suffix (`XXX`, rendering `Z` at UTC),
+so files are self-describing and round-trip-safe even when writer and
+reader sessions pin different spark.sql.session.timeZone values
+(ADVICE r02 #4). The reader also tolerates offset-less strings from
+legacy/foreign producers, parsing those in the session zone.
 """
 
 from __future__ import annotations
@@ -25,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+# Offset-less legacy/foreign-producer form: parsed in the session zone
+# (the pre-ADVICE-r02 behavior) only when the self-describing form fails.
+TS_FMT_NO_OFFSET = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 READ_SCHEMA = T.StructType(
     [
@@ -58,7 +66,10 @@ def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(
         "doc_id",
         "url",
-        F.to_timestamp("warc_ts", TS_FMT).alias("warc_ts"),
+        F.coalesce(
+            F.try_to_timestamp(F.col("warc_ts"), F.lit(TS_FMT)),
+            F.try_to_timestamp(F.col("warc_ts"), F.lit(TS_FMT_NO_OFFSET)),
+        ).alias("warc_ts"),
         "text",
         "lang",
     )

@@ -489,3 +489,47 @@ def test_hotspots_components(spark):
     assert got[cell(4, 8)] == cell(4, 8)
     assert got[cell(6, 0)] == got[cell(6, 15)] == cell(6, 0)
     assert len(got) == 5
+
+    # the distributed label-propagation path computes identical components
+    dist = {
+        r["cell"]: r["hotspot_id"]
+        for r in S.hotspots_distributed(pages, res, mc).collect()
+    }
+    assert dist == got
+
+
+def test_hotspots_driver_guard(spark, pages_small):
+    """Past max_driver_cells the driver path fails loud instead of
+    collecting an unbounded hot set (ADVICE r02 #3)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="hotspots_distributed"):
+        S.hotspots(pages_small, 6, 1, max_driver_cells=3)
+
+
+def test_hotspots_distributed_no_driver_collect(spark, pages_small):
+    """The scale path must never ship hot-set rows to the driver: patch
+    DataFrame.collect to explode for the duration (count() and
+    localCheckpoint() don't route through it) and pin agreement with the
+    recursive-closure semantics on real data (VERDICT r02 #4)."""
+    from pyspark.sql import DataFrame
+
+    res, mc = 4, 4
+    expected = {
+        (r["cell"], r["n_pages"], r["hotspot_id"])
+        for r in S.hotspots(pages_small, res, mc).collect()
+    }
+    orig = DataFrame.collect
+
+    def boom(self):
+        raise AssertionError("driver collect on the hotspots scale path")
+
+    DataFrame.collect = boom
+    try:
+        out = S.hotspots_distributed(pages_small, res, mc)
+    finally:
+        DataFrame.collect = orig
+    assert {
+        (r["cell"], r["n_pages"], r["hotspot_id"]) for r in out.collect()
+    } == expected
+    assert expected  # non-vacuous: sf0.001 has hot cells at these params
