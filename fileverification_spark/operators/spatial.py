@@ -801,16 +801,12 @@ def compact_cells(cells: DataFrame, res: int, col: str = "cell") -> DataFrame:
     resolutions stay unambiguous)."""
     if res == 0:
         return cells.select(F.col(col).alias("cell")).distinct()
-    # The leaf set is referenced by every level below; localCheckpoint
-    # (lazy) truncates its lineage so the res+1 consumers share ONE
+    # The leaf set is referenced by every level below; _stage (lazy)
+    # truncates its lineage so the res+1 consumers share ONE
     # materialisation of the (tiny, |cells|-row) mask instead of res+1
-    # copies of however expensive the producing plan was. At cluster
-    # scale substitute a reliable checkpoint dir / staged table.
-    leaf = (
-        cells.select(F.col(col).alias("cell"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # copies of however expensive the producing plan was — reliable
+    # checkpoint on the cluster, localCheckpoint in local/test runs.
+    leaf = _stage(cells.select(F.col(col).alias("cell")).distinct())
     # Non-recursive: an ancestor at level r is FULL iff all 4^(res-r) of
     # its descendant slots are present, so every level aggregates straight
     # off the leaf set — each full[r] is leaf -> one groupBy, and the
@@ -1069,6 +1065,20 @@ SELECT cell, lang AS top_lang, cnt FROM (
 # ---------------------------------------------------------------------------
 
 
+def _stage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Lineage barrier for multi-consumer intermediates: a RELIABLE
+    checkpoint when the session has a checkpoint dir configured (the
+    cluster deployment — survives executor loss and truncates lineage in
+    the persisted plan, the staged-table materialisation between passes),
+    else a localCheckpoint (the local/test default, executor-local
+    blocks only). ``eager=True`` for iterate-to-fixpoint loops where the
+    sweep must materialise before the convergence probe reads it."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _argmin_pair(cand: DataFrame) -> DataFrame:
     """rank-1 by (dist2, nn_url) per url — as min(struct(...)), NOT a
     row_number window: struct-min is partial-aggregatable, so the shuffle
@@ -1157,13 +1167,10 @@ def nn_join(
             cand = cand.where(F.col("url") != F.col("nn_url"))
         best = _argmin_pair(cand.withColumn("dist2", dist2))
         # certified feeds BOTH the output union and the next level's
-        # anti-join; staging it (lazy localCheckpoint, bounded by |left|)
-        # stops the level's join+argmin from recomputing once per
-        # consumer — measured 3x on the tail path. At cluster scale this
-        # is the staged-table materialisation between passes.
-        certified = best.where(
-            F.col("dist2") < F.lit(guard * guard)
-        ).localCheckpoint(eager=False)
+        # anti-join; staging it (lazy, bounded by |left| rows) stops the
+        # level's join+argmin from recomputing once per consumer —
+        # measured 3x on the tail path.
+        certified = _stage(best.where(F.col("dist2") < F.lit(guard * guard)))
         certified_parts.append(certified)
         remaining = remaining.join(certified, "url", "left_anti")
     # pathological tail: cartesian re-scan of whatever survived every level
@@ -1357,9 +1364,9 @@ def hotspots_distributed(
     - iterate label(cell) <- min(label(cell), min label over neighbors)
       to fixpoint. Each sweep is one equi-join + one partial-agg min on
       the TINY hot relation (never |pages|); the loop runs O(component
-      diameter) sweeps, each eagerly localCheckpointed so lineage stays
-      flat instead of doubling per iteration (same staging discipline as
-      nn_join levels). Convergence is detected with a changed-row count
+      diameter) sweeps, each eagerly staged (reliable checkpoint on the
+      cluster, localCheckpoint locally) so lineage stays flat instead of
+      doubling per iteration (same staging discipline as nn_join levels). Convergence is detected with a changed-row count
       — one driver-side scalar per sweep, never row data.
 
     The driver path (:func:`hotspots`) stays preferable interactively at
@@ -1380,17 +1387,16 @@ def hotspots_distributed(
         hot.select(F.col("cell").alias("nbr")), "nbr", "left_semi"
     ).persist()
 
-    labels = hot.select("cell", F.col("cell").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _stage(hot.select("cell", F.col("cell").alias("label")), eager=True)
     for _ in range(max_iters):
         msgs = edges.join(labels, "cell", "inner").select(
             F.col("nbr").alias("cell"), "label"
         )
-        new_labels = (
+        new_labels = _stage(
             labels.unionByName(msgs)
             .groupBy("cell")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            eager=True,
         )
         n_changed = (
             new_labels.alias("n")
@@ -1408,10 +1414,11 @@ def hotspots_distributed(
             f"hotspots_distributed: labels not converged after {max_iters} "
             "sweeps (component diameter exceeds max_iters)"
         )
-    out = (
-        raster.join(labels, "cell", "inner")
-        .select("cell", "n_pages", F.col("label").alias("hotspot_id"))
-        .localCheckpoint(eager=True)
+    out = _stage(
+        raster.join(labels, "cell", "inner").select(
+            "cell", "n_pages", F.col("label").alias("hotspot_id")
+        ),
+        eager=True,
     )
     raster.unpersist()
     edges.unpersist()
