@@ -11,10 +11,12 @@ NFA (510 lines, PatternMatcher.cs:102-508), regex ignore-case
 Here the whole subsystem compiles to ONE Column predicate:
 
 - exact / substring     → ``==`` / ``contains``
-- DOS wildcard          → SQL LIKE on upper-cased strings
-  (``*``→``%``, ``?``→``_``; the NT-era ``<ANGLE>``/``>``/``"`` DOS
-  edge semantics are deliberately dropped — documented simplification,
-  SURVEY §2.2 F4)
+- DOS wildcard          → SQL LIKE on upper-cased strings for plain
+  ``*``/``?`` patterns (``*``→``%``, ``?``→``_``); patterns carrying the
+  NT-era edge chars ``<`` (DOS_QM) / ``>`` (DOS_STAR) / ``"`` (DOS_DOT)
+  compile through :func:`dos_to_regex` to an anchored regex with the
+  full FsRtlIsNameInExpression semantics (PatternMatcher.cs:81-92,
+  319-433 — documented public NT behaviour, implemented from the spec)
 - regex                 → ``rlike`` with (?i)
 
 Because it is a plain Column expression, Catalyst pushes it into the
@@ -91,6 +93,153 @@ def dos_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+#: NT DOS wildcard edge chars (PatternMatcher.cs:11-13): ``>`` is
+#: DOS_STAR, ``<`` is DOS_QM, ``"`` is DOS_DOT.
+_NT_CHARS = frozenset('<>"')
+
+
+def dos_to_regex(pattern: str, dialect: str = "java") -> str:
+    """Compile a DOS wildcard expression (incl. the NT edge chars) to an
+    ANCHORED regex with FsRtlIsNameInExpression semantics
+    (PatternMatcher.cs:81-92; the Windows driver-kit documented rules):
+
+    - ``*``  matches zero or more of any character;
+    - ``?``  matches exactly one character (any, incl. ``.``);
+    - ``>``  (DOS_STAR) matches zero or more characters, but may only
+      consume a ``.`` when another ``.`` follows later in the NAME —
+      i.e. it can never eat the final dot (PatternMatcher.cs:330-372);
+    - ``<``  (DOS_QM) consumes one non-dot character, or matches zero
+      characters when the cursor sits on a ``.`` or at end of name
+      (PatternMatcher.cs:388-397);
+    - ``"``  (DOS_DOT) matches a ``.``, or zero characters at end of
+      name (PatternMatcher.cs:404-415).
+
+    ``dialect="java"`` (Spark ``rlike``) uses lookaheads and covers every
+    pattern. ``dialect="re2"`` (DuckDB ``regexp_matches``) has no
+    lookahead; the constructs whose epsilon rules collapse against the
+    FOLLOWING pattern atom (a ``<`` run or ``>`` before a literal ``.``,
+    a ``"``, or pattern end) compile exactly, anything else raises
+    ValueError so the SQL mirror fails loud instead of drifting.
+
+    Comparison is case-sensitive here — callers upper-case both pattern
+    and name like the reference (Name.cs:58-60)."""
+    if dialect not in ("java", "re2"):
+        raise ValueError(f"unknown dialect {dialect!r}")
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "*":
+            out.append(".*")
+            i += 1
+        elif ch == "?":
+            out.append(".")
+            i += 1
+        elif ch == '"':
+            out.append(r"(?:\.|$)")
+            i += 1
+        elif ch == "<":
+            k = 0
+            while i < n and pattern[i] == "<":
+                k, i = k + 1, i + 1
+            nxt = pattern[i] if i < n else None
+            if nxt == ".":
+                # epsilon requires the cursor on a dot; the literal dot
+                # that follows consumes it either way
+                out.append(r"[^.]{0,%d}\." % k)
+                i += 1
+            elif nxt == '"':
+                out.append(r"[^.]{0,%d}(?:\.|$)" % k)
+                i += 1
+            elif nxt is None:
+                out.append(r"[^.]{0,%d}" % k)
+            elif dialect == "java":
+                out.append(r"(?:[^.]{%d}|[^.]{0,%d}(?=\.|$))" % (k, k - 1)
+                           if k > 1 else r"(?:[^.]|(?=\.|$))")
+            else:
+                raise ValueError(
+                    f"DOS_QM run before {nxt!r} needs lookahead; "
+                    "not expressible in RE2"
+                )
+        elif ch == ">":
+            nxt = pattern[i + 1] if i + 1 < n else None
+            if nxt == ".":
+                # every dot DOS_STAR eats is followed by the dot the
+                # literal consumes, so the no-final-dot rule is free
+                out.append(r".*\.")
+                i += 2
+            elif nxt == '"':
+                # DOS_DOT eats a dot (same as above) or matches end —
+                # and at end, DOS_STAR's swallowed text must be dot-free
+                out.append(r"(?:.*\.|[^.]*$)")
+                i += 2
+            elif nxt is None:
+                # runs to end of name: any dot it ate would be final
+                out.append(r"[^.]*")
+                i += 1
+            elif dialect == "java":
+                out.append(r"(?:[^.]|\.(?=.*\.))*")
+                i += 1
+            else:
+                raise ValueError(
+                    f"DOS_STAR before {nxt!r} needs lookahead; "
+                    "not expressible in RE2"
+                )
+        else:
+            out.append(re.escape(ch))
+            i += 1
+    return "^" + "".join(out) + "$"
+
+
+def dos_match(pattern: str, name: str) -> bool:
+    """Pure-Python reference matcher for the same FsRtl semantics —
+    memoised recursive descent over (pattern index, name index), used by
+    the property tests to pin :func:`dos_to_regex` (never in the data
+    plane). Case-sensitive; empty name or empty pattern never match
+    (PatternMatcher.cs:133-137); ``*``/``*.*`` fast paths are the
+    caller's job like the reference's (PatternMatcher.cs:143-147)."""
+    if not pattern or not name:
+        return False
+    # precompute: is there a '.' at or after name index j
+    n = len(name)
+    dot_after = [False] * (n + 1)
+    for j in range(n - 1, -1, -1):
+        dot_after[j] = name[j] == "." or dot_after[j + 1]
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def go(pi: int, ni: int) -> bool:
+        if pi == len(pattern):
+            return ni == n
+        ch = pattern[pi]
+        if ch == "*":
+            return any(go(pi + 1, j) for j in range(ni, n + 1))
+        if ch == ">":
+            # consume zero+ chars; a consumed '.' needs a later '.'
+            j = ni
+            while True:
+                if go(pi + 1, j):
+                    return True
+                if j >= n:
+                    return False
+                if name[j] == "." and not dot_after[j + 1]:
+                    return False  # would eat the final dot
+                j += 1
+        if ch == "?":
+            return ni < n and go(pi + 1, ni + 1)
+        if ch == "<":
+            if ni == n or name[ni] == ".":
+                return go(pi + 1, ni)  # epsilon at dot / end
+            return go(pi + 1, ni + 1)
+        if ch == '"':
+            if ni == n:
+                return go(pi + 1, ni)
+            return name[ni] == "." and go(pi + 1, ni + 1)
+        return ni < n and name[ni] == ch and go(pi + 1, ni + 1)
+
+    return go(0, 0)
+
+
 def _leaf_name(url: Column) -> Column:
     """F6 projection: the 'file name' of a url (last path segment)."""
     return F.substring_index(url, "/", -1)
@@ -105,7 +254,10 @@ def name_match(name: Column, pattern: str) -> Column:
     if pattern in ("*", "*.*"):
         return F.lit(True)
     stages = (name == F.lit(pattern)) | name.contains(F.lit(pattern))
-    if "*" in pattern or "?" in pattern:
+    if _NT_CHARS & set(pattern):
+        # full FsRtl semantics; Java regex carries the lookaheads
+        stages = stages | F.upper(name).rlike(dos_to_regex(pattern.upper()))
+    elif "*" in pattern or "?" in pattern:
         stages = stages | F.upper(name).like(dos_to_like(pattern.upper()))
     try:
         re.compile(pattern)
@@ -191,7 +343,12 @@ def _sql_name_cascade(target: str, p: str) -> str:
         return "TRUE"
     q = p.replace("'", "''")
     stage = f"({target} = '{q}' OR strpos({target}, '{q}') > 0"
-    if "*" in p or "?" in p:
+    if _NT_CHARS & set(p):
+        # RE2 dialect: raises on lookahead-needing shapes rather than
+        # letting the oracle drift from the Spark predicate
+        rx = dos_to_regex(p.upper(), dialect="re2").replace("'", "''")
+        stage += f" OR regexp_matches(upper({target}), '{rx}')"
+    elif "*" in p or "?" in p:
         lk = dos_to_like(p.upper()).replace("'", "''")
         stage += f" OR upper({target}) LIKE '{lk}' ESCAPE '\\'"
     try:
