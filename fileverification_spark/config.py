@@ -23,8 +23,8 @@ Because it is a plain Column expression, Catalyst pushes it into the
 parquet/Iceberg scan (PushedFilters) — the reference evaluates the same
 patterns per file in C# *after* enumeration (PathInfo.cs:213-231); here
 excluded partitions are never read. Config itself is a plain dataclass
-loaded from JSON (the XML transport is host plumbing, not query
-semantics — SURVEY non-goals).
+loaded from JSON (native) or from the reference's own XML settings
+schema (:meth:`JobConfig.from_xml` ⇔ XmlFile.cs:74-104).
 """
 
 from __future__ import annotations
@@ -58,6 +58,8 @@ class JobConfig:
     algorithm: str = "sha256"
     allow_remove: bool = False   # Settings.cs allowremove
     threads: int | None = None   # --threads ⇔ parallelism (cluster-managed)
+    notifications: list = field(default_factory=list)  # notify.Notification
+    notify_wait_ms: int = 60_000  # Notifications.cs:21 DEFAULT_WAIT_TIME
 
     @classmethod
     def from_json(cls, path: str) -> "JobConfig":
@@ -75,6 +77,51 @@ class JobConfig:
             allow_remove=bool(raw.get("allow_remove", False)),
             threads=raw.get("threads"),
         )
+
+    @classmethod
+    def from_xml(cls, path: str) -> "JobConfig":
+        """Reference-native settings transport (XmlFile.cs:74-104,
+        Settings.cs:8-36): ``<settings>`` root with ``<exclusions>``
+        (``<files>/<folders>`` holding ``<name>`` text nodes —
+        FileBase.cs:14-17, Name.cs:20-21; ``<paths><path>``,
+        ``<attributes><attribute>``) and ``<allowremove>``. Notification
+        endpoints (``<notifications><notification>`` —
+        Notifications.cs:37-42, Notification.cs:23-89, Data.cs:22-35,
+        Header.cs:12-16) are parsed into :mod:`..notify` objects via
+        :func:`parse_notifications_xml`; they ride on the returned
+        config as ``.notifications`` / ``.notify_wait_ms``."""
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(path).getroot()
+        if root.tag != "settings":
+            raise ValueError(f"expected <settings> root, got <{root.tag}>")
+
+        def texts(parent_path: str) -> list[str]:
+            return [
+                (el.text or "").strip()
+                for el in root.findall(parent_path)
+                if (el.text or "").strip()
+            ]
+
+        allow_el = root.find("allowremove")
+        cfg = cls(
+            exclusions=Exclusions(
+                names=texts("exclusions/files/name"),
+                folders=texts("exclusions/folders/name"),
+                paths=texts("exclusions/paths/path"),
+                attributes=texts("exclusions/attributes/attribute"),
+            ),
+            allow_remove=(allow_el is not None
+                          and (allow_el.text or "").strip().lower()
+                          in ("true", "1")),
+        )
+        notif_el = root.find("notifications")
+        if notif_el is not None:
+            from .notify import parse_notifications_xml
+
+            cfg.notifications, cfg.notify_wait_ms = (
+                parse_notifications_xml(notif_el))
+        return cfg
 
 
 _LIKE_SPECIAL = re.compile(r"([%_\\])")

@@ -159,3 +159,75 @@ def test_config_from_json(tmp_path):
     assert cfg.exclusions.names == ["*.tmp"]
     assert cfg.algorithm == "md5"
     assert cfg.allow_remove is True
+
+
+def test_config_from_xml(tmp_path):
+    """Reference-native XML settings transport (XmlFile.cs:74-104,
+    Settings.cs:8-36, FileBase.cs:14-17, Paths.cs:15, Attributes.cs:16)."""
+    p = tmp_path / "settings.xml"
+    p.write_text("""<?xml version="1.0"?>
+<settings>
+  <exclusions>
+    <files><name>*.tmp</name><name>thumbs.db</name></files>
+    <folders><name>node_modules</name></folders>
+    <paths><path>/cache/</path></paths>
+    <attributes><attribute>Hidden</attribute></attributes>
+  </exclusions>
+  <allowremove>true</allowremove>
+  <notifications>
+    <waittime>31000</waittime>
+    <notification>
+      <url>http://hook/x</url>
+      <data><body>{"m": "[message]"}</body></data>
+    </notification>
+  </notifications>
+</settings>
+""")
+    cfg = C.JobConfig.from_xml(str(p))
+    assert cfg.exclusions.names == ["*.tmp", "thumbs.db"]
+    assert cfg.exclusions.folders == ["node_modules"]
+    assert cfg.exclusions.paths == ["/cache/"]
+    assert cfg.exclusions.attributes == ["Hidden"]
+    assert cfg.allow_remove is True
+    assert cfg.notify_wait_ms == 31000
+    assert [n.url for n in cfg.notifications] == ["http://hook/x"]
+
+
+def test_config_from_xml_minimal_and_bad_root(tmp_path):
+    p = tmp_path / "min.xml"
+    p.write_text("<settings/>")
+    cfg = C.JobConfig.from_xml(str(p))
+    assert cfg.exclusions.names == [] and cfg.allow_remove is False
+    assert cfg.notifications == []
+    bad = tmp_path / "bad.xml"
+    bad.write_text("<config/>")
+    import pytest
+    with pytest.raises(ValueError, match="settings"):
+        C.JobConfig.from_xml(str(bad))
+
+
+def test_xml_and_json_configs_compile_same_predicate(spark):
+    """Both transports must feed the identical exclusion compiler —
+    same predicate, same rows excluded."""
+    import json as _json
+    import tempfile, os
+    xml = """<settings><exclusions>
+      <files><name>*.log</name></files>
+      <paths><path>/tmp/</path></paths>
+    </exclusions></settings>"""
+    js = _json.dumps(
+        {"exclusions": {"names": ["*.log"], "paths": ["/tmp/"]}})
+    with tempfile.TemporaryDirectory() as d:
+        xp, jp = os.path.join(d, "s.xml"), os.path.join(d, "s.json")
+        open(xp, "w").write(xml)
+        open(jp, "w").write(js)
+        cx = C.JobConfig.from_xml(xp)
+        cj = C.JobConfig.from_json(jp)
+    df = spark.createDataFrame(
+        [("http://a/x.log",), ("http://a/tmp/y.txt",), ("http://a/z.txt",),
+         ("http://a/sub/tmp/k",)], "url string")
+    rx = sorted(r.url for r in
+                df.filter(~C.exclusion_predicate(cx.exclusions, F.col("url"))).collect())
+    rj = sorted(r.url for r in
+                df.filter(~C.exclusion_predicate(cj.exclusions, F.col("url"))).collect())
+    assert rx == rj
