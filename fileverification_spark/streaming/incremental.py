@@ -18,8 +18,13 @@ constructor). Here the prior state is a *digest ladder snapshot*; a re-run
 
 In production the checkpoint is an Iceberg snapshot of the ``cell_digest``
 table (time-travel gives arbitrary baselines); the sandbox ships no
-Iceberg catalog, so checkpoints are parquet directories with identical
-semantics — a deliberate narrow seam (write/read pair below).
+Iceberg runtime jar, so the table-format semantics themselves (atomic
+snapshot commits, manifest-planned scans, time travel, incremental
+scans) are implemented and demonstrated in sources/snaplog, and
+:func:`verify_from_snapshot` below resumes verification from a snapshot
+checkpoint of such a table. Digest-ladder checkpoints stay plain parquet
+directories (write/read pair below) — the two pruning axes compose:
+snapshot log prunes by file, Merkle ladder prunes by cell.
 """
 
 from __future__ import annotations
@@ -131,6 +136,43 @@ def reconcile_batch(
     lineage(report, f"batch-{batch_id}").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("run_id").parquet(f"{out_dir}/lineage")
+
+
+def verify_from_snapshot(
+    spark: SparkSession,
+    table: str,
+    stored: DataFrame,
+    from_snapshot: str | None,
+    leaf_res: int | None = None,
+    to_snapshot: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Resume verification from a snapshot checkpoint of a snaplog
+    table (sources/snaplog — the demonstrated Iceberg-semantics seam):
+    verify ONLY pages appended after ``from_snapshot``, against the
+    manifest restricted to the delta's cells, and return
+    (report, lineage) with the run attributed to the target snapshot id.
+
+    This is the table-format twin of :func:`incremental_verify` (which
+    diffs digest ladders): the snapshot log prunes by FILES the commit
+    log proves unchanged, the Merkle diff prunes by CELLS the digest
+    proves unchanged. At 100 TB the two compose — snapshot scan first
+    (no read of untouched files at all), ladder diff within the delta.
+
+    MISSING is not emitted — absence is undecidable on a delta
+    (mirrors stream_verify; the full-table pass owns removals)."""
+    from fileverification_spark.sources import pages as P
+    from fileverification_spark.sources import snaplog as S
+
+    res = P.LEAF_RES if leaf_res is None else leaf_res
+    to_sid = to_snapshot or S.current_snapshot_id(table)
+    delta = S.incremental_scan(spark, table, from_snapshot, to_sid)
+    live = P.with_derived(delta, res=res)
+    cells = live.select(F.col("cell").alias("chg_cell")).distinct()
+    stored_sub = stored.join(
+        F.broadcast(cells), stored["cell"] == F.col("chg_cell"), "left_semi"
+    )
+    report = V.verify_tree(live, stored_sub).where(F.col("status") != "MISSING")
+    return report, lineage(report, f"snap-{to_sid}")
 
 
 def lineage(report: DataFrame, run_id: str) -> DataFrame:
