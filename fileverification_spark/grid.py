@@ -152,6 +152,43 @@ def grid_disk(cell: Column, res: int, k: int) -> Column:
     )
 
 
+def grid_half_disk(cell: Column, res: int) -> Column:
+    """Array of the 5-cell HALF Chebyshev disk: self, E, NE, N, NW —
+    the lexicographic half-plane of the k=1 ring.
+
+    Plane-sweep dedup for symmetric pair joins (distance_self_join):
+    for any two cells at Chebyshev distance 1, exactly ONE of them
+    contains the other in its half-disk (the four excluded directions
+    W/SW/S/SE are the mirror images of the four included ones), so each
+    cross-cell candidate pair materialises once instead of twice and the
+    probe-side explode drops from 9 to 5 rows per point — ~2x less join
+    output, 4/9 less shuffle — with zero semantic change. Same-cell
+    pairs still appear in both orders; callers dedupe those with a key
+    inequality. Longitude wraps; latitude rows off the grid are dropped.
+    Requires res >= 1 (at res 0 the 2-column wrap aliases E/NW offsets).
+    """
+    _check_res(res)
+    if res < 1:
+        raise ValueError("grid_half_disk needs res >= 1 (lon wrap alias)")
+    nlat = 1 << res
+    nlon = 1 << (res + 1)
+    li = cell_lat_idx(cell)
+    lo = cell_lon_idx(cell)
+    base = F.lit(res).cast("bigint") * F.lit(RES_MULT)
+
+    def mk(dlat: int, dlon: int) -> Column:
+        return (base + (li + F.lit(dlat)) * F.lit(LAT_MULT)
+                + F.pmod(lo + F.lit(dlon), F.lit(nlon)))
+
+    # (dlat, dlon): self, E, NE, N, NW
+    offsets = [(0, 0), (0, 1), (1, 1), (1, 0), (1, -1)]
+    return F.filter(
+        F.array(*[mk(a, o) for a, o in offsets]),
+        lambda c: (c - F.lit(res).cast("bigint") * F.lit(RES_MULT))
+        < F.lit(nlat * LAT_MULT).cast("bigint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vectorized pandas-UDF encoder (north_star: "assigned a cell via
 # vectorized pandas/Arrow UDF batch encoding"). The JVM `cell_encode`

@@ -708,13 +708,17 @@ def distance_self_join(
     equi-join. Scale shape:
 
     - build side keyed by its own cell (1 row/point);
-    - probe side exploded to the 3x3 Chebyshev disk (grid_disk k=1,
-      9 rows/point) — both sides shuffle on the cell key, NO cross join,
-      no broadcast of a big side;
+    - probe side exploded to the HALF Chebyshev disk (grid.grid_half_disk:
+      self, E, NE, N, NW — 5 rows/point, not 9): for cells at Chebyshev
+      distance 1 exactly one of the two contains the other's cell in its
+      half-disk, so every cross-cell pair materialises ONCE (the full-disk
+      form computes each twice and discards half post-join) — 4/9 less
+      probe shuffle, ~2x less join output, zero semantic change;
     - exact ``dist2 <= radius^2`` re-check on bucket-mates only;
-    - ``l_url < r_url`` dedupes the unordered pair (each true pair meets
-      exactly once because the right point's own cell appears in exactly
-      one disk entry of the left point).
+    - same-cell pairs (the only ones seen in both orders) dedupe via
+      ``l_url < r_url``; cross-cell pairs are order-normalised on output
+      with least/greatest (dist2 is bit-stable under operand swap: IEEE
+      negation is exact and the square kills the sign).
 
     Skew: a hot cell with n points costs O(n^2) inside its bucket. The
     mitigation is a finer ``res`` (more, smaller buckets — still correct,
@@ -738,29 +742,34 @@ def distance_self_join(
             "no longer covers the radius; use a coarser res"
         )
     pts = pages.select("url", "lat", "lon")
+    own = grid.cell_encode(F.col("lat"), F.col("lon"), res)
     left = pts.select(
         F.col("url").alias("l_url"),
         F.col("lat").alias("l_lat"),
         F.col("lon").alias("l_lon"),
-        F.explode(
-            grid.grid_disk(grid.cell_encode(F.col("lat"), F.col("lon"), res), res, 1)
-        ).alias("bucket"),
+        own.alias("l_cell"),
+        F.explode(grid.grid_half_disk(own, res)).alias("bucket"),
     )
     right = pts.select(
         F.col("url").alias("r_url"),
         F.col("lat").alias("r_lat"),
         F.col("lon").alias("r_lon"),
-        grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("bucket"),
+        own.alias("bucket"),
     )
     dy = F.col("l_lat") - F.col("r_lat")
     dx = F.col("l_lon") - F.col("r_lon")
     dist2 = dy * dy + dx * dx
+    same_cell = F.col("bucket") == F.col("l_cell")
     return (
         left.join(right, "bucket", "inner")
-        .where(F.col("l_url") < F.col("r_url"))
+        .where(~same_cell | (F.col("l_url") < F.col("r_url")))
         .withColumn("dist2", dist2)
         .where(F.col("dist2") <= F.lit(radius * radius))
-        .select("l_url", "r_url", "dist2")
+        .select(
+            F.least(F.col("l_url"), F.col("r_url")).alias("l_url"),
+            F.greatest(F.col("l_url"), F.col("r_url")).alias("r_url"),
+            "dist2",
+        )
     )
 
 

@@ -134,3 +134,39 @@ def test_cell_encode_pandas_h3_gated():
     if not grid.have_h3():
         with pytest.raises(ImportError):
             grid.cell_encode_pandas(4, use_h3=True)
+
+
+def test_half_disk_exactly_once_pair_coverage(spark):
+    """For any two distinct cells at Chebyshev distance <= 1 (with lon
+    wrap), EXACTLY one of the two contains the other in its half-disk —
+    the invariant that makes distance_self_join's plane-sweep dedup
+    correct. Checked exhaustively at res 2 (8x4 grid incl. wrap seam
+    and both pole rows)."""
+    import itertools
+    from fileverification_spark import grid as G
+    from pyspark.sql import functions as F
+
+    res = 2
+    nlat, nlon = 1 << res, 1 << (res + 1)
+    cells = [(la, lo) for la in range(nlat) for lo in range(nlon)]
+    rows = [(res * G.RES_MULT + la * G.LAT_MULT + lo,) for la, lo in cells]
+    df = spark.createDataFrame(rows, "cell bigint").select(
+        "cell", G.grid_half_disk(F.col("cell"), res).alias("hd"))
+    hd = {r.cell: set(r.hd) for r in df.collect()}
+
+    def cheb1(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        dlo = min((lo1 - lo2) % nlon, (lo2 - lo1) % nlon)
+        return abs(la1 - la2) <= 1 and dlo <= 1
+
+    def cid(c):
+        return res * G.RES_MULT + c[0] * G.LAT_MULT + c[1]
+
+    for a, b in itertools.combinations(cells, 2):
+        want = 1 if cheb1(a, b) else 0
+        got = (cid(b) in hd[cid(a)]) + (cid(a) in hd[cid(b)])
+        assert got == want, (a, b, got, want)
+    # self always in own half-disk; top row loses its 3 north entries
+    for c in cells:
+        assert cid(c) in hd[cid(c)]
+        assert len(hd[cid(c)]) == (2 if c[0] == nlat - 1 else 5)
