@@ -189,6 +189,57 @@ def grid_half_disk(cell: Column, res: int) -> Column:
     )
 
 
+_MORTON_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(x: Column) -> Column:
+    """Spread the low 32 bits of ``x`` into the even bit positions of a
+    64-bit word (the classic 5-step Morton magic-number dilation) —
+    pure shift/mask Column arithmetic, whole-stage codegen'd."""
+    x = x.bitwiseAND(F.lit(0xFFFFFFFF))
+    for sh, mask in _MORTON_MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, sh))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(cell: Column) -> Column:
+    """Z-order (Morton) key of a cell: its lat/lon indices bit-interleaved
+    (lon in even positions — it carries one more bit than lat).
+
+    Sorting rows by this key clusters 2D-adjacent cells into 1D-adjacent
+    positions: any power-of-two-aligned square of cells occupies ONE
+    contiguous key range. It is the engine's Iceberg sort-order analogue
+    (public Iceberg/Delta both expose z-order clustering for exactly this
+    reason): files written in key order carry tight min/max stats on
+    ``cell``-derived predicates, so bbox/cell-range scans touch a bounded
+    handful of files instead of every file — the file-skipping layout
+    lever, orthogonal to directory-level partition pruning
+    (sources/pages.write_cell_partitioned). Resolution bits are NOT
+    encoded; the key orders cells within one resolution (callers keep
+    resolutions apart, as the manifest tables already do)."""
+    return F.shiftleft(_spread_bits(cell_lat_idx(cell)), 1).bitwiseOR(
+        _spread_bits(cell_lon_idx(cell))
+    )
+
+
+def zorder_key_py(lat_idx: int, lon_idx: int) -> int:
+    """Pure-Python reference twin of :func:`zorder_key` for tests."""
+
+    def spread(v: int) -> int:
+        v &= 0xFFFFFFFF
+        for sh, mask in _MORTON_MASKS:
+            v = (v | (v << sh)) & mask
+        return v
+
+    return (spread(lat_idx) << 1) | spread(lon_idx)
+
+
 # ---------------------------------------------------------------------------
 # Vectorized pandas-UDF encoder (north_star: "assigned a cell via
 # vectorized pandas/Arrow UDF batch encoding"). The JVM `cell_encode`

@@ -164,6 +164,31 @@ def read_cell_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_zordered(
+    pages_derived: DataFrame, path: str, n_files: int = 32
+) -> None:
+    """Materialise the pages table clustered along the Z-order curve —
+    the file-skipping layout lever (Iceberg/Delta z-order sort analogue),
+    orthogonal to :func:`write_cell_partitioned`'s directory pruning.
+
+    ``repartitionByRange`` on the Morton key range-partitions rows into
+    ``n_files`` curve segments (one shuffle, sampled range bounds), and
+    the within-partition sort puts every row group in key order, so each
+    parquet file covers one COMPACT spatial region with tight min/max
+    column stats on both ``zkey`` and ``cell``. A bbox/cell-range scan
+    then touches O(covering/segment) files; in the flat layout every
+    file intersects every bbox (hash placement scatters each region
+    across all files). tests/test_layout.py pins the locality bound.
+
+    At the 10^12-row scale the same two lines are the table's declared
+    sort order — Iceberg: ``ALTER TABLE pages WRITE ORDERED BY zkey`` —
+    applied by every writer instead of a one-shot rewrite."""
+    out = pages_derived.withColumn("zkey", grid.zorder_key(F.col("cell")))
+    (out.repartitionByRange(n_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(path))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirror — the same derivation as ANSI SQL over the same
 # parquet view ``documents``. Interpolate with .format(res=...).
