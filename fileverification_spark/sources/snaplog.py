@@ -113,11 +113,13 @@ def commit(
     summary: dict | None = None,
 ) -> Snapshot:
     """Write ``df`` as a new snapshot. ``append`` unions the new files
-    with the parent's; ``overwrite`` replaces the visible file set.
-    Data lands first, metadata second, pointer swap last — the crash-
-    safe ordering (a failure at any step leaves the table readable at
-    its previous version)."""
-    if operation not in ("append", "overwrite"):
+    with the parent's; ``overwrite`` replaces the visible file set with
+    NEW content; ``replace`` also replaces the file set but asserts the
+    ROWS are unchanged (compaction/clustering rewrites — incremental
+    consumers skip it). Data lands first, metadata second, pointer swap
+    last — the crash-safe ordering (a failure at any step leaves the
+    table readable at its previous version)."""
+    if operation not in ("append", "overwrite", "replace"):
         raise ValueError(f"unknown operation {operation!r}")
     os.makedirs(_meta_dir(table), exist_ok=True)
     parent = current_snapshot_id(table)
@@ -184,35 +186,65 @@ def rollback(table: str, snapshot_id: str) -> None:
     _swap_pointer(table, snapshot_id)
 
 
+def compact(
+    spark: SparkSession, table: str, target_files: int
+) -> Snapshot:
+    """Small-file maintenance: rewrite the current content into
+    ``target_files`` files as a ``replace`` commit. At 10^12 rows a
+    streaming ingest leaves millions of micro-batch files; compaction
+    restores scan efficiency (fewer tasks, larger sequential reads,
+    tighter min/max stats) WITHOUT changing a single row — which is why
+    the commit is marked ``replace`` and incremental consumers skip it
+    entirely (real Iceberg: RewriteDataFiles + the rewrite snapshot
+    filter on incremental reads). Readers see identical rows before and
+    after; the pre-compaction files stay on disk for time travel."""
+    df = read(spark, table).repartition(target_files)
+    return commit(df, table, operation="replace",
+                  summary={"compaction": True,
+                           "target_files": target_files})
+
+
 def incremental_scan(
     spark: SparkSession,
     table: str,
     from_snapshot: str | None,
     to_snapshot: str | None = None,
 ) -> DataFrame:
-    """Changed-data feed: rows in files added strictly AFTER
-    ``from_snapshot`` up to ``to_snapshot`` (default: current).
-    ``from_snapshot=None`` means "from the beginning" (full scan of the
-    target version). Raises if ``from_snapshot`` is not an ancestor of
-    the target — a diff across a rollback fork is undefined."""
+    """Changed-data feed: rows introduced strictly AFTER
+    ``from_snapshot`` up to ``to_snapshot`` (default: current),
+    computed by walking the commit chain:
+
+    - ``append``    → contributes its added files;
+    - ``overwrite`` → contributes its added files and STOPS the walk
+      (content was replaced — everything earlier is pre-replacement);
+    - ``replace``   → contributes NOTHING (compaction adds no rows; a
+      file-set diff here would wrongly re-feed the whole table to every
+      incremental consumer after each maintenance pass).
+
+    Append files rewritten by a LATER compaction are read in their
+    original (immutable, still on disk) form — same rows either way.
+    ``from_snapshot=None`` means "from the beginning". Raises if
+    ``from_snapshot`` is not an ancestor of the target — a diff across
+    a rollback fork is undefined."""
     to_sid = to_snapshot or current_snapshot_id(table)
     if to_sid is None:
         raise FileNotFoundError(f"no current snapshot in {table}")
-    to_snap = load_snapshot(table, to_sid)
-    if from_snapshot is None:
-        base_files: set[str] = set()
-    else:
-        sid, seen = to_sid, False
-        while sid is not None:
-            if sid == from_snapshot:
-                seen = True
+    delta: list[str] = []
+    sid, collecting = to_sid, True
+    while sid != from_snapshot:
+        if sid is None:
+            if from_snapshot is None:
                 break
-            sid = load_snapshot(table, sid).parent_id
-        if not seen:
             raise ValueError(
                 f"{from_snapshot} is not an ancestor of {to_sid}")
-        base_files = set(load_snapshot(table, from_snapshot).files)
-    delta = [f for f in to_snap.files if f not in base_files]
+        snap = load_snapshot(table, sid)
+        if collecting and snap.operation in ("append", "overwrite"):
+            delta.extend(snap.added_files)
+        if snap.operation == "overwrite":
+            # content replaced — nothing older contributes, but keep
+            # walking (collecting nothing) to validate ancestry
+            collecting = False
+        sid = snap.parent_id
     if not delta:
         return read(spark, table, to_sid).limit(0)
     return spark.read.parquet(*delta)

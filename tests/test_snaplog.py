@@ -165,3 +165,58 @@ def test_verify_from_snapshot_flags_tamper_in_delta_only(spark, tmp_path):
         expect = "FAIL" if (__import__("zlib").crc32(u.encode())
                             & 0xFFFFFFFF) % 7 == 0 else "OK"
         assert st == expect, (u, st, expect)
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for lo, hi in [(0, 20), (20, 40), (40, 60), (60, 80)]:
+        S.commit(_pages(spark, lo, hi), t)
+    before = S.load_snapshot(t, S.current_snapshot_id(t))
+    n_rows = S.read(spark, t).count()
+    snap = S.compact(spark, t, target_files=2)
+    assert snap.operation == "replace" and snap.summary["compaction"]
+    assert len(snap.files) < len(before.files)
+    assert S.read(spark, t).count() == n_rows
+    # time travel to the pre-compaction snapshot still works
+    assert S.read(spark, t, before.snapshot_id).count() == n_rows
+
+
+def test_incremental_scan_skips_compaction(spark, tmp_path):
+    """A consumer checkpointed before a compaction must NOT re-receive
+    the whole table — replace commits contribute no rows."""
+    t = str(tmp_path / "t")
+    a, b = _pages(spark, 0, 40), _pages(spark, 40, 60)
+    s1 = S.commit(a, t)
+    S.compact(spark, t, target_files=1)
+    s3 = S.commit(b, t)
+    # checkpoint at s1, read to current: only b's rows, not a compacted a
+    got = S.incremental_scan(spark, t, s1.snapshot_id)
+    assert got.count() == b.count()
+    assert {r.url for r in got.select("url").collect()} == \
+        {r.url for r in b.select("url").collect()}
+    # checkpoint at the compaction itself: still only b
+    hist = S.history(t)
+    comp_sid = [s.snapshot_id for s in hist if s.operation == "replace"][0]
+    assert S.incremental_scan(spark, t, comp_sid).count() == b.count()
+    # from-None crosses the replace: full current content exactly once
+    assert S.incremental_scan(spark, t, None).count() == a.count() + b.count()
+    del s3
+
+
+def test_incremental_scan_overwrite_resets_delta(spark, tmp_path):
+    t = str(tmp_path / "t")
+    a, b, c = (_pages(spark, 0, 30), _pages(spark, 30, 50),
+               _pages(spark, 50, 70))
+    s1 = S.commit(a, t)
+    S.commit(b, t, operation="overwrite")
+    S.commit(c, t)
+    # consumer at s1: content was replaced after its checkpoint — the
+    # delta is everything now visible (b + c), not c alone
+    got = S.incremental_scan(spark, t, s1.snapshot_id)
+    assert got.count() == b.count() + c.count()
+    # non-ancestor still rejected even across the overwrite boundary
+    t2 = str(tmp_path / "other")
+    sx = S.commit(_pages(spark, 70, 90), t2)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ancestor"):
+        S.incremental_scan(spark, t, sx.snapshot_id)
