@@ -23,6 +23,7 @@ from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
+from fileverification_spark.operators import sampling as SMP
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
 from fileverification_spark.operators import trajectory as TJ
@@ -356,6 +357,30 @@ def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Deterministic-sampling parameters (operators/sampling): Bernoulli
+#: fraction, per-language quota, and the target source mixture (sources
+#: outside the target are dropped — keep_fraction 0).
+_SAMPLE_FRACTION = 0.2
+_STRATA_N = 20
+_MIX_TARGET = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    return SMP.hash_sample(
+        _docs(spark, sf), F.col("doc_id").cast("string"), _SAMPLE_FRACTION
+    )
+
+
+def _q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    return SMP.stratified_sample(
+        _docs(spark, sf), "lang", _STRATA_N, F.col("doc_id").cast("string")
+    )
+
+
+def _q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    return SMP.mixture_weights(_docs(spark, sf), "source", _MIX_TARGET)
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_exact(_docs(spark, sf))
 
@@ -683,6 +708,11 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "simhash_buckets": _q_simhash_buckets,      # groupBy of simhash
     "events_dedup": _q_events_dedup,            # key-set projection; streaming
                                                 # twin pytest-pinned
+    # deterministic sampling / data-mixing primitives (new r3) — born
+    # demoted: the driver window stays at the 50 settled queries
+    "sample_hash": _q_sample_hash,
+    "sample_stratified": _q_sample_stratified,
+    "mixture_weights": _q_mixture_weights,
 }
 
 
@@ -884,6 +914,16 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"
             "SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_id "
             "FROM sh GROUP BY simhash HAVING count(*) > 1"
+        ),
+        "sample_hash": SMP.sql_hash_sample(
+            "CAST(doc_id AS VARCHAR)", _SAMPLE_FRACTION, "documents"
+        ),
+        "sample_stratified": SMP.sql_stratified_sample(
+            "lang", _STRATA_N, "CAST(doc_id AS VARCHAR)", "documents",
+            cols="doc_id, text, lang, source, n_chars",
+        ),
+        "mixture_weights": SMP.sql_mixture_weights(
+            "source", _MIX_TARGET, "documents"
         ),
         "ann_cosine_topk": SIM.sql_cosine_topk_query(_ANN_QIDS, _ANN_K),
         "ann_quantized_topk": SIM.sql_cosine_topk_quantized_query(
