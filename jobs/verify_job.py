@@ -95,8 +95,15 @@ def main(argv: list[str] | None = None) -> int:
     out_dir = argv[1] if len(argv) > 1 else "/tmp/fv_verify_out"
     run_id = argv[2] if len(argv) > 2 else "r1"
     try:
-        cfg = CFG.JobConfig.from_json(argv[3]) if len(argv) > 3 else CFG.JobConfig()
-    except (OSError, json.JSONDecodeError) as e:
+        if len(argv) > 3:
+            # settings transport by extension: reference-native XML
+            # (XmlFile.cs:74-104) or JSON
+            cfg = (CFG.JobConfig.from_xml(argv[3])
+                   if argv[3].endswith(".xml")
+                   else CFG.JobConfig.from_json(argv[3]))
+        else:
+            cfg = CFG.JobConfig()
+    except Exception as e:  # unreadable/malformed settings, either format
         print(f"ERROR: settings unreadable: {e}")
         return ERROR
 
@@ -124,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             run_id,
             exclusions=cfg.exclusions,
             allow_remove=cfg.allow_remove,
+            notifications=cfg.notifications or None,
         )
         res_counts, elapsed = res.counts, res.elapsed_sec
     print(

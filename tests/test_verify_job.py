@@ -59,3 +59,46 @@ def test_leaf_only_runs_one_cell(spark, tmp_path, capsys):
 
 def test_bad_settings_is_error(tmp_path):
     assert J.main([SF, str(tmp_path), "r", "/no/such/settings.json"]) == J.ERROR
+
+
+def test_xml_settings_end_to_end(spark, tmp_path, capsys):
+    """The reference-native XML settings transport drives the whole job:
+    exclusions apply and notification endpoints load (the POST itself
+    fails offline — logged, never fatal: Request.cs error swallowing)."""
+    import json
+
+    xml = tmp_path / "settings.xml"
+    xml.write_text("""<?xml version="1.0"?>
+<settings>
+  <exclusions><paths><path>/de/</path></paths></exclusions>
+  <allowremove>true</allowremove>
+  <notifications>
+    <waittime>60000</waittime>
+    <notification>
+      <url>http://localhost:1/unreachable</url>
+      <data><body>{"m": "[message]"}</body></data>
+    </notification>
+  </notifications>
+</settings>
+""")
+    out = str(tmp_path / "o")
+    rc = J.main([SF, out, "rx", str(xml)])
+    assert rc == J.SUCCESS
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines() if "VERIFY-RESULT" in ln
+    ][-1]
+    counts = json.loads(line.split("VERIFY-RESULT ")[1])["counts"]
+    # the exclusion really filtered: fewer rows than the unfiltered run
+    out2 = str(tmp_path / "o2")
+    J.main([SF, out2, "ry"])
+    line2 = [
+        ln for ln in capsys.readouterr().out.splitlines() if "VERIFY-RESULT" in ln
+    ][-1]
+    counts2 = json.loads(line2.split("VERIFY-RESULT ")[1])["counts"]
+    assert sum(counts.values()) < sum(counts2.values())
+
+
+def test_xml_settings_malformed_is_error(tmp_path):
+    bad = tmp_path / "bad.xml"
+    bad.write_text("<settings><exclusions>")
+    assert J.main([SF, str(tmp_path / "o"), "r", str(bad)]) == J.ERROR
