@@ -2,11 +2,27 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": <sf>,
-     "pages_per_sec": <flagship verify throughput>, ...}
+     "queries": {...per-query min sec...}, "samples": {...all runs...},
+     "sf": <sf>, "pages_per_sec": <flagship verify throughput>, ...}
+
+Noise protocol (mirrors tools/scaling_run.py, adopted r3 so
+round-over-round deltas are attributable to code, not ambient tenant
+load — the r02 battery "regression" was pure host noise):
+
+- **CPU pinning**: the process (and the in-process JVM it spawns) is
+  pinned to exactly $SPARK_GRAFT_CPUS cores via sched_setaffinity, so a
+  noisy co-tenant cannot donate or steal cores mid-run.
+- **Interleaved passes**: BENCH_RUNS (default 5) full passes over the
+  whole battery, one timing per query per pass — ambient load drift hits
+  every query equally instead of whichever query was running when the
+  spike landed.
+- **min + dispersion**: per-query headline is min-of-passes (uncontended
+  capability); every sample is persisted under "samples" and the
+  battery-level max spread under "spread_max_pct", so a cross-round
+  comparison can check the floor was actually observed quietly.
 
 The flagship throughput number runs verify_tree over a deterministically
-replicated pages table (BENCH_REPLICATION x documents, default 40) so the
+replicated pages table (BENCH_REPLICATION x documents, default 80) so the
 measurement isn't dominated by fixed overhead at small document counts.
 Scaling-efficiency evidence (local[8] vs local[32]) is produced separately
 by tools/scaling_run.py into BENCH/BASELINE.md.
@@ -26,12 +42,22 @@ from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
+from fileverification_spark.operators import trajectory as TJ
 from fileverification_spark.operators import verify as V
 from fileverification_spark.session import get_spark
 from fileverification_spark.sources import pages as P
+from fileverification_spark.streaming import windows as SW
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICATION = int(os.environ.get("BENCH_REPLICATION", "80"))
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+
+# the original r01 11-query battery — kept as a stable cross-round subset
+R01_NAMES = (
+    "verify_tree", "merkle_ladder", "digests_mergeable", "pip_pages",
+    "knn", "knn_ring", "raster_cells", "dedup_minhash", "simhash",
+    "ann_cosine_topk", "multimodal_features",
+)
 
 
 def _sf_label(path: str) -> float:
@@ -42,20 +68,12 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-RUNS = int(os.environ.get("BENCH_RUNS", "3"))
-
-
-def timed(fn):
-    """min-of-RUNS wall time: the host is a shared tenant, so a single
-    observation can absorb ambient load spikes (observed 3x swings);
-    min estimates uncontended capability, matching tools/scaling_run.py."""
-    best, n = None, None
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        n = fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best, n
+def _pin_cpus() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        os.sched_setaffinity(0, range(cpus))
+    except (AttributeError, OSError, ValueError):
+        pass  # non-Linux or cgroup-restricted: run unpinned
 
 
 def _nn_bench(live) -> int:
@@ -67,27 +85,21 @@ def _nn_bench(live) -> int:
 
 
 def main() -> None:
+    _pin_cpus()
     spark = get_spark("bench")
-    results: dict[str, float] = {}
 
-    # -- flagship: verify_tree over replicated pages (throughput metric) --
+    # -- setup (untimed): inputs materialised / file listings warmed --
     live = P.pages_replicated(spark, SF_DIR, REPLICATION)
-    n_pages = live.count()  # materialisation sanity + warm file listing
+    n_pages = live.count()
     stored = V.tampered_manifest(live)
-
-    def run_verify():
-        return V.verify_tree(live, stored).count()
-
-    t_verify, n_report = timed(run_verify)
-    results["verify_tree"] = round(t_verify, 3)
-    pages_per_sec = n_pages / t_verify
-
-    # -- supporting headline queries on the un-replicated tables --
     pg = P.pages_with_derived(spark, SF_DIR)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    events = SW.read_events(spark, SF_DIR)
 
-    cases = {
+    cases: dict = {
+        # flagship first in every pass: its min drives pages_per_sec
+        "verify_tree": lambda: V.verify_tree(live, stored).count(),
         "merkle_ladder": lambda: M.merkle_ladder(
             M.leaf_digests(live, P.LEAF_RES), P.LEAF_RES
         ).count(),
@@ -106,15 +118,12 @@ def main() -> None:
         "multimodal_features": lambda: MM.extract_features(
             P.pages(spark, SF_DIR, with_html=True)
         ).count(),
-    }
-    # round-2 additions — kept out of battery_r01_sec so the original
-    # 11-query total stays comparable across rounds
-    r2_cases = {
+        # round-2 additions
         "distance_join": lambda: S.distance_self_join(live, 0.35).count(),
         # single level sized to the bench density (~3 rows/cell at 400k
-        # points; P[NN beyond the res-8 guard] ~ 7e-5 -> tiny tail). The
-        # bench input is a *derived* relation (sha256 geocode), which the
-        # ladder's anti-join + tail would re-derive; persisting the slim
+        # points); the r3 ring-escalation (k=2,4) certifies the sparse
+        # remainder so the cartesian tail is empty. The bench input is a
+        # *derived* relation (sha256 geocode); persisting the slim
         # (url, lat, lon) projection emulates the materialized table a
         # real deployment reads.
         "nn_join": lambda: _nn_bench(live),
@@ -122,15 +131,30 @@ def main() -> None:
             S.rasterize_polygons(spark, S.default_polygons(), 7).select("cell"), 7
         ).count(),
         "top_lang_cell": lambda: S.top_lang_per_cell(live, 6).count(),
+        # round-3 additions: streaming-analytics batch twins (one window
+        # shuffle per (user[, fence]) — tracked so the sessionization
+        # surface has a number)
+        "sessionize": lambda: SW.sessionize(events).count(),
+        "fence_dwells": lambda: TJ.fence_dwells(events, S.default_polygons()).count(),
     }
-    for name, fn in cases.items():
-        t, _ = timed(fn)
-        results[name] = round(t, 3)
-    battery_r01 = round(sum(results.values()), 3)
-    for name, fn in r2_cases.items():
-        t, _ = timed(fn)
-        results[name] = round(t, 3)
 
+    # -- interleaved timing passes --
+    samples: dict[str, list[float]] = {name: [] for name in cases}
+    for _ in range(RUNS):
+        for name, fn in cases.items():
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+
+    results = {name: min(s) for name, s in samples.items()}
+    spread_max_pct = max(
+        round(100.0 * (max(s) - min(s)) / min(s), 1)
+        for s in samples.values()
+        if min(s) > 0
+    )
+    n_report = V.verify_tree(live, stored).count()
+    t_verify = results["verify_tree"]
+    battery_r01 = round(sum(results[n] for n in R01_NAMES), 3)
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -140,8 +164,12 @@ def main() -> None:
                 "unit": "sec",
                 "battery_r01_sec": battery_r01,
                 "queries": results,
+                "samples": samples,
+                "spread_max_pct": spread_max_pct,
+                "runs": RUNS,
+                "protocol": "pinned+interleaved, min-of-runs",
                 "sf": _sf_label(SF_DIR),
-                "pages_per_sec": round(pages_per_sec, 1),
+                "pages_per_sec": round(n_pages / t_verify, 1),
                 "n_pages": n_pages,
                 "n_report_rows": n_report,
                 "replication": REPLICATION,

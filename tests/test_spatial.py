@@ -405,6 +405,33 @@ def test_nn_join_tail_handles_sparse_right(spark, pages_small):
         assert got[r["url"]] == best[0]
 
 
+def test_nn_join_escalation_before_cartesian(spark):
+    """Two points 2.2 cells apart at res 6: the k=1 disk misses, the k=4
+    escalation disk finds AND certifies (dist < 4-ring guarantee) — the
+    cartesian tail stays EMPTY. With escalation disabled the same ladder
+    concedes both rows to the crossJoin."""
+    dlon = 360.0 / (1 << 7)  # res-6 cell width in lon
+    rows = [("a", 10.0, 10.0), ("b", 10.0, 10.0 + 2.2 * dlon)]
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    out, tail = S.nn_join_with_tail(df, df, resolutions=(6,))
+    assert tail.count() == 0
+    assert {(r["url"], r["nn_url"]) for r in out.collect()} == {
+        ("a", "b"),
+        ("b", "a"),
+    }
+    out0, tail0 = S.nn_join_with_tail(df, df, resolutions=(6,), escalate_k=())
+    assert out0.count() == 0 and tail0.count() == 2
+
+
+def test_nn_join_bench_density_tail_empty(spark, pages_small):
+    """At the bench battery's cell occupancy (~3 rows/cell: 500 pages at
+    res 3 ≈ 400k pages at res 8) the escalation ladder certifies every
+    row — the pathological crossJoin tail must see zero rows."""
+    out, tail = S.nn_join_with_tail(pages_small, pages_small, resolutions=(3,))
+    assert tail.count() == 0
+    assert out.count() == pages_small.count()
+
+
 def test_raster_diff_identities(spark, pages_small):
     from pyspark.sql import functions as F
 
