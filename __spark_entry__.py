@@ -236,6 +236,12 @@ def _q_raster_zoom(spark: SparkSession, sf: str) -> DataFrame:
     return S.raster_zoom(fine, res=6, out_res=_RASTER_RES)
 
 
+def _q_raster_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    # hypertable rollup: rasters at res 6..3 from ONE pages scan, each
+    # coarser level folded from the previous (4x smaller per step)
+    return S.raster_pyramid(P.pages_with_derived(spark, sf), finest=6, coarsest=3)
+
+
 def _q_raster_vectorize(spark: SparkSession, sf: str) -> DataFrame:
     # raster -> vector: cells back out as WKT rectangle features
     raster = S.raster_cells(P.pages_with_derived(spark, sf), _RASTER_RES)
@@ -703,6 +709,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "knn_ring": _q_knn_ring,                    # same oracle as knn
     "knn_adaptive": _q_knn_adaptive,            # same oracle as knn
     "raster_zoom": _q_raster_zoom,              # same oracle as raster_cells
+    "raster_pyramid": _q_raster_pyramid,        # multi-res rollup (new r3)
     "raster_vectorize": _q_raster_vectorize,    # WKT formatting of raster_cells
     "uncompact_roundtrip": _q_uncompact_roundtrip,  # inverse of compact_cells
     "simhash_buckets": _q_simhash_buckets,      # groupBy of simhash
@@ -867,6 +874,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "knn_adaptive": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
         "raster_cells": _with() + "\n" + S.sql_raster(_RASTER_RES),
         "raster_zoom": _with() + "\n" + S.sql_raster(_RASTER_RES),
+        "raster_pyramid": _with() + "\n" + S.sql_raster_pyramid(6, 3),
         "raster_vectorize": _with(f"raster AS ({S.sql_raster(_RASTER_RES)})")
         + "\n"
         + S.sql_raster_vectorize(_RASTER_RES),

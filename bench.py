@@ -136,6 +136,9 @@ def main() -> None:
         # surface has a number)
         "sessionize": lambda: SW.sessionize(events).count(),
         "fence_dwells": lambda: TJ.fence_dwells(events, S.default_polygons()).count(),
+        # hypertable rollup: 5 resolutions from ONE pages scan; coarser
+        # levels fold the previous level's (cell, lang, cnt) raster
+        "raster_pyramid": lambda: S.raster_pyramid(live, finest=8, coarsest=4).count(),
     }
 
     # -- interleaved timing passes --

@@ -438,26 +438,94 @@ def raster_cells(pages: DataFrame, res: int) -> DataFrame:
     )
 
 
-def raster_zoom(per_lang_raster: DataFrame, res: int, out_res: int) -> DataFrame:
-    """Roll a (cell, lang, cnt) raster up to ``out_res`` without touching
-    pages — the vector→raster zoom-out. 4x fewer cells per level."""
+def zoom_per_lang(per_lang_raster: DataFrame, res: int, out_res: int) -> DataFrame:
+    """Roll a (cell, lang, cnt) raster up to ``out_res`` keeping the
+    mergeable per-lang shape — counts are associative, so parent counts
+    fold from child counts without touching pages."""
     parent = grid.cell_parent(F.col("cell"), res, out_res).alias("cell")
     return (
         per_lang_raster.select(parent, "lang", "cnt")
         .groupBy("cell", "lang")
         .agg(F.sum("cnt").alias("cnt"))
-        .groupBy("cell")
-        .agg(
-            F.sum("cnt").alias("n_pages"),
-            F.count(F.lit(1)).alias("n_langs"),
-            F.concat_ws(
-                ",",
-                F.sort_array(
-                    F.collect_list(F.concat(F.col("lang"), F.lit(":"), F.col("cnt")))
-                ),
-            ).alias("lang_hist"),
-        )
     )
+
+
+def fold_lang_hist(per_lang_raster: DataFrame) -> DataFrame:
+    """(cell, lang, cnt) → (cell, n_pages, n_langs, lang_hist): the
+    per-cell histogram fold shared by raster_cells/raster_zoom/pyramid."""
+    return per_lang_raster.groupBy("cell").agg(
+        F.sum("cnt").alias("n_pages"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(F.concat(F.col("lang"), F.lit(":"), F.col("cnt")))
+            ),
+        ).alias("lang_hist"),
+    )
+
+
+def raster_zoom(per_lang_raster: DataFrame, res: int, out_res: int) -> DataFrame:
+    """Roll a (cell, lang, cnt) raster up to ``out_res`` without touching
+    pages — the vector→raster zoom-out. 4x fewer cells per level."""
+    return fold_lang_hist(zoom_per_lang(per_lang_raster, res, out_res))
+
+
+def raster_pyramid(pages: DataFrame, finest: int, coarsest: int) -> DataFrame:
+    """Tile pyramid: the raster at EVERY res in [coarsest..finest] —
+    (cell, res, n_pages, n_langs, lang_hist) — built hierarchically.
+
+    Pages are scanned and shuffled ONCE (per-lang counts at the finest
+    res); every coarser level folds the PREVIOUS level's (cell, lang,
+    cnt) relation, which shrinks ~4x per step. Total cost is one
+    pages-sized shuffle plus a geometric series of tiny raster shuffles —
+    vs L full scans for the naive per-res loop, which at 10^12 rows is
+    the difference between one pass and a dozen. Each intermediate level
+    feeds two consumers (its own histogram fold + the next zoom-out), so
+    it is staged via :func:`_stage` (reliable checkpoint on a cluster,
+    localCheckpoint locally) exactly like the nn_join ladder.
+
+    This is the engine's hypertable-rollup analogue: the reference's
+    recursive per-folder hash files aggregate child folders the same way
+    (FV/PathInfo.cs:427-537 walks children once; parents reuse results).
+    """
+    if not (0 <= coarsest <= finest):
+        raise ValueError("need 0 <= coarsest <= finest")
+    cur = raster_per_lang(pages, finest)
+    outs: list[DataFrame] = []
+    for res in range(finest, coarsest - 1, -1):
+        if res < finest:
+            cur = zoom_per_lang(cur, res + 1, res)
+        if res > coarsest:
+            cur = _stage(cur)  # two consumers: fold below + next zoom
+        outs.append(
+            fold_lang_hist(cur).select(
+                "cell", F.lit(res).cast("int").alias("res"),
+                "n_pages", "n_langs", "lang_hist",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_raster_pyramid(finest: int, coarsest: int, pages_rel: str = "pages") -> str:
+    """Oracle: per-res direct aggregation over pages, UNION ALL — the
+    flat O(L scans) form the hierarchical plan must agree with."""
+    parts = [
+        f"""
+SELECT cell, CAST({res} AS INTEGER) AS res,
+       CAST(sum(cnt) AS BIGINT) AS n_pages, count(*) AS n_langs,
+       string_agg(lang || ':' || CAST(cnt AS VARCHAR), ','
+                  ORDER BY lang || ':' || CAST(cnt AS VARCHAR)) AS lang_hist
+FROM (
+  SELECT {grid.sql_cell_encode("lat", "lon", res)} AS cell, lang, count(*) AS cnt
+  FROM {pages_rel} GROUP BY 1, 2
+) GROUP BY cell"""
+        for res in range(finest, coarsest - 1, -1)
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def raster_vectorize(raster: DataFrame, res: int) -> DataFrame:

@@ -65,6 +65,24 @@ def test_raster_zoom_equals_direct(spark, pages_small):
     assert zoomed == direct
 
 
+def test_raster_pyramid_equals_per_res(spark, pages_small):
+    """The hierarchical pyramid (one pages scan, parent levels folded
+    from child levels) must equal the naive per-res re-aggregation at
+    EVERY level, including the degenerate one-level pyramid."""
+    pyr = S.raster_pyramid(pages_small, finest=5, coarsest=2)
+    cols = ["cell", "n_pages", "n_langs", "lang_hist"]
+    for res in (5, 4, 3, 2):
+        got = _as_set(pyr.where(pyr.res == res), cols)
+        want = _as_set(S.raster_cells(pages_small, res), cols)
+        assert got == want, res
+    one = S.raster_pyramid(pages_small, finest=3, coarsest=3)
+    assert _as_set(one, cols) == _as_set(S.raster_cells(pages_small, 3), cols)
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.raster_pyramid(pages_small, finest=2, coarsest=5)
+
+
 def test_raster_total_preserved(spark, pages_small):
     import pyspark.sql.functions as F
 
