@@ -403,6 +403,11 @@ def _q_curation_stats(spark: SparkSession, sf: str) -> DataFrame:
     return CUR.curation_stats(CUR.curate(_docs(spark, sf)))
 
 
+def _q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # crawl-side per-domain rollup: counts, langs, tokens, unique texts
+    return CUR.domain_stats(P.pages(spark, sf))
+
+
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     sigs = D.minhash_signatures(_docs(spark, sf))
     return D.lsh_candidate_pairs(sigs)
@@ -720,6 +725,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "sample_hash": _q_sample_hash,
     "sample_stratified": _q_sample_stratified,
     "mixture_weights": _q_mixture_weights,
+    "domain_stats": _q_domain_stats,            # per-domain rollup (new r3)
 }
 
 
@@ -915,6 +921,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             f"GROUP BY fp"
         ),
         "curation_stats": CUR.sql_curation_stats(),
+        "domain_stats": _with() + "\n" + CUR.sql_domain_stats(),
         "dedup_minhash": D.sql_lsh_pairs_query(),
         "ngram_jaccard": D.sql_ngram_jaccard_query(),
         "simhash": D.sql_simhash_docs_query(),

@@ -114,3 +114,54 @@ SELECT lang,
 FROM feat
 WHERE n_tokens >= {min_tokens} AND quality_score >= {min_quality!r}
 GROUP BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# Per-domain accounting
+# ---------------------------------------------------------------------------
+
+#: host part of an http(s) URL — identical PCRE in Spark and DuckDB so the
+#: grouping key matches byte-for-byte
+DOMAIN_RE = "^https?://([^/]+)/"
+
+
+def domain_stats(pages: DataFrame) -> DataFrame:
+    """Per-domain corpus accounting — the crawl-side rollup an LLM data
+    pipeline runs before domain-level sampling/filtering (the analogue of
+    the reference's per-folder counts, FV/PathInfo.cs:459 dir totals):
+    (domain, n_pages, n_langs, total_tokens, n_unique_texts).
+
+    Domain extraction is a codegen'd regexp on the url column; the whole
+    operator is one hash-agg keyed on domain. The two exact DISTINCT
+    aggregates share the Expand-based multi-distinct plan Spark generates
+    (2x row inflation pre-shuffle, still partial-aggregated); at 100 TB
+    swap them for approx_count_distinct if a 2% error is acceptable —
+    the exact form is kept here because the oracle must hash-match."""
+    return (
+        pages.select(
+            F.regexp_extract(F.col("url"), DOMAIN_RE, 1).alias("domain"),
+            "lang",
+            TX.token_count(F.col("text")).alias("n_tokens"),
+            F.upper(F.sha2(F.col("text"), 256)).alias("text_sha256"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.count_distinct(F.col("text_sha256")).alias("n_unique_texts"),
+        )
+    )
+
+
+def sql_domain_stats(pages_rel: str = "pages") -> str:
+    """Oracle: identical regexp + exact distinct aggregates."""
+    toks = TX.sql_tokens("text")
+    return f"""
+SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
+       count(*) AS n_pages,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT upper(sha256(text))) AS BIGINT) AS n_unique_texts
+FROM {pages_rel}
+GROUP BY 1"""
