@@ -23,6 +23,7 @@ from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
+from fileverification_spark.operators import repetition as REP
 from fileverification_spark.operators import sampling as SMP
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
@@ -408,6 +409,20 @@ def _q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     return CUR.domain_stats(P.pages(spark, sf))
 
 
+def _q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-style intra-doc repetition gates: zero-shuffle per-row exprs
+    return REP.repetition_stats(_docs(spark, sf))
+
+
+def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # benchmark decontamination: every 41st doc is the held-out split;
+    # broadcast its n-gram set, one per-doc overlap aggregate
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % REP.BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % REP.BENCH_MOD != 0)
+    return REP.decontaminate(train, bench)
+
+
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     sigs = D.minhash_signatures(_docs(spark, sf))
     return D.lsh_candidate_pairs(sigs)
@@ -726,6 +741,10 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "sample_stratified": _q_sample_stratified,
     "mixture_weights": _q_mixture_weights,
     "domain_stats": _q_domain_stats,            # per-domain rollup (new r3)
+    # corpus hygiene (new r3): repetition gates + benchmark decontam —
+    # born demoted; driver window stays at the 50 settled queries
+    "repetition_stats": _q_repetition_stats,
+    "decontaminate": _q_decontaminate,
 }
 
 
@@ -922,6 +941,11 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         ),
         "curation_stats": CUR.sql_curation_stats(),
         "domain_stats": _with() + "\n" + CUR.sql_domain_stats(),
+        "repetition_stats": REP.sql_repetition_stats(),
+        "decontaminate": REP.sql_decontaminate(
+            f"(SELECT * FROM documents WHERE doc_id % {REP.BENCH_MOD} != 0)",
+            f"(SELECT * FROM documents WHERE doc_id % {REP.BENCH_MOD} = 0)",
+        ),
         "dedup_minhash": D.sql_lsh_pairs_query(),
         "ngram_jaccard": D.sql_ngram_jaccard_query(),
         "simhash": D.sql_simhash_docs_query(),

@@ -49,6 +49,19 @@ def char_ngrams(text: Column, n: int) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram shingles (space-joined) over a token array — the unit
+    of Gopher-style repetition accounting and benchmark decontamination.
+    Pure codegen'd array expression: no shuffle, no Python."""
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.when(count == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: SHA-256 of whitespace-normalised lowercase
     text — the dedup key that survives reflow/case changes."""
@@ -135,6 +148,14 @@ def sql_char_ngrams(text_expr: str, n: int) -> str:
         f"CASE WHEN length({text_expr}) < {n} THEN CAST([] AS VARCHAR[]) "
         f"ELSE list_transform(range(1, length({text_expr}) - {n} + 2), "
         f"i -> substring({text_expr}, i, {n})) END"
+    )
+
+
+def sql_word_ngrams(toks_expr: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({toks_expr}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(1, len({toks_expr}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks_expr}, i, i + {n - 1}), ' ')) END"
     )
 
 
