@@ -409,6 +409,11 @@ def _q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     return CUR.domain_stats(P.pages(spark, sf))
 
 
+def _q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # tokenizer-side vocab heavy hitters: two-level agg, no Expand
+    return CUR.vocab_topk(_docs(spark, sf))
+
+
 def _q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher-style intra-doc repetition gates: zero-shuffle per-row exprs
     return REP.repetition_stats(_docs(spark, sf))
@@ -745,6 +750,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     # born demoted; driver window stays at the 50 settled queries
     "repetition_stats": _q_repetition_stats,
     "decontaminate": _q_decontaminate,
+    "vocab_topk": _q_vocab_topk,
 }
 
 
@@ -942,6 +948,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "curation_stats": CUR.sql_curation_stats(),
         "domain_stats": _with() + "\n" + CUR.sql_domain_stats(),
         "repetition_stats": REP.sql_repetition_stats(),
+        "vocab_topk": CUR.sql_vocab_topk(),
         "decontaminate": REP.sql_decontaminate(
             f"(SELECT * FROM documents WHERE doc_id % {REP.BENCH_MOD} != 0)",
             f"(SELECT * FROM documents WHERE doc_id % {REP.BENCH_MOD} = 0)",

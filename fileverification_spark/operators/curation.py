@@ -154,6 +154,59 @@ def domain_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary heavy hitters — the statistic a tokenizer-
+    training / vocab-estimation pass needs: for the top-``k`` tokens by
+    total occurrences, (token, n_occurrences, n_docs, rank) with a
+    deterministic tie-break (count DESC, token ASC).
+
+    Plan shape: explode is the irreducible cost of token counting; the
+    distinct-doc count is computed as a two-level aggregate
+    (token, doc_id) -> token rather than count(DISTINCT), so BOTH levels
+    partial-aggregate map-side and no Expand row-doubling is generated.
+    The final top-k is a single-partition WindowGroupLimit over |vocab|
+    rows — vocabulary is sublinear in corpus size, so this stays small
+    even at 100 TB (and rank-pushdown truncates each shuffle side to k)."""
+    from pyspark.sql import Window
+
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_doc.groupBy("token").agg(
+        F.sum("c").cast("bigint").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_vocab_topk(docs_rel: str = "documents", k: int = 100) -> str:
+    """Oracle: identical two-level aggregate + deterministic rank."""
+    toks = TX.sql_tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM {docs_rel}),
+per AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY 1, 2),
+agg AS (
+  SELECT token,
+         CAST(sum(c) AS BIGINT) AS n_occurrences,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM per GROUP BY token
+),
+r AS (
+  SELECT *, CAST(row_number() OVER
+           (ORDER BY n_occurrences DESC, token ASC) AS BIGINT) AS rank
+  FROM agg
+)
+SELECT token, n_occurrences, n_docs, rank FROM r WHERE rank <= {k}"""
+
+
 def sql_domain_stats(pages_rel: str = "pages") -> str:
     """Oracle: identical regexp + exact distinct aggregates."""
     toks = TX.sql_tokens("text")

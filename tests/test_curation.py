@@ -42,3 +42,31 @@ def test_curation_stats_reconcile(spark):
     want_tokens = cur.agg(F.sum("n_tokens")).first()[0]
     assert sum(r["total_tokens"] for r in stats) == want_tokens
     assert len({r["lang"] for r in stats}) == len(stats)
+
+
+def test_vocab_topk_hand_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana"),
+            (1, "apple cherry"),
+            (2, "banana banana cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = CUR.vocab_topk(docs, k=2).orderBy("rank").collect()
+    # apple: 3 occ in 2 docs; banana: 3 occ in 2 docs -> tie broken by
+    # token ASC; cherry (2 occ) misses the top-2 cut
+    assert [(r.token, r.n_occurrences, r.n_docs, r.rank) for r in rows] == [
+        ("apple", 3, 2, 1),
+        ("banana", 3, 2, 2),
+    ]
+
+
+def test_vocab_topk_no_expand_in_plan(spark):
+    plan = (
+        CUR.vocab_topk(_docs(spark), k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, "distinct-doc count must be two-level agg"
