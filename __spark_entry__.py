@@ -203,6 +203,11 @@ def _q_knn(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_bruteforce(P.pages_with_derived(spark, sf), _QPTS, _KNN_K)
 
 
+def _q_knn_geodesic(spark: SparkSession, sf: str) -> DataFrame:
+    # great-circle metric: ranking can differ from planar near the poles
+    return S.knn_geodesic(P.pages_with_derived(spark, sf), _QPTS, _KNN_K)
+
+
 def _q_knn_ring(spark: SparkSession, sf: str) -> DataFrame:
     # ring prefilter (the 100 TB path); exact at these params on this data
     # — pinned against the same brute-force oracle as `knn`
@@ -732,6 +737,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "pip_pages_sql": _q_pip_pages_sql,          # JVM twin of pip_pages
     "pip_counts": _q_pip_counts,                # groupBy of pip_pages
     "knn_ring": _q_knn_ring,                    # same oracle as knn
+    "knn_geodesic": _q_knn_geodesic,            # haversine metric (new r3)
     "knn_adaptive": _q_knn_adaptive,            # same oracle as knn
     "raster_zoom": _q_raster_zoom,              # same oracle as raster_cells
     "raster_pyramid": _q_raster_pyramid,        # multi-res rollup (new r3)
@@ -899,6 +905,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "pip_counts": _with(f"pip AS ({S.sql_pip(_POLYS)})")
         + "\nSELECT poly_id, count(*) AS n_pages FROM pip GROUP BY poly_id",
         "knn": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),
+        "knn_geodesic": _with() + "\n" + S.sql_knn_geodesic(_QPTS, _KNN_K),
         "distance_join": _with() + "\n" + S.sql_distance_self_join(_DJ_RADIUS),
         "nn_join": _with() + "\n" + S.sql_nn_join(),
         "knn_ring": _with() + "\n" + S.sql_knn(_QPTS, _KNN_K),

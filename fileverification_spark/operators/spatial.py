@@ -255,6 +255,75 @@ def _dist2(qlat: F.Column, qlon: F.Column) -> F.Column:
     return dy * dy + dx * dx
 
 
+#: IUGG mean earth radius — the conventional haversine constant.
+EARTH_RADIUS_KM = 6371.0088
+
+#: digits kept on geodesic outputs: trig differs by ~1 ulp between the
+#: JVM and libm, so raw doubles can't hash-match an oracle; at 6 digits
+#: a mismatch needs the true value within ~1e-16·value of a rounding
+#: boundary — negligible over any realistic row count.
+GEO_ROUND = 6
+
+
+def haversine_km(
+    lat1: F.Column, lon1: F.Column, lat2: F.Column, lon2: F.Column
+) -> F.Column:
+    """Great-circle distance in km — the geodesic metric for rankings
+    where the planar-degree approximation distorts (high latitudes,
+    antimeridian-adjacent comparisons). Pure codegen'd trig; no UDF."""
+    half_dlat = F.radians(lat2 - lat1) / 2
+    half_dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(half_dlat) * F.sin(half_dlat)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(half_dlon)
+        * F.sin(half_dlon)
+    )
+    # clamp: FP noise can push a to 1 + eps for antipodal pairs
+    return 2 * F.lit(EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def sql_haversine_km(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB mirror of haversine_km (same clamp, same constant)."""
+    r = EARTH_RADIUS_KM
+    return (
+        f"2 * {r} * asin(sqrt(least("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2), 1.0)))"
+    )
+
+
+def knn_geodesic(
+    pages: DataFrame, queries: list[tuple[int, float, float]], k: int
+) -> DataFrame:
+    """Exact kNN under the great-circle metric: broadcast query points,
+    score every page with haversine_km, window top-k. Same plan shape as
+    knn_bruteforce (one scan, broadcast nested-loop, WindowGroupLimit
+    rank pushdown); the ranking can differ from the planar form near the
+    poles, where one degree of longitude is far shorter than one of
+    latitude. dist_km is rounded (GEO_ROUND) for cross-engine parity —
+    the RANKING itself compares unrounded doubles, where a flip would
+    need two candidates within ~1 ulp of each other."""
+    spark = pages.sparkSession
+    q = spark.createDataFrame(queries, ["query_id", "qlat", "qlon"])
+    d = haversine_km(
+        F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")
+    )
+    scored = pages.crossJoin(F.broadcast(q)).select(
+        "query_id", "url", d.alias("d")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("url").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "url", F.round(F.col("d"), GEO_ROUND).alias("dist_km")
+        )
+    )
+
+
 def knn_bruteforce(
     pages: DataFrame, queries: list[tuple[int, float, float]], k: int
 ) -> DataFrame:
@@ -696,6 +765,22 @@ SELECT query_id, rank, url FROM (
                   + (p.lon - q.qlon) * (p.lon - q.qlon) ASC, p.url ASC
          ) AS rank,
          p.url
+  FROM {pages_rel} p, (VALUES {sql_query_points_values(queries)}) AS q(query_id, qlat, qlon)
+) WHERE rank <= {k}"""
+
+
+def sql_knn_geodesic(
+    queries: list[tuple[int, float, float]], k: int, pages_rel: str = "pages"
+) -> str:
+    d = sql_haversine_km("q.qlat", "q.qlon", "p.lat", "p.lon")
+    return f"""
+SELECT query_id, rank, url, dist_km FROM (
+  SELECT q.query_id,
+         row_number() OVER (
+           PARTITION BY q.query_id ORDER BY {d} ASC, p.url ASC
+         ) AS rank,
+         p.url,
+         round({d}, {GEO_ROUND}) AS dist_km
   FROM {pages_rel} p, (VALUES {sql_query_points_values(queries)}) AS q(query_id, qlat, qlon)
 ) WHERE rank <= {k}"""
 

@@ -578,3 +578,56 @@ def test_hotspots_distributed_no_driver_collect(spark, pages_small):
         (r["cell"], r["n_pages"], r["hotspot_id"]) for r in out.collect()
     } == expected
     assert expected  # non-vacuous: sf0.001 has hot cells at these params
+
+
+# ---------------------------------------------------------------------------
+# Geodesic metric (r3)
+# ---------------------------------------------------------------------------
+
+def test_haversine_known_values(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = spark.range(1).select(
+        S.haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0)).alias("eq"),
+        S.haversine_km(F.lit(60.0), F.lit(0.0), F.lit(60.0), F.lit(1.0)).alias("lat60"),
+        S.haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(180.0)).alias("anti"),
+        S.haversine_km(F.lit(12.3), F.lit(45.6), F.lit(12.3), F.lit(45.6)).alias("zero"),
+    ).first()
+    one_deg = math.pi * S.EARTH_RADIUS_KM / 180.0
+    assert abs(rows.eq - one_deg) < 1e-6
+    # a degree of longitude at 60N is ~half an equatorial degree
+    assert abs(rows.lat60 - rows.eq * math.cos(math.radians(60.0))) < 0.01
+    assert abs(rows.anti - math.pi * S.EARTH_RADIUS_KM) < 1e-6
+    assert rows.zero == 0.0
+
+
+def test_knn_geodesic_ranks_by_great_circle_not_planar(spark):
+    # at 80N, 5 deg of longitude is shorter than 1.5 deg of latitude on
+    # the sphere (5*cos(80) ~ 0.87 deg equivalent) but longer in planar
+    # degrees — the two metrics must disagree on the winner
+    pages = spark.createDataFrame(
+        [("east", 80.0, 5.0), ("south", 78.5, 0.0)], ["url", "lat", "lon"]
+    )
+    top_geo = S.knn_geodesic(pages, [(0, 80.0, 0.0)], 1).first()
+    top_planar = S.knn_bruteforce(pages, [(0, 80.0, 0.0)], 1).first()
+    assert top_geo.url == "east"
+    assert top_planar.url == "south"
+
+
+def test_knn_geodesic_contract_shape(spark):
+    pg = spark.createDataFrame(
+        [(f"u{i}", float(i), float(i)) for i in range(20)],
+        ["url", "lat", "lon"],
+    )
+    out = S.knn_geodesic(pg, [(0, 0.0, 0.0), (1, 10.0, 10.0)], 3)
+    rows = out.collect()
+    assert len(rows) == 6
+    for qid in (0, 1):
+        ranked = sorted(
+            (r for r in rows if r.query_id == qid), key=lambda r: r.rank
+        )
+        assert [r.rank for r in ranked] == [1, 2, 3]
+        dists = [r.dist_km for r in ranked]
+        assert dists == sorted(dists)
