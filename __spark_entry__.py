@@ -414,6 +414,14 @@ def _q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     return CUR.domain_stats(P.pages(spark, sf))
 
 
+def _q_polygon_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # vector-side geometry rollup: shoelace area + centroid, zero shuffle
+    polys = spark.createDataFrame(
+        [(p.poly_id, S.poly_wkt(p)) for p in _POLYS], ["poly_id", "wkt"]
+    )
+    return S.polygon_stats(polys)
+
+
 def _q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     # tokenizer-side vocab heavy hitters: two-level agg, no Expand
     return CUR.vocab_topk(_docs(spark, sf))
@@ -757,6 +765,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "repetition_stats": _q_repetition_stats,
     "decontaminate": _q_decontaminate,
     "vocab_topk": _q_vocab_topk,
+    "polygon_stats": _q_polygon_stats,
 }
 
 
@@ -956,6 +965,9 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "domain_stats": _with() + "\n" + CUR.sql_domain_stats(),
         "repetition_stats": REP.sql_repetition_stats(),
         "vocab_topk": CUR.sql_vocab_topk(),
+        "polygon_stats": S.sql_polygon_stats(
+            f"(VALUES {S.sql_polygon_values(_POLYS)}) AS p(poly_id, wkt)"
+        ),
         "decontaminate": REP.sql_decontaminate(
             f"(SELECT * FROM documents WHERE doc_id % {REP.BENCH_MOD} != 0)",
             f"(SELECT * FROM documents WHERE doc_id % {REP.BENCH_MOD} = 0)",

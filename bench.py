@@ -37,8 +37,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
+from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
+from fileverification_spark.operators import repetition as REP
 from fileverification_spark.operators import multimodal as MM
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
@@ -139,6 +143,14 @@ def main() -> None:
         # hypertable rollup: 5 resolutions from ONE pages scan; coarser
         # levels fold the previous level's (cell, lang, cnt) raster
         "raster_pyramid": lambda: S.raster_pyramid(live, finest=8, coarsest=4).count(),
+        # round-3 corpus hygiene: zero-shuffle repetition gates, broadcast
+        # decontamination, two-level vocab agg
+        "repetition_stats": lambda: REP.repetition_stats(docs).count(),
+        "decontaminate": lambda: REP.decontaminate(
+            docs.where(F.col("doc_id") % REP.BENCH_MOD != 0),
+            docs.where(F.col("doc_id") % REP.BENCH_MOD == 0),
+        ).count(),
+        "vocab_topk": lambda: CUR.vocab_topk(docs).count(),
     }
 
     # -- interleaved timing passes --

@@ -88,6 +88,115 @@ def default_polygons(n: int = 8) -> list[Polygon]:
     return polys
 
 
+def poly_wkt(p: Polygon) -> str:
+    """OGC WKT (lon lat order, closed ring) for a Polygon."""
+    ring = list(p.vertices) + [p.vertices[0]]
+    coords = ", ".join(f"{lon!r} {lat!r}" for lat, lon in ring)
+    return f"POLYGON (({coords}))"
+
+
+#: numeric literal inside WKT — identical PCRE in Spark and DuckDB
+_WKT_NUM_RE = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?"
+
+
+def polygon_stats(polys: DataFrame) -> DataFrame:
+    """Per-polygon planar geometry over a (poly_id, wkt) table:
+    (poly_id, n_vertices, area_deg2, centroid_lon, centroid_lat) via the
+    shoelace formula — the vector-side rollup of the raster<->vector
+    surface (what a geofence registry runs at load time).
+
+    Scale notes: a pure per-row codegen'd expression chain (regexp parse
+    -> fold), zero shuffle, so it runs at scan speed over a
+    million-fence registry. Both engines fold the identical per-edge
+    term list left-to-right from an exact 0.0 seed, so the doubles (and
+    their 6-digit roundings) hash-match. Degenerate rings (|area| <
+    1e-12) get NULL centroids rather than a 0/0 NaN."""
+    nums = F.transform(
+        F.regexp_extract_all(F.col("wkt"), F.lit(_WKT_NUM_RE), 0),
+        lambda s: s.cast("double"),
+    )
+    npts = (F.size(nums) / 2).cast("int")
+
+    def x(i):  # 1-based point index -> lon
+        return F.element_at(nums, (2 * i - 1).cast("int"))
+
+    def y(i):
+        return F.element_at(nums, (2 * i).cast("int"))
+
+    idx = F.sequence(F.lit(1), npts - 1)
+    cross = lambda i: x(i) * y(i + 1) - x(i + 1) * y(i)  # noqa: E731
+
+    def fold(terms):
+        return F.aggregate(terms, F.lit(0.0), lambda a, t: a + t)
+
+    signed2a = fold(F.transform(idx, cross))
+    cx_sum = fold(F.transform(idx, lambda i: (x(i) + x(i + 1)) * cross(i)))
+    cy_sum = fold(F.transform(idx, lambda i: (y(i) + y(i + 1)) * cross(i)))
+    degenerate = F.abs(signed2a) < 1e-12
+    return polys.select(
+        "poly_id",
+        (npts - 1).cast("bigint").alias("n_vertices"),
+        F.round(F.abs(signed2a) / 2, 6).alias("area_deg2"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(cx_sum / (3 * signed2a), 6))
+        .alias("centroid_lon"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(cy_sum / (3 * signed2a), 6))
+        .alias("centroid_lat"),
+    )
+
+
+def sql_polygon_values(polys: list[Polygon]) -> str:
+    """VALUES rows (poly_id, wkt) for the oracle — identical repr-float
+    WKT strings to the Spark-side input, so the parse is byte-equal."""
+    return ", ".join(f"('{p.poly_id}', '{poly_wkt(p)}')" for p in polys)
+
+
+def sql_polygon_stats(polys_rel: str) -> str:
+    """DuckDB mirror of polygon_stats: same term lists, same left fold
+    seeded by the first term (exactly 0.0 + t1)."""
+    nums = (
+        f"list_transform(regexp_extract_all(wkt, '{_WKT_NUM_RE}'), "
+        "s -> CAST(s AS DOUBLE))"
+    )
+
+    def x(i):
+        return f"nums[2*({i}) - 1]"
+
+    def y(i):
+        return f"nums[2*({i})]"
+
+    cross = lambda i: f"({x(i)} * {y(f'{i}+1')} - {x(f'{i}+1')} * {y(i)})"  # noqa: E731
+
+    def fold(term):
+        return (
+            f"list_reduce(list_transform(range(1, npts), i -> {term}), "
+            "(a, t) -> a + t)"
+        )
+
+    signed2a = fold(cross("i"))
+    cx_sum = fold(f"({x('i')} + {x('i+1')}) * {cross('i')}")
+    cy_sum = fold(f"({y('i')} + {y('i+1')}) * {cross('i')}")
+    return f"""
+WITH parsed AS (
+  SELECT poly_id, {nums} AS nums FROM {polys_rel}
+),
+sized AS (SELECT poly_id, nums, CAST(len(nums) / 2 AS INT) AS npts FROM parsed),
+folded AS (
+  SELECT poly_id, npts,
+         {signed2a} AS signed2a, {cx_sum} AS cx_sum, {cy_sum} AS cy_sum
+  FROM sized
+)
+SELECT poly_id,
+       CAST(npts - 1 AS BIGINT) AS n_vertices,
+       round(abs(signed2a) / 2, 6) AS area_deg2,
+       CASE WHEN abs(signed2a) < 1e-12 THEN NULL
+            ELSE round(cx_sum / (3 * signed2a), 6) END AS centroid_lon,
+       CASE WHEN abs(signed2a) < 1e-12 THEN NULL
+            ELSE round(cy_sum / (3 * signed2a), 6) END AS centroid_lat
+FROM folded"""
+
+
 def default_query_points(n: int = 10) -> list[tuple[int, float, float]]:
     """(query_id, lat, lon) — deterministic spread."""
     return [(i, -60.0 + 13.0 * i, ((-150.0 + 37.0 * i + 180.0) % 360.0) - 180.0) for i in range(n)]

@@ -631,3 +631,63 @@ def test_knn_geodesic_contract_shape(spark):
         assert [r.rank for r in ranked] == [1, 2, 3]
         dists = [r.dist_km for r in ranked]
         assert dists == sorted(dists)
+
+
+# ---------------------------------------------------------------------------
+# Polygon geometry stats (r3)
+# ---------------------------------------------------------------------------
+
+def test_polygon_stats_hand_computed(spark):
+    # unit square (0,0)-(1,1): area 1, centroid (0.5, 0.5); ccw triangle
+    # (0,0),(4,0),(0,3): area 6, centroid (4/3, 1); degenerate line ->
+    # area 0, NULL centroid
+    polys = spark.createDataFrame(
+        [
+            ("sq", "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))"),
+            ("tri", "POLYGON ((0.0 0.0, 4.0 0.0, 0.0 3.0, 0.0 0.0))"),
+            ("line", "POLYGON ((0.0 0.0, 2.0 2.0, 0.0 0.0))"),
+        ],
+        ["poly_id", "wkt"],
+    )
+    rows = {r.poly_id: r for r in S.polygon_stats(polys).collect()}
+    sq, tri, line = rows["sq"], rows["tri"], rows["line"]
+    assert sq.n_vertices == 4 and sq.area_deg2 == 1.0
+    assert (sq.centroid_lon, sq.centroid_lat) == (0.5, 0.5)
+    assert tri.area_deg2 == 6.0
+    assert abs(tri.centroid_lon - 4.0 / 3.0) < 1e-6 and tri.centroid_lat == 1.0
+    assert line.area_deg2 == 0.0
+    assert line.centroid_lon is None and line.centroid_lat is None
+
+
+def test_polygon_stats_orientation_invariant(spark):
+    # clockwise ring gives the same absolute area and centroid
+    polys = spark.createDataFrame(
+        [
+            ("ccw", "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))"),
+            ("cw", "POLYGON ((0.0 0.0, 0.0 2.0, 2.0 2.0, 2.0 0.0, 0.0 0.0))"),
+        ],
+        ["poly_id", "wkt"],
+    )
+    rows = {r.poly_id: r for r in S.polygon_stats(polys).collect()}
+    assert rows["ccw"].area_deg2 == rows["cw"].area_deg2 == 4.0
+    assert rows["ccw"].centroid_lon == rows["cw"].centroid_lon == 1.0
+    assert rows["ccw"].centroid_lat == rows["cw"].centroid_lat == 1.0
+
+
+def test_poly_wkt_roundtrip_default_polygons(spark):
+    # the serialized default polygons parse back to their vertex count,
+    # and centroids land at the construction centers
+    polys = spark.createDataFrame(
+        [(p.poly_id, S.poly_wkt(p)) for p in S.default_polygons()],
+        ["poly_id", "wkt"],
+    )
+    by_id = {p.poly_id: p for p in S.default_polygons()}
+    for r in S.polygon_stats(polys).collect():
+        p = by_id[r.poly_id]
+        assert r.n_vertices == len(p.vertices)
+        cy = sum(v[0] for v in p.vertices) / len(p.vertices)
+        cx = sum(v[1] for v in p.vertices) / len(p.vertices)
+        # regular polygons: vertex mean == area centroid
+        assert abs(r.centroid_lat - cy) < 1e-4
+        assert abs(r.centroid_lon - cx) < 1e-4
+        assert r.area_deg2 > 0

@@ -50,6 +50,8 @@ sys.path.insert(0, {repo!r})
 from fileverification_spark.session import get_spark
 from fileverification_spark.sources import bench_io
 from fileverification_spark.operators import verify as V
+from fileverification_spark.operators import spatial as S
+from fileverification_spark.sources import pages as P
 
 # 8 MiB advisory post-shuffle partitions: at bench scale (~1 GB) the
 # 64 MiB default would coalesce shuffles to a handful of partitions and
@@ -62,9 +64,7 @@ live = bench_io.read_live(spark, {pages!r})
 stored = bench_io.read_manifest(spark, {man!r})
 n = live.count()
 
-def job():
-    return {{r["status"]: r["n"] for r in
-             V.verify_counts(V.verify_tree(live, stored)).collect()}}
+{job_body}
 
 # whole-stage codegen JIT needs >1 run to reach steady state — 2
 # warm-ups. The sandbox host is SHARED (ambient load average 7-15 from
@@ -84,6 +84,57 @@ print("RESULT " + json.dumps({{"cores": {cores}, "n_pages": n,
 """
 
 
+#: timed-job bodies, selected by the third CLI arg. Each defines job()
+#: returning a small dict that must be identical at both sizes.
+JOB_BODIES = {
+    "verify": r"""
+def job():
+    return {r["status"]: r["n"] for r in
+            V.verify_counts(V.verify_tree(live, stored)).collect()}
+""",
+    # the spatial-join half of the headline metric: broadcast prepared
+    # polygon coverings + exact pandas-UDF PIP test over every page
+    "pip": r"""
+def job():
+    hits = S.pip_join(live, S.default_polygons(), P.LEAF_RES)
+    return {r["poly_id"]: r["n"] for r in
+            hits.groupBy("poly_id").count().withColumnRenamed("count", "n")
+                .collect()}
+""",
+    # denser fence registry (64 polygons = 8 defaults x 8 jittered
+    # copies): ~8x the per-page candidate work, so compute dominates the
+    # fixed stage/worker-pool overhead at sizes the sandbox can hold —
+    # the honest way to measure scaling for a job whose 8-fence form
+    # finishes in seconds
+    "pip64": r"""
+FENCES = [S.Polygon(f"{p.poly_id}_{j}",
+                    [(la + 0.5 * j, lo + 0.7 * j) for la, lo in p.vertices])
+          for p in S.default_polygons(8) for j in range(8)]
+
+def job():
+    hits = S.pip_join(live, FENCES, P.LEAF_RES)
+    return {"total_hits": hits.count()}
+""",
+}
+
+JOB_DESCS = {
+    "verify": (
+        "Flagship verify job (parquet scan -> sha256+geocode+cell derive -> "
+        "verify\njoins -> per-status counts)"
+    ),
+    "pip": (
+        "Spatial point-in-polygon join (parquet scan -> geocode+cell derive "
+        "->\nbroadcast polygon covering prefilter -> exact pandas-UDF ray "
+        "cast ->\nper-polygon counts)"
+    ),
+    "pip64": (
+        "Spatial point-in-polygon join against a 64-fence registry "
+        "(parquet scan\n-> geocode+cell derive -> broadcast covering "
+        "prefilter -> exact\npandas-UDF ray cast -> hit count)"
+    ),
+}
+
+
 def run_child(code: str, timeout: int = 1800, cores: int | None = None) -> str:
     cmd = [sys.executable, "-c", code]
     if cores is not None:
@@ -93,8 +144,12 @@ def run_child(code: str, timeout: int = 1800, cores: int | None = None) -> str:
     return out.stdout + ("" if out.returncode == 0 else f"\nSTDERR:{out.stderr[-2000:]}")
 
 
-def run(cores: int, pages: str, man: str) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, pages=pages, man=man)
+def run(cores: int, pages: str, man: str, job: str = "verify") -> dict:
+    # substituted VALUES are not re-scanned by str.format, so the braces
+    # inside the job body are safe as-is
+    code = CHILD.format(
+        repo=REPO, cores=cores, pages=pages, man=man, job_body=JOB_BODIES[job]
+    )
     stdout = run_child(code, cores=cores)
     for line in stdout.splitlines():
         if line.startswith("RESULT "):
@@ -105,6 +160,9 @@ def run(cores: int, pages: str, man: str) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     repl = int(sys.argv[2]) if len(sys.argv) > 2 else 6400
+    job = sys.argv[3] if len(sys.argv) > 3 else "verify"
+    if job not in JOB_BODIES:
+        raise SystemExit(f"unknown job {job!r}; choose from {sorted(JOB_BODIES)}")
     out = f"/tmp/spark_graft_bench/{os.path.basename(sf_dir.rstrip('/'))}_x{repl}"
     os.makedirs(out, exist_ok=True)
     setup_out = run_child(SETUP.format(repo=REPO, sf_dir=sf_dir, repl=repl, out=out))
@@ -115,17 +173,16 @@ def main() -> None:
     # equally; keep the best (least-contended) observation per size.
     runs8, runs32 = [], []
     for _ in range(2):
-        runs8.append(run(8, pages, man))
-        runs32.append(run(32, pages, man))
+        runs8.append(run(8, pages, man, job))
+        runs32.append(run(32, pages, man, job))
     r8 = min(runs8, key=lambda r: r["sec"])
     r32 = min(runs32, key=lambda r: r["sec"])
     eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4.0
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     block = f"""
-## Scaling run — {stamp}
+## Scaling run — {stamp} (job: {job})
 
-Flagship verify job (parquet scan -> sha256+geocode+cell derive -> verify
-joins -> per-status counts) over materialised input ({sf_dir},
+{JOB_DESCS[job]} over materialised input ({sf_dir},
 replication x{repl} -> {r8['n_pages']} pages, 64 parquet files); fresh JVM
 per size, pinned with taskset to exactly N CPUs (task + GC + shuffle + Python
 threads all confined, like a real N-core executor), warm-up runs excluded,
@@ -137,7 +194,7 @@ min-of-5 per JVM, sizes interleaved against ambient tenant load:
 | local[32] (4N) | {r32['pages_per_sec']} | {r32['sec']} |
 
 **Scaling efficiency (tput_4N / tput_N) / 4 = {eff:.3f}** (target >= 0.8).
-Status counts (identical at both sizes): {r8['counts']}
+Result counts (identical at both sizes): {r8['counts']}
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
