@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from fileverification_spark import config as CFG
 from fileverification_spark import grid
+from fileverification_spark.functions import scrub as SCRUB
 from fileverification_spark.functions import text as TX
 from fileverification_spark.streaming import incremental as INC
 from fileverification_spark.streaming import geofence as SG
@@ -441,6 +442,78 @@ def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return REP.decontaminate(train, bench)
 
 
+def _q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # near-dup components over verified LSH pairs; tau=0.35 yields
+    # multi-hop clusters (sizes 2-4) on the natural sf0.001 corpus
+    return D.duplicate_clusters(_docs(spark, sf))
+
+
+# planted-PII corpus: deterministic per-class injections keyed on doc_id
+# residues so counts VARY across rows; the oracle mirrors the exact same
+# construction (concat + CASE), then both engines scrub.
+def _pii_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" user"), (d % 7).cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" 10.0."), (d % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" +155500012"), (d % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf).select("doc_id", text.alias("text"))
+
+
+_SQL_PII_PLANTED = """(
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' user' || CAST(doc_id % 7 AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' +155500012' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents) planted"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    return SCRUB.pii_scrub(_pii_planted(spark, sf))
+
+
+# paragraph corpus: doc g = text[g] + '\n\n' + text[g+1], so every text
+# except the first and last appears in exactly two synthetic docs —
+# guaranteed cross-doc duplicate paragraphs for the first-occurrence rule
+def _para_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    a = docs.select("doc_id", F.col("text").alias("t1"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2"))
+    return a.join(b, "doc_id").select(
+        "doc_id", F.concat("t1", F.lit("\n\n"), "t2").alias("text")
+    )
+
+
+_SQL_PARA_DOCS = """(
+  SELECT a.doc_id AS doc_id,
+         a.text || chr(10) || chr(10) || b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) paired"""
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.paragraph_dedup(_para_docs(spark, sf))
+
+
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     sigs = D.minhash_signatures(_docs(spark, sf))
     return D.lsh_candidate_pairs(sigs)
@@ -766,6 +839,12 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "decontaminate": _q_decontaminate,
     "vocab_topk": _q_vocab_topk,
     "polygon_stats": _q_polygon_stats,
+    # corpus hygiene round 2 (new r3, late): near-dup CLUSTERS (pairwise
+    # -> connected components), PII scrubbing, paragraph-level dedup —
+    # born demoted; driver window stays at the 50 settled queries
+    "dup_clusters": _q_dup_clusters,
+    "pii_scrub": _q_pii_scrub,
+    "paragraph_dedup": _q_paragraph_dedup,
 }
 
 
@@ -974,6 +1053,9 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         ),
         "dedup_minhash": D.sql_lsh_pairs_query(),
         "ngram_jaccard": D.sql_ngram_jaccard_query(),
+        "dup_clusters": D.sql_duplicate_clusters_query(),
+        "pii_scrub": SCRUB.sql_pii_scrub_query(_SQL_PII_PLANTED),
+        "paragraph_dedup": D.sql_paragraph_dedup_query(_SQL_PARA_DOCS),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

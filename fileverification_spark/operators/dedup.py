@@ -365,3 +365,201 @@ def sql_simhash_docs_query(
     return f"""
 SELECT doc_id, {expr} AS simhash
 FROM (SELECT doc_id, {th} AS th FROM {docs_rel})"""
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clusters (pairs -> connected components)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    tau: float = 0.35,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    pair relation (LSH candidates whose exact n-gram Jaccard >= tau),
+    completing the dedup story from pairwise to set-level — the form a
+    corpus pipeline actually consumes (keep ONE doc per cluster, drop
+    the rest), vs the reference's per-file first-writer-wins keeper
+    (CheckSumFile.cs:146).
+
+    Returns (doc_id, cluster_id, is_keeper) for every doc that appears
+    in >= 1 verified pair; cluster_id = min doc_id of the component,
+    keeper = that minimum (deterministic).
+
+    Scale shape: candidate generation stays bucketed (LSH bands), exact
+    Jaccard runs only on survivors, and components come from min-label
+    propagation over the verified-pair relation — the same distributed
+    fixpoint as ``spatial.hotspots_distributed`` (no driver-side
+    collect; the edge relation is |verified pairs|, tiny next to the
+    corpus). Each sweep is one equi-join + one partial-agg min, eagerly
+    staged so lineage stays flat; convergence is a changed-row count
+    (one driver scalar per sweep). ``max_iters`` bounds chain-shaped
+    components and raises rather than returning unconverged labels.
+    """
+    from fileverification_spark.operators.spatial import _stage
+
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes)
+    verified = ngram_jaccard_pairs(docs, pairs, shingle_n).where(
+        F.col("jaccard") >= tau
+    )
+    fwd = verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = _stage(
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        eager=True,
+    )
+    labels = _stage(
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id")),
+        eager=True,
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, edges["src"] == labels["doc_id"], "inner"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new_labels = _stage(
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id")),
+            eager=True,
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters: labels not converged after {max_iters} "
+            "sweeps (component diameter exceeds max_iters)"
+        )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def sql_duplicate_clusters_query(
+    docs_rel: str = "documents",
+    tau: float = 0.35,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> str:
+    """Oracle: recursive-CTE transitive closure over the verified-pair
+    relation; cluster_id = min reachable doc_id (mirrors the min-label
+    fixpoint exactly)."""
+    inner = sql_ngram_jaccard_query(docs_rel, bands, num_hashes, shingle_n)
+    return f"""
+WITH RECURSIVE verified AS (
+  SELECT doc_a, doc_b FROM ({inner}) WHERE jaccard >= {tau}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b, doc_a FROM verified
+),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS cluster_id, (a = min(b)) AS is_keeper
+FROM reach GROUP BY a"""
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (C4/RefinedWeb-style line hygiene)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame, sep: str = "\n\n", text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-level exact dedup: split every doc into paragraphs on
+    ``sep``, keep only the GLOBAL first occurrence of each distinct
+    paragraph (total order = (doc_id, position)), and reassemble the
+    surviving paragraphs in original order — the C4/RefinedWeb line-dedup
+    hygiene pass, i.e. the reference's first-writer-wins keeper
+    (CheckSumFile.cs:146) applied at sub-document granularity.
+
+    Returns (doc_id, clean_text, n_paras, n_kept); docs whose every
+    paragraph lost the first-occurrence race come back with clean_text =
+    '' (kept, not dropped — the caller decides on gating).
+
+    Scale shape: the keeper is ``min(struct(doc_id, idx))`` per
+    paragraph — partial-aggregatable (map-side combine), so the shuffle
+    carries one candidate per (paragraph, map partition) instead of a
+    global row_number sort over every paragraph occurrence (the SQL
+    oracle uses the window form; the semantics are identical, the
+    struct-min is the 100 TB plan). Reassembly groups by doc_id —
+    paragraphs of a doc are co-located after one shuffle keyed on the
+    doc, and ``array_sort`` restores original order without a sort
+    exchange. ``sep`` must be regex-metachar-free: Spark ``split`` takes
+    a regex, the DuckDB mirror splits literally.
+    """
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    )
+    keepers = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "idx")).alias("k")
+    )
+    flagged = paras.join(keepers, "para").select(
+        "doc_id",
+        "idx",
+        "para",
+        (
+            (F.col("doc_id") == F.col("k.doc_id")) & (F.col("idx") == F.col("k.idx"))
+        ).alias("keep"),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("idx", "para"))
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+    )
+
+
+def sql_paragraph_dedup_query(
+    docs_rel: str = "documents", sep: str = "\n\n", text_expr: str = "text"
+) -> str:
+    """Oracle: positional split + row_number-per-paragraph window (the
+    first-occurrence rule stated directly) + ordered string_agg."""
+    sep_sql = sep.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH paras AS (
+  SELECT doc_id, i AS idx, ps[i] AS para
+  FROM (SELECT doc_id, string_split({text_expr}, '{sep_sql}') AS ps FROM {docs_rel}),
+       LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i) p
+),
+flagged AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, '{sep_sql}' ORDER BY idx), '')
+         AS clean_text,
+       count(*) AS n_paras,
+       count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
+FROM flagged GROUP BY doc_id"""

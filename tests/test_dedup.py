@@ -68,3 +68,99 @@ def test_signature_stability_under_repartition(spark):
         for r in D.minhash_signatures(docs.limit(50).repartition(7)).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# duplicate_clusters (pairs -> connected components)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_clusters_transitive_component(spark):
+    """A~B and B~C must land in ONE cluster even when A~C alone would
+    miss tau (transitivity is the point of the component step)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd watches the game unfold slowly tonight"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a small tail appended here"),
+            (3, base + " with a small tail appended here and even more "
+                "extra drift text pushing it away from the original"),
+            (4, "totally unrelated content about cooking pasta al dente"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicate_clusters(docs, tau=0.5, max_iters=8).collect()
+    }
+    assert set(out) == {1, 2, 3}          # 4 is in no verified pair
+    assert {r["cluster_id"] for r in out.values()} == {1}
+    assert out[1]["is_keeper"] and not out[2]["is_keeper"]
+    # sanity: the chain really is a chain at this tau (A~C below it)
+    pairs = D.ngram_jaccard_pairs(
+        docs, D.lsh_candidate_pairs(D.minhash_signatures(docs))
+    ).collect()
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert jac[(1, 2)] >= 0.5 and jac[(2, 3)] >= 0.5
+    assert jac.get((1, 3), 0.0) < 0.5
+
+
+def test_duplicate_clusters_matches_sql_closure(spark):
+    """Min-label propagation == recursive-CTE closure on the natural
+    sf0.001 corpus (multi-hop components included)."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in D.duplicate_clusters(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), bool(k))
+        for a, b, k in con.execute(D.sql_duplicate_clusters_query()).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup (global first-occurrence keeper)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "A\n\nB"),
+            (2, "B\n\nC"),       # B lost the race to doc 1
+            (3, "A\n\nC"),       # both paragraphs lost
+            (4, "X\n\nA\n\nY"),  # middle paragraph dropped, order kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "A\n\nB"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["clean_text"] == "C"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+    assert out[4]["clean_text"] == "X\n\nY"
+    assert (out[4]["n_paras"], out[4]["n_kept"]) == (3, 2)
+
+
+def test_paragraph_dedup_within_doc_duplicates(spark):
+    """A paragraph repeated INSIDE one doc keeps only its first slot."""
+    docs = spark.createDataFrame([(7, "P\n\nQ\n\nP\n\nP")], ["doc_id", "text"])
+    row = D.paragraph_dedup(docs).first()
+    assert row["clean_text"] == "P\n\nQ"
+    assert (row["n_paras"], row["n_kept"]) == (4, 2)
