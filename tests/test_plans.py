@@ -168,3 +168,27 @@ def test_compact_cells_plan_is_linear_in_levels(spark):
     mask = S.rasterize_polygons(spark, S.default_polygons(), 7).select("cell")
     plan = X.formatted_plan(S.compact_cells(mask, 7))
     assert len(re.findall(r"\bExchange\b", plan)) <= 50
+
+
+def test_pii_scrub_zero_shuffle_no_python(spark):
+    """PII scrubbing is a narrow per-row projection: no Exchange, no
+    Python eval node — it must pipeline with the scan at 100 TB."""
+    from fileverification_spark.functions import scrub as SC
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = X.formatted_plan(SC.pii_scrub(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no row-at-a-time or Arrow Python
+
+
+def test_paragraph_dedup_keeper_is_partial_agg(spark):
+    """The first-occurrence keeper must be min(struct(doc_id, idx)) —
+    partial-aggregatable — not a row_number window over every paragraph
+    occurrence (the oracle's form, correct but sort-heavy at scale)."""
+    from fileverification_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = D.paragraph_dedup(docs)
+    plan = X.formatted_plan(df)
+    assert X.has_partial_aggregate(df)
+    assert "Window" not in plan
