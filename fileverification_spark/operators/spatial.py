@@ -278,15 +278,25 @@ def _pip_pandas_udf(polys: list[Polygon]):
                 e.append((y1, x1, y2, x2))  # crossing test; dropping it
         edges[p.poly_id] = e  # avoids the 0-division in the slope
 
+    # one dict-hash pass per batch maps poly_id strings to dense int
+    # codes; the per-polygon row masks then compare int64 (SIMD, one
+    # streamed 8B/row pass) instead of object-dtype strings (a Python-
+    # object compare per row PER polygon — measured as the scaling
+    # bottleneck of the Arrow lane at 32-core density: scattered
+    # PyObject reads are memory-latency-bound and got 64 passes/batch
+    # with a 64-fence registry)
+    id2code = {pid: k for k, pid in enumerate(edges)}
+    edge_lists = list(edges.values())
+
     @F.pandas_udf(T.BooleanType())
     def inside(poly_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
         res = pd.Series(False, index=lat.index)
         py = lat.to_numpy()
         px = lon.to_numpy()
-        pid = poly_id.to_numpy()
+        codes = poly_id.map(id2code).to_numpy(dtype=np.int64)
         out = np.zeros(len(py), dtype=bool)
-        for the_id, es in edges.items():
-            m = pid == the_id
+        for k, es in enumerate(edge_lists):
+            m = codes == k
             if not m.any():
                 continue
             yy, xx = py[m], px[m]
