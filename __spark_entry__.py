@@ -290,6 +290,11 @@ def _q_od_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return TJ.od_matrix(SW.read_events(spark, sf))
 
 
+def _q_track_length(spark: SparkSession, sf: str) -> DataFrame:
+    # per-user great-circle trajectory length (decimal-exact sum)
+    return TJ.track_length(SW.read_events(spark, sf))
+
+
 def _q_raster_users(spark: SparkSession, sf: str) -> DataFrame:
     # per-cell exact distinct users (HLL twin pinned in tests)
     return TJ.raster_users(SW.read_events(spark, sf))
@@ -845,6 +850,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "dup_clusters": _q_dup_clusters,
     "pii_scrub": _q_pii_scrub,
     "paragraph_dedup": _q_paragraph_dedup,
+    "track_length": _q_track_length,  # per-user geodesic trajectory length
 }
 
 
@@ -1023,6 +1029,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             _RASTER_RES, "doc_id % 2 = 0", "doc_id % 2 = 1"
         ),
         "od_matrix": TJ.sql_od_matrix(),
+        "track_length": TJ.sql_track_length(),
         "raster_users": TJ.sql_raster_users(),
         "fence_dwells": TJ.sql_fence_dwells(_POLYS),
         "doc_stats": "SELECT doc_id, "

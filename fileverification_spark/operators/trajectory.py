@@ -195,3 +195,73 @@ SELECT user_id, poly_id, session_id,
        CAST(epoch_us(max(ts)) AS BIGINT) AS exit_ts,
        count(*) AS n_events
 FROM s GROUP BY user_id, poly_id, session_id"""
+
+
+def track_length(events: DataFrame) -> DataFrame:
+    """(user_id, n_points, n_legs, track_km): total great-circle length
+    of each user's time-ordered trajectory — the mobility-analytics
+    rollup next to the OD matrix (reference analogue: per-folder size
+    accounting, FV/IO/FileSystemCrawlerBase.cs totals, lifted to paths).
+
+    Scale shape: ONE window shuffle on user_id (the same (ts, event_id)
+    total order as cell_transitions) then one hash-agg per user. Legs
+    are haversine_km rounded to 6 digits and summed as fixed-scale
+    DECIMAL so the total is order-independent and cross-engine exact
+    (same discipline as curation_stats.sum_quality); track_km is the
+    stringified decimal."""
+    from fileverification_spark.operators import spatial as SP
+
+    geo = SG.with_geo(events)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = geo.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    leg = F.round(
+        SP.haversine_km(
+            F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        with_prev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("plat").alias("n_legs"),
+            F.sum(F.when(F.col("plat").isNotNull(), leg)).alias("_km"),
+        )
+        .select(
+            "user_id",
+            "n_points",
+            "n_legs",
+            F.coalesce(F.col("_km").cast("string"), F.lit("0.000000")).alias(
+                "track_km"
+            ),
+        )
+    )
+
+
+def sql_track_length(events_rel: str = "events") -> str:
+    """Oracle: identical geocode + lag + rounded-DECIMAL leg sum."""
+    from fileverification_spark.operators import spatial as SP
+
+    d = SP.sql_haversine_km("plat", "plon", "lat", "lon")
+    return f"""
+WITH {SG.sql_geo_cte(events_rel)},
+legs AS (
+  SELECT user_id,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+         lat, lon
+  FROM geo
+)
+SELECT user_id,
+       count(*) AS n_points,
+       count(plat) AS n_legs,
+       coalesce(CAST(sum(CASE WHEN plat IS NOT NULL
+                 THEN CAST(round({d}, 6) AS DECIMAL(18,6)) END) AS VARCHAR),
+                '0.000000') AS track_km
+FROM legs GROUP BY user_id"""

@@ -80,3 +80,44 @@ def test_fence_dwells_invariants(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert (s2 - e1).total_seconds() > TJ.DWELL_GAP_MIN * 60
+
+
+def test_track_length_matches_driver_replay(spark):
+    """track_km equals a driver-side haversine replay of each user's
+    (ts, event_id)-ordered trajectory; point/leg counts reconcile."""
+    import math
+    from decimal import Decimal
+
+    from fileverification_spark.streaming import geofence as SG
+
+    events = SW.read_events(spark, SF)
+    got = {r["user_id"]: r for r in TJ.track_length(events).collect()}
+    rows = (
+        SG.with_geo(events)
+        .select("user_id", "ts", "event_id", "lat", "lon")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    R = 6371.0088
+    for uid, pts in by_user.items():
+        pts.sort(key=lambda r: (r["ts"], r["event_id"]))
+        total = Decimal("0")
+        for a, b in zip(pts, pts[1:]):
+            la1, lo1, la2, lo2 = map(
+                math.radians, (a["lat"], a["lon"], b["lat"], b["lon"])
+            )
+            h = (
+                math.sin((la2 - la1) / 2) ** 2
+                + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+            )
+            d = 2 * R * math.asin(min(1.0, math.sqrt(h)))
+            total += Decimal(str(round(d, 6)))
+        g = got[uid]
+        assert g["n_points"] == len(pts)
+        assert g["n_legs"] == len(pts) - 1
+        # per-leg rounding may differ by 1 ulp in the 6th digit between
+        # JVM round and Python round; bound the drift by the leg count
+        tol = Decimal("0.000001") * max(len(pts) - 1, 1)
+        assert abs(Decimal(g["track_km"]) - total) <= tol, uid
