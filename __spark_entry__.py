@@ -295,6 +295,21 @@ def _q_track_length(spark: SparkSession, sf: str) -> DataFrame:
     return TJ.track_length(SW.read_events(spark, sf))
 
 
+# registry B for the polygon-polygon join: the default registry shifted
+# (+5 lat, +7 lon) so every feature partially overlaps its source
+_POLYS_B = [
+    S.Polygon(p.poly_id + "_s", [(la + 5.0, lo + 7.0) for la, lo in p.vertices])
+    for p in S.default_polygons(8)
+]
+_POLY_JOIN_RES = 6
+
+
+def _q_poly_join(spark: SparkSession, sf: str) -> DataFrame:
+    return S.poly_intersection_join(
+        spark, S.default_polygons(8), _POLYS_B, _POLY_JOIN_RES
+    )
+
+
 def _q_raster_users(spark: SparkSession, sf: str) -> DataFrame:
     # per-cell exact distinct users (HLL twin pinned in tests)
     return TJ.raster_users(SW.read_events(spark, sf))
@@ -851,6 +866,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "pii_scrub": _q_pii_scrub,
     "paragraph_dedup": _q_paragraph_dedup,
     "track_length": _q_track_length,  # per-user geodesic trajectory length
+    "poly_join": _q_poly_join,  # polygon-polygon mask-intersection join
 }
 
 
@@ -1030,6 +1046,9 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         ),
         "od_matrix": TJ.sql_od_matrix(),
         "track_length": TJ.sql_track_length(),
+        "poly_join": S.sql_poly_intersection_join(
+            S.default_polygons(8), _POLYS_B, _POLY_JOIN_RES
+        ),
         "raster_users": TJ.sql_raster_users(),
         "fence_dwells": TJ.sql_fence_dwells(_POLYS),
         "doc_stats": "SELECT doc_id, "

@@ -1788,3 +1788,82 @@ SELECT h.cell, h.n_pages, m.hotspot_id
 FROM hot h JOIN (
   SELECT a AS cell, min(b) AS hotspot_id FROM reach GROUP BY a
 ) m ON h.cell = m.cell"""
+
+
+# ---------------------------------------------------------------------------
+# Polygon x polygon intersection join (registry vs registry)
+# ---------------------------------------------------------------------------
+
+
+def poly_intersection_join(
+    spark: SparkSession,
+    polys_a: "list[Polygon]",
+    polys_b: "list[Polygon]",
+    res: int,
+) -> DataFrame:
+    """Registry-vs-registry spatial join: (poly_a, poly_b,
+    n_shared_cells, iou) for every pair of features whose center-sampled
+    cell masks at ``res`` share >= 1 cell — the polygon-polygon
+    intersection test, grid-approximate at the stated resolution (both
+    sides rasterized with the same center-sampling rule as
+    rasterize_polygons, so the result is DEFINED exactly and refines
+    monotonically with res; the common GIS mask-overlap join).
+
+    iou = |A mask ∩ B mask| / |A mask ∪ B mask| ranks the pairs.
+
+    Scale shape: each registry rasterizes independently (broadcast bbox
+    covering + codegen'd crossing parity — no Python), then ONE
+    equi-join on the cell key and a pair-key hash-agg. At millions of
+    features per side this stays bucketed by cell where the naive
+    bbox-pairs test is quadratic in the registries; hot cells (many
+    overlapping features) are the join's skew axis, and AQE skew-join is
+    the backstop exactly as for the point-side distance join.
+
+    Reference analogue: verify_tree's two-sided reconcile
+    (FV/PathInfo.cs:427-537) lifted from (live, stored) file sets to
+    (registry A, registry B) geometry sets."""
+    ma = rasterize_polygons(spark, polys_a, res).select(
+        F.col("poly_id").alias("poly_a"), "cell"
+    )
+    mb = rasterize_polygons(spark, polys_b, res).select(
+        F.col("poly_id").alias("poly_b"), "cell"
+    )
+    na = ma.groupBy("poly_a").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = mb.groupBy("poly_b").agg(F.count(F.lit(1)).alias("n_b"))
+    shared = (
+        ma.join(mb, "cell")
+        .groupBy("poly_a", "poly_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_cells"))
+    )
+    iou = F.round(
+        F.col("n_shared_cells")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared_cells")),
+        6,
+    )
+    return (
+        shared.join(na, "poly_a")
+        .join(nb, "poly_b")
+        .select("poly_a", "poly_b", "n_shared_cells", iou.alias("iou"))
+    )
+
+
+def sql_poly_intersection_join(
+    polys_a: "list[Polygon]", polys_b: "list[Polygon]", res: int
+) -> str:
+    """Oracle: the same two rasterizations (sql_rasterize verbatim, as
+    nested-WITH subqueries) + cell equi-join + pair aggregation; iou is
+    exact-integer arithmetic rounded identically."""
+    qa = sql_rasterize(polys_a, res)
+    qb = sql_rasterize(polys_b, res)
+    return f"""
+WITH ma AS (SELECT poly_id AS poly_a, cell FROM ({qa}) qa),
+mb AS (SELECT poly_id AS poly_b, cell FROM ({qb}) qb),
+na AS (SELECT poly_a, count(*) AS n_a FROM ma GROUP BY poly_a),
+nb AS (SELECT poly_b, count(*) AS n_b FROM mb GROUP BY poly_b),
+shared AS (
+  SELECT ma.poly_a, mb.poly_b, count(*) AS n_shared_cells
+  FROM ma JOIN mb USING (cell) GROUP BY ma.poly_a, mb.poly_b
+)
+SELECT s.poly_a, s.poly_b, s.n_shared_cells,
+       round(s.n_shared_cells / (na.n_a + nb.n_b - s.n_shared_cells), 6) AS iou
+FROM shared s JOIN na USING (poly_a) JOIN nb USING (poly_b)"""

@@ -691,3 +691,51 @@ def test_poly_wkt_roundtrip_default_polygons(spark):
         assert abs(r.centroid_lat - cy) < 1e-4
         assert abs(r.centroid_lon - cx) < 1e-4
         assert r.area_deg2 > 0
+
+
+# ---------------------------------------------------------------------------
+# poly_intersection_join (registry vs registry)
+# ---------------------------------------------------------------------------
+
+
+def test_poly_intersection_join_semantics(spark):
+    sq = lambda pid, la, lo, w: S.Polygon(
+        pid, [(la, lo), (la + w, lo), (la + w, lo + w), (la, lo + w)]
+    )
+    a = [sq("a0", 0.0, 0.0, 20.0), sq("a1", -60.0, -120.0, 20.0)]
+    b = [
+        sq("b_same", 0.0, 0.0, 20.0),       # identical to a0 -> iou 1.0
+        sq("b_half", 0.0, 10.0, 20.0),      # half-shifted vs a0
+        sq("b_far", 60.0, 120.0, 20.0),     # disjoint from both
+    ]
+    out = {
+        (r["poly_a"], r["poly_b"]): r
+        for r in S.poly_intersection_join(spark, a, b, 6).collect()
+    }
+    assert out[("a0", "b_same")]["iou"] == 1.0
+    half = out[("a0", "b_half")]
+    assert 0.0 < half["iou"] < 1.0
+    # half-overlap of equal-area squares: iou = 1/3 up to mask rounding
+    # (res 6 cells are 2.8 deg wide vs the 20 deg square -> coarse mask)
+    assert abs(half["iou"] - 1.0 / 3.0) < 0.1
+    assert not any(pb == "b_far" for (_, pb) in out)
+    assert not any(pa == "a1" for (pa, _) in out)
+
+
+def test_poly_intersection_join_refines_with_res(spark):
+    """iou of the half-shifted pair approaches the true 1/3 as the mask
+    resolution grows (discretization error oscillates, so pin the fine-
+    res error bound, not per-step monotonicity)."""
+    sq = lambda pid, la, lo, w: S.Polygon(
+        pid, [(la, lo), (la + w, lo), (la + w, lo + w), (la, lo + w)]
+    )
+    a = [sq("a", 0.0, 0.0, 20.0)]
+    b = [sq("b", 0.0, 10.0, 20.0)]
+    errs = {
+        res: abs(
+            S.poly_intersection_join(spark, a, b, res).first()["iou"] - 1 / 3
+        )
+        for res in (6, 9)
+    }
+    assert errs[9] < errs[6]
+    assert errs[9] < 0.01
