@@ -126,7 +126,13 @@ def test_cell_encode_pandas_matches_jvm(spark, pages_small):
     assert df.where(F.col("jvm") != F.col("udf")).count() == 0
 
 
-def test_cell_encode_pandas_h3_gated():
+def test_cell_encode_pandas_h3_gated(spark, pages_small):
+    """Native-H3 seam (VERDICT r02 item 7): without the `h3` wheel the
+    seam fails loud (ImportError, never fake ids); WITH the wheel the
+    two backends are interface-parity — same (lat, lon) -> BIGINT UDF
+    signature, same non-null column over real points — so swapping
+    `use_h3=True` in is a one-argument change the day the wheel lands.
+    The parity branch self-activates when `import h3` succeeds."""
     import pytest
 
     from fileverification_spark import grid
@@ -134,6 +140,22 @@ def test_cell_encode_pandas_h3_gated():
     if not grid.have_h3():
         with pytest.raises(ImportError):
             grid.cell_encode_pandas(4, use_h3=True)
+        return
+
+    quad = grid.cell_encode_pandas(4)
+    native = grid.cell_encode_pandas(4, use_h3=True)
+    df = pages_small.select(
+        quad(F.col("lat"), F.col("lon")).alias("quad"),
+        native(F.col("lat"), F.col("lon")).alias("h3"),
+    )
+    assert dict(df.dtypes) == {"quad": "bigint", "h3": "bigint"}
+    assert df.where(F.col("quad").isNull() | F.col("h3").isNull()).count() == 0
+    # distinct backends must still agree on co-location granularity:
+    # equal points -> equal cells in BOTH encodings
+    dup = pages_small.limit(1).unionAll(pages_small.limit(1))
+    out = dup.select(quad(F.col("lat"), F.col("lon")).alias("q"),
+                     native(F.col("lat"), F.col("lon")).alias("h")).collect()
+    assert out[0].q == out[1].q and out[0].h == out[1].h
 
 
 def test_half_disk_exactly_once_pair_coverage(spark):
