@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from fileverification_spark import config as CFG
 from fileverification_spark import grid
 from fileverification_spark.functions import scrub as SCRUB
+from fileverification_spark.functions import urls as U
 from fileverification_spark.functions import text as TX
 from fileverification_spark.streaming import incremental as INC
 from fileverification_spark.streaming import geofence as SG
@@ -24,6 +25,7 @@ from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
+from fileverification_spark.operators import packing as PK
 from fileverification_spark.operators import repetition as REP
 from fileverification_spark.operators import sampling as SMP
 from fileverification_spark.operators import similarity as SIM
@@ -534,6 +536,57 @@ def _q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return D.paragraph_dedup(_para_docs(spark, sf))
 
 
+# planted-URL corpus: deterministic surface-variant URLs keyed on doc_id
+# residues — scheme/host case, www., default AND non-default ports,
+# trailing slash, tracking params, fragments — so every canonicalization
+# rule is exercised and small moduli guarantee cross-doc families to
+# fold (the canonical key depends only on residues mod 2/3/4/5/7)
+def _url_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("Http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 5).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 7 == 0, F.lit(":8080"))
+        .when(d % 2 == 0, F.lit(":443"))
+        .otherwise(F.lit(":80")),
+        F.lit("/A/b"), (d % 3).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?z=9&a="), (d % 4).cast("string"),
+        F.when(d % 3 == 0, F.lit("&utm_source=rss")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("&fbclid=X"), d.cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf).select("doc_id", url.alias("url"))
+
+
+_SQL_URL_PLANTED = """(
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END || '://'
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+    || 'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+    || CASE WHEN doc_id % 7 = 0 THEN ':8080'
+            WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+    || '/A/b' || CAST(doc_id % 3 AS VARCHAR)
+    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+    || '?z=9&a=' || CAST(doc_id % 4 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=rss' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '&fbclid=X' || CAST(doc_id AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents) planted"""
+
+
+def _q_url_families(spark: SparkSession, sf: str) -> DataFrame:
+    return D.canonical_families(_url_planted(spark, sf))
+
+
+def _q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    return PK.pack_offsets(_docs(spark, sf), budget=512)
+
+
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     sigs = D.minhash_signatures(_docs(spark, sf))
     return D.lsh_candidate_pairs(sigs)
@@ -867,6 +920,11 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "paragraph_dedup": _q_paragraph_dedup,
     "track_length": _q_track_length,  # per-user geodesic trajectory length
     "poly_join": _q_poly_join,  # polygon-polygon mask-intersection join
+    # webtext pipeline round 3 (late): canonical-URL dedup families over
+    # a planted surface-variant corpus; GPT-style sequence packing via
+    # distributed two-phase prefix sum — born demoted
+    "url_families": _q_url_families,
+    "pack_chunks": _q_pack_chunks,
 }
 
 
@@ -1082,6 +1140,12 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "dup_clusters": D.sql_duplicate_clusters_query(),
         "pii_scrub": SCRUB.sql_pii_scrub_query(_SQL_PII_PLANTED),
         "paragraph_dedup": D.sql_paragraph_dedup_query(_SQL_PARA_DOCS),
+        "url_families": f"""
+SELECT canonical_url, MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_variants
+FROM ({U.sql_canonical_select(_SQL_URL_PLANTED)})
+GROUP BY canonical_url""",
+        "pack_chunks": PK.sql_pack_offsets("documents", 512),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -1,0 +1,115 @@
+"""URL canonicalization — the webtext pipeline's dedup-key normaliser.
+
+Crawl-scale corpora carry the same page under many surface URLs (scheme
+and host case variants, default ports, ``www.`` prefixes, tracking
+query params, fragments). Canonicalising before dedup collapses those
+families with a pure codegen'd Column expression — zero shuffle, zero
+Python — so canonical dedup's only shuffle is the final keep-one
+groupBy on the canonical key (near-uniform key space, skew-safe at
+100 TB: the hot-family worst case is bounded by true duplicate count,
+which is exactly the signal being measured).
+
+Rules (the documented contract; mirrors de-facto crawler canon, e.g.
+the public Nutch/StormCrawler basic URL normalisers, re-expressed):
+
+ 1. strip the ``#fragment``
+ 2. lowercase scheme and host; strip one leading ``www.``
+ 3. strip default ports (http:80, https:443); keep non-default ports
+ 4. strip trailing slashes from the path (`/a/b/` == `/a/b`; a bare
+    host with path `/` folds to no path)
+ 5. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+    ``msclkid``), byte-sort the survivors, re-join with ``&``
+ 6. a string with no ``scheme://`` prefix passes through unchanged
+
+Path and query-param case are preserved — unlike hosts they are
+case-sensitive per RFC 3986.
+
+Reference parity: FileVerification normalises file paths before keying
+(`FV/PathInfo.cs` extension trim/upper, `FV/IO/Name.cs` ordinal-case
+matching); URLs are this engine's paths, and this is the same
+"normalise before keying" move for the web domain.
+
+Every rule is expressed in the Java-regex ∩ DuckDB-RE2 dialect so the
+SQL mirror (``sql_canonical_select``) is bit-identical — the same
+discipline as functions/scrub.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|msclkid)="
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical form of ``url`` per the module contract — one nested
+    codegen'd expression (regexp + array ops), no UDF, no shuffle."""
+    scheme_raw = F.regexp_extract(url, SCHEME_RE, 1)
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(scheme_raw)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, SCHEME_RE + "([^/?#]*)", 2)),
+        r"^www\.", "",
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_replace(u, SCHEME_RE + "[^/?#]*", "")
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != F.lit("")) & ~x.rlike(TRACKING_RE),
+    )
+    qc = F.array_join(F.sort_array(params), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qc == "", F.lit("")).otherwise(F.concat(F.lit("?"), qc)),
+    )
+    return F.when(scheme_raw == "", url).otherwise(canon)
+
+
+def sql_canonical_select(inner_rel: str, url_expr: str = "url",
+                         keep: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`url_canonicalize` as a layered SELECT over
+    ``inner_rel`` (a parenthesised relation or table name): returns
+    ``({keep}, canonical_url)``. Layered subqueries stand in for the
+    local bindings a SQL expression can't have."""
+    return f"""
+SELECT {keep},
+       CASE WHEN scheme_raw = '' THEN url
+            ELSE scheme || '://' || host2 || path2 ||
+                 CASE WHEN qc = '' THEN '' ELSE '?' || qc END
+       END AS canonical_url
+FROM (
+  SELECT {keep}, url, scheme_raw, scheme,
+         CASE WHEN scheme = 'http'  THEN regexp_replace(host, ':80$',  '')
+              WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+              ELSE host END AS host2,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+           AS path2,
+         COALESCE(array_to_string(
+           list_sort(
+             list_filter(
+               string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_RE}'))),
+           '&'), '') AS qc
+  FROM (
+    SELECT {keep}, url,
+           regexp_extract(url, '{SCHEME_RE}', 1) AS scheme_raw,
+           lower(regexp_extract(url, '{SCHEME_RE}', 1)) AS scheme,
+           regexp_replace(
+             lower(regexp_extract(u, '{SCHEME_RE}([^/?#]*)', 2)),
+             '^www\\.', '') AS host,
+           regexp_replace(u, '{SCHEME_RE}[^/?#]*', '') AS rest
+    FROM (
+      SELECT {keep}, {url_expr} AS url,
+             regexp_replace({url_expr}, '#.*$', '') AS u
+      FROM {inner_rel}
+    )
+  )
+)"""

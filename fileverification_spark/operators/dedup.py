@@ -63,6 +63,28 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def canonical_families(pages: DataFrame, url_col: str = "url",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL dedup: fold surface-URL variants of the same page
+    (scheme/host case, `www.`, default ports, tracking params,
+    fragments — functions/urls.py contract) into one family per
+    canonical key; keeper = min(id). The canonicalisation is a
+    codegen'd scan-side expression, so the plan is one projection plus
+    one hash-groupBy — the same shape as dedup_exact, keyed on URL
+    rather than content (catches mirrored pages BEFORE fetch/hashing
+    cost in a real crawl pipeline)."""
+    from fileverification_spark.functions import urls as U
+
+    c = pages.select(
+        F.col(id_col).alias("doc_id"),
+        U.url_canonicalize(F.col(url_col)).alias("canonical_url"),
+    )
+    return c.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

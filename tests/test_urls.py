@@ -1,0 +1,69 @@
+"""URL canonicalization rules (functions/urls.py contract), each pinned
+by a hand case, plus idempotence and the SQL-mirror parity the demoted
+contract relies on."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fileverification_spark.functions import urls as U
+
+
+CASES = [
+    # (input, expected canonical)
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),      # case rules
+    ("http://www.example.com/a", "http://example.com/a"),        # www strip
+    ("http://example.com:80/a", "http://example.com/a"),         # default port
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:443/a", "http://example.com:443/a"),    # NOT default
+    ("https://example.com:8080/a", "https://example.com:8080/a"),
+    ("http://example.com/a/b/", "http://example.com/a/b"),       # trailing /
+    ("http://example.com/", "http://example.com"),
+    ("http://example.com", "http://example.com"),
+    ("http://example.com/a#frag", "http://example.com/a"),       # fragment
+    ("http://example.com/a?z=1&b=2&a=3", "http://example.com/a?a=3&b=2&z=1"),
+    ("http://example.com/a?utm_source=x&q=1&fbclid=Y&gclid=Z&msclkid=W",
+     "http://example.com/a?q=1"),                                # tracking
+    ("http://example.com/a?utm_source=x", "http://example.com/a"),
+    ("http://example.com/A?Q=1", "http://example.com/A?Q=1"),    # path/query case kept
+    ("not a url at all", "not a url at all"),                    # passthrough
+    ("relative/path?utm_source=x", "relative/path?utm_source=x"),
+]
+
+
+def test_rules(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(U.url_canonicalize(F.col("url")).alias("c"))
+        .collect()
+    ]
+    assert got == [want for _, want in CASES]
+
+
+def test_idempotent(spark):
+    """canonicalize(canonicalize(x)) == canonicalize(x) — required for a
+    key that may be re-derived downstream of a prior normalisation."""
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    once = U.url_canonicalize(F.col("url"))
+    df2 = df.select(once.alias("c1")).select(
+        F.col("c1"), U.url_canonicalize(F.col("c1")).alias("c2")
+    )
+    assert df2.where(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_sql_mirror_parity(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, (u, _) in enumerate(CASES))
+        + ") v(doc_id, url)"
+    )
+    got = dict(
+        con.execute(
+            U.sql_canonical_select("t") + " ORDER BY doc_id"
+        ).fetchall()
+    )
+    assert [got[i] for i in range(len(CASES))] == [w for _, w in CASES]
