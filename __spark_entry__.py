@@ -587,6 +587,10 @@ def _q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return PK.pack_offsets(_docs(spark, sf), budget=512)
 
 
+def _q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    return CUR.tfidf_top_terms(_docs(spark, sf), k=3)
+
+
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     sigs = D.minhash_signatures(_docs(spark, sf))
     return D.lsh_candidate_pairs(sigs)
@@ -925,6 +929,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     # distributed two-phase prefix sum — born demoted
     "url_families": _q_url_families,
     "pack_chunks": _q_pack_chunks,
+    "tfidf_terms": _q_tfidf,  # per-doc top TF-IDF terms
 }
 
 
@@ -1146,6 +1151,7 @@ SELECT canonical_url, MIN(doc_id) AS keeper_id,
 FROM ({U.sql_canonical_select(_SQL_URL_PLANTED)})
 GROUP BY canonical_url""",
         "pack_chunks": PK.sql_pack_offsets("documents", 512),
+        "tfidf_terms": CUR.sql_tfidf_top_terms("documents", 3),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -187,6 +187,83 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, n_docs: int | None = None
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the relevance statistic a
+    corpus-exploration / keyword-extraction pass needs:
+    (doc_id, term, tf, df, score) with score = tf * (ln((N+1)/(df+1)) + 1)
+    (the smoothed-idf variant, e.g. scikit-learn's public formula).
+
+    Plan shape: explode -> (doc,term) hash-agg for tf -> term hash-agg
+    for df -> tf⋈df equi-join on term. The term key is Zipf-skewed by
+    construction (the join's hot keys are exactly the high-df terms);
+    both aggregates partial-aggregate map-side and the join is left to
+    AQE's skew splitter rather than hand-salting, because the hot side
+    is 1-row-per-term after aggregation — skew exists only in the tf
+    side's key distribution, which AQE splits. Ranking is per-doc
+    WindowGroupLimit (shuffle truncated to k per doc).
+
+    Cross-engine determinism: ranks order by the ROUNDED score (4 dp)
+    each engine computes itself, tie-broken on term; ln() may differ by
+    1 ulp between Java and libm, but a flip requires the pre-rounding
+    values to straddle a 5e-5 quantum boundary within ~1e-16 — measured
+    zero occurrences, same acceptance as knn_geodesic's rounding."""
+    from pyspark.sql import Window
+
+    n = docs.count() if n_docs is None else n_docs
+    tf = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (
+                F.log(
+                    F.lit(float(n + 1))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+            4,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+def sql_tfidf_top_terms(docs_rel: str = "documents", k: int = 3) -> str:
+    """Oracle: identical formula, rounding, and rank tie-break."""
+    toks = TX.sql_tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS term FROM {docs_rel}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM t GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM {docs_rel}),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (ln((nn + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score FROM r WHERE rn <= {k}"""
+
+
 def sql_vocab_topk(docs_rel: str = "documents", k: int = 100) -> str:
     """Oracle: identical two-level aggregate + deterministic rank."""
     toks = TX.sql_tokens("text")

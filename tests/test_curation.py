@@ -70,3 +70,39 @@ def test_vocab_topk_no_expand_in_plan(spark):
         .toString()
     )
     assert "Expand" not in plan, "distinct-doc count must be two-level agg"
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry dates"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = CUR.tfidf_top_terms(docs, k=1).orderBy("doc_id").collect()
+
+    def score(tf, df, n=3):
+        return round(tf * (math.log((n + 1) / (df + 1)) + 1.0), 4)
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    # doc 2: cherry (df=2) vs banana (df=2) tie on score -> term ASC
+    # doc 3: cherry tf=3 dominates
+    assert [(r.doc_id, r.term, r.tf, r.df, r.score) for r in rows] == [
+        (1, "apple", 2, 1, score(2, 1)),
+        (2, "banana", 1, 2, score(1, 2)),
+        (3, "cherry", 3, 2, score(3, 2)),
+    ]
+
+
+def test_tfidf_rank_uses_rounded_score_and_term_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "zeta alpha")], ["doc_id", "text"]
+    )
+    rows = CUR.tfidf_top_terms(docs, k=1).collect()
+    # identical tf/df for both terms in both docs -> tie on score,
+    # term ASC wins deterministically
+    assert all(r.term == "alpha" for r in rows) and len(rows) == 2
