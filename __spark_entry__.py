@@ -28,6 +28,7 @@ from fileverification_spark.operators import multimodal as MM
 from fileverification_spark.operators import packing as PK
 from fileverification_spark.operators import repetition as REP
 from fileverification_spark.operators import sampling as SMP
+from fileverification_spark.operators import search as SRCH
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
 from fileverification_spark.operators import trajectory as TJ
@@ -591,6 +592,13 @@ def _q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     return CUR.tfidf_top_terms(_docs(spark, sf), k=3)
 
 
+_BM25_QUERY = "fast hash join"  # terms present in the synthetic corpus
+
+
+def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    return SRCH.bm25_search(_docs(spark, sf), _BM25_QUERY, k=20)
+
+
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     sigs = D.minhash_signatures(_docs(spark, sf))
     return D.lsh_candidate_pairs(sigs)
@@ -930,6 +938,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "url_families": _q_url_families,
     "pack_chunks": _q_pack_chunks,
     "tfidf_terms": _q_tfidf,  # per-doc top TF-IDF terms
+    "bm25_topk": _q_bm25,  # ranked retrieval for a free-text query
 }
 
 
@@ -1152,6 +1161,7 @@ FROM ({U.sql_canonical_select(_SQL_URL_PLANTED)})
 GROUP BY canonical_url""",
         "pack_chunks": PK.sql_pack_offsets("documents", 512),
         "tfidf_terms": CUR.sql_tfidf_top_terms("documents", 3),
+        "bm25_topk": SRCH.sql_bm25_search("documents", _BM25_QUERY, 20),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -1,0 +1,160 @@
+"""BM25 full-text retrieval over the documents table.
+
+Top-k documents for a free-text query under the public Robertson/
+Sparck-Jones BM25 formula (the Okapi defaults k1=1.2, b=0.75):
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+Scale shape: the explode is filtered to the query's terms BEFORE any
+aggregation, so the shuffled relation is |query terms| * |matching
+docs| rows, not the corpus token count; the df relation is at most
+|query terms| rows and joins back as a broadcast. Corpus scalars
+(N, sum of doc lengths) are one exact-integer aggregate.
+
+Cross-engine determinism (the demoted-contract oracle hashes values):
+
+- avgdl is never materialised as a float average — the formula uses
+  dl * N / S with exact BIGINT N and S, so both engines perform the
+  identical double division (a float avg would depend on summation
+  order). At extreme scale dl*N can pass 2^53 and lose ulps to the
+  double conversion; at 10^12 docs switch the expression to
+  dl * (N/S) if that matters — it changes last-ulp behaviour, not
+  ranking in any realistic corpus.
+- the per-doc sum over query terms is a FIXED-ORDER chain of per-term
+  conditional aggregates (one CASE/WHEN column per sorted query term),
+  never a SUM over an unordered group — double addition is not
+  associative, and a free-order sum can differ in the last ulp between
+  engines and flip the 4-dp rounding.
+- ranking orders by the rounded score with doc_id as tie-break.
+
+Reference parity: the reference's point-verify path takes a user key
+and reports the best match for it (FV/Program.cs:318-339); bm25_search
+is the ranked-retrieval generalisation of that lookup to free text.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fileverification_spark.functions import text as TX
+
+K1 = 1.2
+B = 0.75
+
+
+def query_terms(query: str) -> list[str]:
+    """The query tokenized exactly like the corpus (functions/text.py),
+    deduplicated, sorted — the fixed term order both engines sum in."""
+    return sorted(set(re.findall(TX.TOKEN_RE, query.lower())))
+
+
+def bm25_search(
+    docs: DataFrame, query: str, k: int = 10, k1: float = K1, b: float = B
+) -> DataFrame:
+    """(doc_id, score): top-``k`` docs for ``query`` by BM25, rounded to
+    4 dp, ties broken on doc_id."""
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError(f"query has no indexable terms: {query!r}")
+
+    base = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).withColumn("dl", F.size("toks").cast("bigint"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    n, s = int(stats["n"]), int(stats["s"])
+
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") * F.lit(n) / F.lit(s))
+    )
+    per_term = tf.join(F.broadcast(df_), "term").withColumn(
+        "ts", idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    )
+
+    # fixed-order pivot sum (see module doc): one column per sorted term
+    pivots = [
+        F.sum(F.when(F.col("term") == t, F.col("ts"))).alias(f"s{i}")
+        for i, t in enumerate(terms)
+    ]
+    scored = per_term.groupBy("doc_id").agg(*pivots)
+    total = F.coalesce(F.col("s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    scored = scored.select(
+        "doc_id", F.round(total, 4).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "score")
+    )
+
+
+def sql_bm25_search(
+    docs_rel: str, query: str, k: int = 10, k1: float = K1, b: float = B
+) -> str:
+    """DuckDB oracle: identical formula, literals, pivot order, rounding."""
+    terms = query_terms(query)
+    toks = TX.sql_tokens("text")
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    pivot_cols = ",\n         ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN ts END) AS s{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl,
+         {toks} AS toks
+  FROM {docs_rel}
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS s FROM base),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  WHERE term IN ({in_list})
+  GROUP BY 1, 2, 3
+),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+per_term AS (
+  SELECT doc_id,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * tf * {k1 + 1.0!r}
+           / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * (dl * n / s))) AS ts,
+         term
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id,
+         {pivot_cols}
+  FROM per_term GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, round({total}, 4) AS score
+  FROM scored
+)
+SELECT doc_id, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM r
+) WHERE rn <= {k}"""
