@@ -595,6 +595,10 @@ def _q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 _BM25_QUERY = "fast hash join"  # terms present in the synthetic corpus
 
 
+def _q_raster_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    return S.raster_smooth(P.pages_with_derived(spark, sf), _RASTER_RES)
+
+
 def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return SRCH.bm25_search(_docs(spark, sf), _BM25_QUERY, k=20)
 
@@ -939,6 +943,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "pack_chunks": _q_pack_chunks,
     "tfidf_terms": _q_tfidf,  # per-doc top TF-IDF terms
     "bm25_topk": _q_bm25,  # ranked retrieval for a free-text query
+    "raster_smooth": _q_raster_smooth,  # focal 3x3 stencil over the raster
 }
 
 
@@ -1162,6 +1167,7 @@ GROUP BY canonical_url""",
         "pack_chunks": PK.sql_pack_offsets("documents", 512),
         "tfidf_terms": CUR.sql_tfidf_top_terms("documents", 3),
         "bm25_topk": SRCH.sql_bm25_search("documents", _BM25_QUERY, 20),
+        "raster_smooth": _with() + "\n" + S.sql_raster_smooth(_RASTER_RES),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

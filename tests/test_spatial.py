@@ -739,3 +739,54 @@ def test_poly_intersection_join_refines_with_res(spark):
     }
     assert errs[9] < errs[6]
     assert errs[9] < 0.01
+
+
+def test_raster_smooth_hand_case(spark):
+    """3 pages in one cell, 1 in an adjacent cell, 1 far away: the
+    smooth_sum of each near cell includes the other; the far cell only
+    itself."""
+    from fileverification_spark import grid as G
+
+    res = 3
+    # cell centers: lat bucket height 180/8=22.5, lon width 360/16=22.5
+    rows = (
+        [(f"u{i}", 10.0, 10.0) for i in range(3)]    # cell A
+        + [("v0", 10.0, 30.0)]                        # cell B, east nbr of A
+        + [("w0", -80.0, -170.0)]                     # far corner
+    )
+    df = spark.createDataFrame(rows, "url string, lat double, lon double")
+    out = {
+        r["cell"]: (r["n_pages"], r["smooth_sum"], r["n_occupied_nbrs"])
+        for r in S.raster_smooth(df, res).collect()
+    }
+    from pyspark.sql import functions as F
+
+    enc = lambda lat, lon: spark.range(1).select(
+        G.cell_encode(F.lit(lat), F.lit(lon), res).alias("c")
+    ).first()["c"]
+    a, b, w = enc(10.0, 10.0), enc(10.0, 30.0), enc(-80.0, -170.0)
+    assert out[a] == (3, 4, 2)
+    assert out[b] == (1, 4, 2)
+    assert out[w] == (1, 1, 1)
+    assert len(out) == 3
+
+
+def test_raster_smooth_res_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame([("u", 0.0, 0.0)],
+                               "url string, lat double, lon double")
+    with pytest.raises(ValueError, match="res >= 1"):
+        S.raster_smooth(df, 0)
+
+
+def test_raster_smooth_lon_wrap(spark):
+    """Cells on either side of the antimeridian are neighbours."""
+    res = 3
+    df = spark.createDataFrame(
+        [("e", 0.0, 179.0), ("w", 0.0, -179.0)],
+        "url string, lat double, lon double",
+    )
+    rows = S.raster_smooth(df, res).collect()
+    assert all(r["smooth_sum"] == 2 and r["n_occupied_nbrs"] == 2
+               for r in rows)
