@@ -599,6 +599,30 @@ def _q_raster_smooth(spark: SparkSession, sf: str) -> DataFrame:
     return S.raster_smooth(P.pages_with_derived(spark, sf), _RASTER_RES)
 
 
+_TILE_Z = 4  # web-map zoom for the XYZ-tile interop query
+
+
+def _q_tile_counts(spark: SparkSession, sf: str) -> DataFrame:
+    t = grid.tile_xyz(F.col("lat"), F.col("lon"), _TILE_Z)
+    d = P.pages_with_derived(spark, sf).select(
+        t["x"].alias("x"), t["y"].alias("y")
+    )
+    return (
+        d.withColumn("quadkey", grid.tile_quadkey(F.col("x"), F.col("y"), _TILE_Z))
+        .groupBy("x", "y", "quadkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pages"))
+    )
+
+
+def _sql_tile_counts() -> str:
+    x, y = grid.sql_tile_xyz("lat", "lon", _TILE_Z)
+    qk = grid.sql_tile_quadkey("x", "y", _TILE_Z)
+    return f"""
+SELECT x, y, {qk} AS quadkey, CAST(count(*) AS BIGINT) AS n_pages
+FROM (SELECT {x} AS x, {y} AS y FROM pages)
+GROUP BY 1, 2, 3"""
+
+
 def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return SRCH.bm25_search(_docs(spark, sf), _BM25_QUERY, k=20)
 
@@ -944,6 +968,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "tfidf_terms": _q_tfidf,  # per-doc top TF-IDF terms
     "bm25_topk": _q_bm25,  # ranked retrieval for a free-text query
     "raster_smooth": _q_raster_smooth,  # focal 3x3 stencil over the raster
+    "tile_counts": _q_tile_counts,  # Web-Mercator XYZ/quadkey interop
 }
 
 
@@ -1168,6 +1193,7 @@ GROUP BY canonical_url""",
         "tfidf_terms": CUR.sql_tfidf_top_terms("documents", 3),
         "bm25_topk": SRCH.sql_bm25_search("documents", _BM25_QUERY, 20),
         "raster_smooth": _with() + "\n" + S.sql_raster_smooth(_RASTER_RES),
+        "tile_counts": _with() + "\n" + _sql_tile_counts(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

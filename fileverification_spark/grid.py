@@ -400,3 +400,106 @@ def sql_cell_parent(cell_expr: str, res: int, parent_res: int) -> str:
         f"+ ((({cell_expr} >> 29) & {mask}) >> {d}) * {LAT_MULT} "
         f"+ (({cell_expr} & {mask}) >> {d}))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-Mercator XYZ tiles (slippy-map / Bing quadkey interop)
+# ---------------------------------------------------------------------------
+
+#: Web-Mercator latitude clamp (the standard EPSG:3857 cutoff)
+MERC_MAX_LAT = 85.05112878
+
+
+def tile_xyz(lat: Column, lon: Column, z: int) -> dict[str, Column]:
+    """Slippy-map tile address at zoom ``z``: the public OSM/Google/Bing
+    tiling every web map uses — (x, y, quadkey) Columns, pure codegen'd
+    trig/bit arithmetic, no UDF.
+
+    x = floor((lon+180)/360 * 2^z); y from the Web-Mercator projection
+    y = floor((1 - ln(tan(pi/4 + lat/2))/pi)/2 * 2^z) with lat clamped
+    to +/-85.05112878 (the EPSG:3857 cutoff). quadkey is the Bing Maps
+    base-4 string (MSB-first interleave of y,x bits) — tile z/x/y and
+    its quadkey name the same tile, so rasters exported with these
+    columns drop into any public tile pipeline.
+
+    This is the interop layer OVER the engine's quadtree cells, not a
+    replacement: cells are equirectangular (uniform lat bands, exact
+    integer arithmetic, Merkle-friendly); XYZ tiles are Mercator
+    (conformal, standard for display). Both engines spell the identical
+    double expression, so the oracle matches bit-for-bit except a
+    <=1-ulp ln/tan library difference landing exactly on a floor
+    boundary (probability ~1e-16 per row)."""
+    if not 0 <= z <= 30:
+        raise ValueError(f"zoom must be in [0, 30], got {z}")
+    n = 1 << z
+    x = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+            .cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    )
+    clat = F.least(
+        F.greatest(lat, F.lit(-MERC_MAX_LAT)), F.lit(MERC_MAX_LAT)
+    )
+    lat_r = F.radians(clat)
+    import math
+
+    y = F.least(
+        F.greatest(
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.log(F.tan(F.lit(math.pi / 4.0) + lat_r / F.lit(2.0)))
+                    / F.lit(math.pi)
+                )
+                / F.lit(2.0)
+                * F.lit(float(n))
+            ).cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    )
+    return {"x": x, "y": y}
+
+
+def tile_quadkey(x: Column, y: Column, z: int) -> Column:
+    """Bing Maps quadkey of tile (x, y) at zoom ``z``: z base-4 digits,
+    MSB first, digit = 2*y_bit + x_bit. ``z`` is a plan-time constant,
+    so the digits unroll to z codegen'd shift/mask terms."""
+    return F.concat_ws(
+        "",
+        *[
+            ((F.shiftright(y, i) % 2) * 2 + F.shiftright(x, i) % 2).cast(
+                "string"
+            )
+            for i in range(z - 1, -1, -1)
+        ],
+    )
+
+
+def sql_tile_xyz(lat_expr: str, lon_expr: str, z: int) -> tuple[str, str]:
+    """DuckDB mirror of tile_xyz: (x_sql, y_sql) expression strings."""
+    n = 1 << z
+    x = (
+        f"LEAST(GREATEST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    clat = (
+        f"LEAST(GREATEST({lat_expr}, {-MERC_MAX_LAT!r}), {MERC_MAX_LAT!r})"
+    )
+    y = (
+        f"LEAST(GREATEST(CAST(FLOOR((1.0 - ln(tan(pi()/4.0 + "
+        f"radians({clat})/2.0))/pi())/2.0 * {n}.0) AS BIGINT), 0), {n - 1})"
+    )
+    return x, y
+
+
+def sql_tile_quadkey(x_expr: str, y_expr: str, z: int) -> str:
+    """DuckDB mirror of tile_quadkey."""
+    return (
+        f"array_to_string(list_transform(generate_series({z}, 1, -1), "
+        f"i -> CAST((({y_expr} >> CAST(i - 1 AS INT)) & 1) * 2 "
+        f"+ (({x_expr} >> CAST(i - 1 AS INT)) & 1) AS VARCHAR)), '')"
+    )

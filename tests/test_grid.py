@@ -192,3 +192,70 @@ def test_half_disk_exactly_once_pair_coverage(spark):
     for c in cells:
         assert cid(c) in hd[cid(c)]
         assert len(hd[cid(c)]) == (2 if c[0] == nlat - 1 else 5)
+
+
+def test_tile_xyz_known_values(spark):
+    """Web-Mercator tile addressing pins: equator/antimeridian anchors,
+    pole clamping, and a python-math replay of the standard formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fileverification_spark import grid as G
+
+    z, n = 3, 8
+    pts = [
+        (0.0, -180.0), (0.0, 0.0), (41.85, -87.65),
+        (89.9, 10.0), (-89.9, 10.0), (85.05112878, 179.99),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    t = G.tile_xyz(F.col("lat"), F.col("lon"), z)
+    rows = df.select(
+        "lat", "lon", t["x"].alias("x"), t["y"].alias("y")
+    ).collect()
+
+    def ref(lat, lon):
+        x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        clat = min(max(lat, -G.MERC_MAX_LAT), G.MERC_MAX_LAT)
+        yv = (1.0 - math.log(math.tan(math.pi / 4.0
+                                      + math.radians(clat) / 2.0))
+              / math.pi) / 2.0 * n
+        y = min(max(int(math.floor(yv)), 0), n - 1)
+        return x, y
+
+    for r in rows:
+        assert (r["x"], r["y"]) == ref(r["lat"], r["lon"]), r
+    byp = {(r["lat"], r["lon"]): (r["x"], r["y"]) for r in rows}
+    assert byp[(0.0, -180.0)] == (0, 4)      # antimeridian west edge, equator
+    assert byp[(89.9, 10.0)][1] == 0         # clamped to top row
+    assert byp[(-89.9, 10.0)][1] == n - 1    # clamped to bottom row
+
+
+def test_tile_quadkey(spark):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark import grid as G
+
+    df = spark.createDataFrame(
+        [(0, 0), (7, 7), (3, 5), (2, 2)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["qk"]
+        for r in df.select(
+            "x", "y", G.tile_quadkey(F.col("x"), F.col("y"), 3).alias("qk")
+        ).collect()
+    }
+    # (3,5) level 3 -> "213" is the worked example in the public Bing
+    # Maps tile-system documentation
+    assert got == {(0, 0): "000", (7, 7): "333", (3, 5): "213",
+                   (2, 2): "030"}
+
+
+def test_tile_zoom_guard():
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fileverification_spark import grid as G
+
+    with pytest.raises(ValueError, match="zoom"):
+        G.tile_xyz(F.lit(0.0), F.lit(0.0), 31)
