@@ -602,6 +602,14 @@ def _q_raster_smooth(spark: SparkSession, sf: str) -> DataFrame:
 _TILE_Z = 4  # web-map zoom for the XYZ-tile interop query
 
 
+def _q_trending_terms(spark: SparkSession, sf: str) -> DataFrame:
+    # contract canon: window starts as epoch seconds (day boundaries)
+    return SW.trending_terms(P.pages(spark, sf), k=5).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "term", "n", "rank",
+    )
+
+
 def _q_tile_counts(spark: SparkSession, sf: str) -> DataFrame:
     t = grid.tile_xyz(F.col("lat"), F.col("lon"), _TILE_Z)
     d = P.pages_with_derived(spark, sf).select(
@@ -969,6 +977,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "bm25_topk": _q_bm25,  # ranked retrieval for a free-text query
     "raster_smooth": _q_raster_smooth,  # focal 3x3 stencil over the raster
     "tile_counts": _q_tile_counts,  # Web-Mercator XYZ/quadkey interop
+    "trending_terms": _q_trending_terms,  # per-day top-k vocabulary
 }
 
 
@@ -1194,6 +1203,7 @@ GROUP BY canonical_url""",
         "bm25_topk": SRCH.sql_bm25_search("documents", _BM25_QUERY, 20),
         "raster_smooth": _with() + "\n" + S.sql_raster_smooth(_RASTER_RES),
         "tile_counts": _with() + "\n" + _sql_tile_counts(),
+        "trending_terms": _with() + "\n" + SW.sql_trending_terms("pages", 5),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

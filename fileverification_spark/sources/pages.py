@@ -56,7 +56,13 @@ def pages(spark: SparkSession, sf_dir: str, with_html: bool = False) -> DataFram
     column pruning keeps the parquet scan narrow when the query doesn't
     need it.
     """
-    docs = load_documents(spark, sf_dir)
+    return pages_from_docs(load_documents(spark, sf_dir), with_html=with_html)
+
+
+def pages_from_docs(docs: DataFrame, with_html: bool = False) -> DataFrame:
+    """The pages derivation as a pure DataFrame transform — works on a
+    batch OR streaming documents relation (the streaming page source
+    reuses it unchanged)."""
     url = F.concat(
         F.lit("https://"),
         F.col("source"),

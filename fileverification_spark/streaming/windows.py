@@ -67,6 +67,81 @@ def windowed_counts(events: DataFrame, streaming: bool = False) -> DataFrame:
     )
 
 
+def read_pages_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source page stream (sandbox stand-in for crawl arrivals):
+    documents.parquet as a stream, run through the same pages derivation
+    the batch source uses."""
+    from fileverification_spark.sources import pages as P
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return P.pages_from_docs(docs)
+
+
+def trending_terms(
+    pages: DataFrame, k: int = 5, streaming: bool = False,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Trending vocabulary per tumbling window (default hour) of crawl
+    time: token counts over the page stream, batch form ranked to the
+    top-``k`` (window_start, term, n, rank).
+
+    The streaming form returns the per-(window, term) count relation —
+    rank is not stream-expressible (no window functions over streaming
+    aggregates), so the top-k is the batch consumer's one-line window
+    over the emitted counts; the count relation itself is the stateful
+    part and converges to the batch counts (pytest-pinned, same
+    contract as windowed_counts). Explode cost is the corpus token
+    count — the same irreducible explode every term statistic pays —
+    then one partial-aggregatable hash-agg keyed (day, term)."""
+    from fileverification_spark.functions import text as TX
+
+    src = pages.withWatermark("warc_ts", WATERMARK) if streaming else pages
+    counts = (
+        src.select(
+            F.window("warc_ts", window).alias("w"),
+            F.explode(TX.tokens(F.col("text"))).alias("term"),
+        )
+        .groupBy("w", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "term", "n")
+    )
+    if streaming:
+        return counts
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_trending_terms(pages_rel: str = "pages", k: int = 5,
+                       trunc: str = "hour") -> str:
+    """Oracle: tumbling windows align to epoch boundaries in both engines
+    (Spark window() and date_trunc()); epoch-seconds canon."""
+    from fileverification_spark.functions import text as TX
+
+    toks = TX.sql_tokens("text")
+    return f"""
+SELECT window_start, term, n, rank FROM (
+  SELECT window_start, term, n,
+         CAST(row_number() OVER
+           (PARTITION BY window_start ORDER BY n DESC, term ASC)
+          AS BIGINT) AS rank
+  FROM (
+    SELECT CAST(epoch(date_trunc('{trunc}', warc_ts)) AS BIGINT)
+             AS window_start,
+           term, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT warc_ts, unnest({toks}) AS term FROM {pages_rel})
+    GROUP BY 1, 2
+  )
+) WHERE rank <= {k}"""
+
+
 def stream_dedup(events: DataFrame, streaming: bool = False) -> DataFrame:
     src = events.withWatermark("ts", WATERMARK) if streaming else events
     return src.dropDuplicates(["event_id"])

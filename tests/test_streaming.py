@@ -158,3 +158,37 @@ def test_geofence_hits_subset_of_events(spark):
     assert 0 < n_hits < n_ev
     # one row per (event, fence): no duplicate pairs from the covering join
     assert hits.select("event_id", "poly_id").distinct().count() == n_hits
+
+
+def test_trending_terms_stream_matches_batch(spark):
+    """The stateful part of trending_terms (per-day term counts) must
+    converge stream==batch; the top-k rank is the batch consumer's
+    post-step, asserted against a driver-side replay."""
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.sources import pages as P
+
+    batch_counts = SW.trending_terms(
+        P.pages(spark, SF), k=10**9  # no cut: full count relation
+    ).drop("rank").collect()
+    stream_df = SW.trending_terms(
+        SW.read_pages_stream(spark, SF), streaming=True
+    )
+    name = f"tt_{uuid.uuid4().hex[:8]}"
+    got = SW.run_stream_to_memory(stream_df, name, output_mode="complete").collect()
+    cols = ["window_start", "term", "n"]
+    assert _key(got, cols) == _key(batch_counts, cols)
+    assert len(batch_counts) > 0
+
+    # rank correctness: top-5 equals driver replay of (n DESC, term ASC)
+    top = SW.trending_terms(P.pages(spark, SF), k=5).collect()
+    by_w = {}
+    for r in batch_counts:
+        by_w.setdefault(r["window_start"], []).append((r["term"], r["n"]))
+    want = set()
+    for w, terms in by_w.items():
+        for rank, (t, n) in enumerate(
+            sorted(terms, key=lambda x: (-x[1], x[0]))[:5], 1
+        ):
+            want.add((w, t, n, rank))
+    assert {(r["window_start"], r["term"], r["n"], r["rank"]) for r in top} == want
