@@ -602,6 +602,21 @@ def _q_raster_smooth(spark: SparkSession, sf: str) -> DataFrame:
 _TILE_Z = 4  # web-map zoom for the XYZ-tile interop query
 
 
+def _q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    # every event lands back in exactly its own session (gap sessions
+    # partition the timeline per user), so the refine predicate and the
+    # bucket covering are both exercised with a known row count
+    ev = SW.read_events(spark, sf)
+    sess = SW.sessionize(ev).drop("n_events")
+    out = AS.interval_join(
+        ev.select("event_id", "user_id", "ts"), sess,
+        keys=["user_id"], point_ts="ts",
+        start="session_start", end="session_end",
+        bucket_seconds=1800,
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
 def _q_trending_terms(spark: SparkSession, sf: str) -> DataFrame:
     # contract canon: window starts as epoch seconds (day boundaries)
     return SW.trending_terms(P.pages(spark, sf), k=5).select(
@@ -978,6 +993,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "raster_smooth": _q_raster_smooth,  # focal 3x3 stencil over the raster
     "tile_counts": _q_tile_counts,  # Web-Mercator XYZ/quadkey interop
     "trending_terms": _q_trending_terms,  # per-day top-k vocabulary
+    "interval_join": _q_interval_join,  # bucketed range join (ts in [s,e])
 }
 
 
@@ -1204,6 +1220,12 @@ GROUP BY canonical_url""",
         "raster_smooth": _with() + "\n" + S.sql_raster_smooth(_RASTER_RES),
         "tile_counts": _with() + "\n" + _sql_tile_counts(),
         "trending_terms": _with() + "\n" + SW.sql_trending_terms("pages", 5),
+        "interval_join": f"""
+WITH sess AS ({SW.sql_sessionize()})
+SELECT e.event_id, e.user_id, s.session_id
+FROM events e JOIN sess s
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) BETWEEN s.session_start AND s.session_end""",
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

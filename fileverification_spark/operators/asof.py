@@ -97,3 +97,58 @@ FROM (SELECT event_id, user_id, ts, event_type FROM {events_rel}
 ASOF LEFT JOIN (SELECT user_id, ts, event_id AS view_event_id
                 FROM {events_rel} WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval) join — the other temporal operator Spark lacks
+    as a built-in (task brief: "as-of join, range join"): attach every
+    interval row whose [start, end] contains the point's timestamp,
+    within the same key group.
+
+    A naive theta-join (`ts BETWEEN start AND end`) plans as a
+    broadcast-nested-loop — quadratic, the classic range-join blowup.
+    This form buckets time at ``bucket_seconds``: each interval EXPLODES
+    to the buckets it covers (len/bucket + 1 rows), each point maps to
+    exactly ONE bucket, and the join is a plain equi-join on
+    (keys..., bucket) followed by the exact BETWEEN refine. Shuffled
+    rows: |points| + sum(interval_len)/bucket — linear, skew rides AQE.
+    Pick ``bucket_seconds`` near the median interval length: shorter
+    buckets multiply the interval side, longer ones fatten the refine.
+    (The same trick at 100 TB is what Databricks' range-join hints and
+    the bucketed geo joins in this repo do; public technique.)
+
+    Output: all point columns + all interval columns except the keys
+    (which would duplicate). Points matching no interval are dropped
+    (inner semantics); points in overlapping intervals appear once per
+    containing interval — exactly once each, because a point lives in
+    ONE bucket."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive: {bucket_seconds}")
+    b = int(bucket_seconds)
+    # CAST(ts AS BIGINT) = epoch seconds; `div` is trunc-division, which
+    # is monotone, so s<=p<=e implies s_bkt<=p_bkt<=e_bkt — the covering
+    # invariant holds for any epoch sign
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({start} AS BIGINT) div {b}"),
+                F.expr(f"CAST({end} AS BIGINT) div {b}"),
+            )
+        ),
+    )
+    pb = points.withColumn(
+        "_bkt", F.expr(f"CAST({point_ts} AS BIGINT) div {b}")
+    )
+    joined = pb.join(ib, [*keys, "_bkt"]).where(
+        (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end))
+    )
+    return joined.drop("_bkt")

@@ -56,3 +56,64 @@ def test_attribution_matches_window_reference(spark):
     r_ = {r["event_id"]: r["view_event_id"] for r in ref.collect()}
     assert g == r_
     assert sum(v is not None for v in g.values()) > 0
+
+
+def test_interval_join_hand_case(spark):
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.operators import asof as AS
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    pts = spark.createDataFrame(
+        [(1, "u", t(5)), (2, "u", t(10)), (3, "u", t(30)), (4, "v", t(5))],
+        "pid long, user_id string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("a", "u", t(0), t(10)),   # contains pid 1, 2 (boundary incl.)
+         ("b", "u", t(8), t(12)),   # overlaps a; contains pid 2
+         ("c", "v", t(0), t(4))],   # misses pid 4 (ends before)
+        "iid string, user_id string, session_start timestamp,"
+        " session_end timestamp",
+    )
+    for bucket in (1, 3, 1_000_000):  # result is bucket-size invariant
+        got = {
+            (r["pid"], r["iid"])
+            for r in AS.interval_join(
+                pts, iv, keys=["user_id"], point_ts="ts",
+                start="session_start", end="session_end",
+                bucket_seconds=bucket,
+            ).collect()
+        }
+        assert got == {(1, "a"), (2, "a"), (2, "b")}, bucket
+
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        AS.interval_join(pts, iv, keys=["user_id"], point_ts="ts",
+                         start="session_start", end="session_end",
+                         bucket_seconds=0)
+
+
+def test_interval_join_no_bnlj_in_plan(spark):
+    """The bucketed form must plan as an equi-join (SortMergeJoin /
+    ShuffledHashJoin on the bucket key), never BroadcastNestedLoopJoin —
+    the quadratic plan the operator exists to avoid."""
+    import datetime as dt
+
+    from fileverification_spark.operators import asof as AS
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    pts = spark.createDataFrame(
+        [(1, "u", t(5))], "pid long, user_id string, ts timestamp")
+    iv = spark.createDataFrame(
+        [("a", "u", t(0), t(10))],
+        "iid string, user_id string, session_start timestamp,"
+        " session_end timestamp",
+    )
+    plan = (
+        AS.interval_join(pts, iv, keys=["user_id"], point_ts="ts",
+                         start="session_start", end="session_end")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
