@@ -29,6 +29,7 @@ from fileverification_spark.operators import packing as PK
 from fileverification_spark.operators import repetition as REP
 from fileverification_spark.operators import sampling as SMP
 from fileverification_spark.operators import search as SRCH
+from fileverification_spark.operators import sketch as SK
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import spatial as S
 from fileverification_spark.operators import trajectory as TJ
@@ -602,6 +603,12 @@ def _q_raster_smooth(spark: SparkSession, sf: str) -> DataFrame:
 _TILE_Z = 4  # web-map zoom for the XYZ-tile interop query
 
 
+def _q_kmv_cells(spark: SparkSession, sf: str) -> DataFrame:
+    return SK.kmv_estimate(
+        SK.kmv_cells(P.pages_with_derived(spark, sf), _RASTER_RES)
+    )
+
+
 def _q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     # every event lands back in exactly its own session (gap sessions
     # partition the timeline per user), so the refine predicate and the
@@ -994,6 +1001,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "tile_counts": _q_tile_counts,  # Web-Mercator XYZ/quadkey interop
     "trending_terms": _q_trending_terms,  # per-day top-k vocabulary
     "interval_join": _q_interval_join,  # bucketed range join (ts in [s,e])
+    "kmv_cells": _q_kmv_cells,  # mergeable distinct-count sketch ladder
 }
 
 
@@ -1226,6 +1234,7 @@ SELECT e.event_id, e.user_id, s.session_id
 FROM events e JOIN sess s
   ON e.user_id = s.user_id
  AND epoch_us(e.ts) BETWEEN s.session_start AND s.session_end""",
+        "kmv_cells": _with() + "\n" + SK.sql_kmv_estimate(_RASTER_RES),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -1,0 +1,127 @@
+"""KMV (k-minimum-values) distinct-count sketch ladder over cells.
+
+The task brief's "novel sketch" slot: a mergeable per-cell sketch of
+distinct URLs that rolls up the resolution ladder by SKETCH MERGE
+instead of recount — the cardinality twin of the Merkle digest ladder
+(manifest.py): digests certify content up the tree, sketches estimate
+cardinality up the same tree, both mergeable so no level ever rescans
+pages.
+
+KMV (Bar-Yossef et al., RANDOM 2002 — public algorithm): hash every
+key uniformly into [0, SPACE); keep the k smallest distinct hashes.
+Estimator: exact count while fewer than k distinct hashes are seen,
+else (k-1) * SPACE / kth_min. The crucial property here is that KMV is
+EXACTLY mergeable: kmv(A ∪ B) == merge(kmv(A), kmv(B)) as sets — not
+approximately, identically — so the rolled-up parent sketch is
+bit-equal to a direct sketch at the parent resolution (pytest pins
+this as set equality, and the oracle check rides the same fact).
+
+Everything is built-in expressions (collect_set -> array_sort ->
+slice): per-cell state is bounded at k values, the groupBy
+partial-aggregates map-side, and the rollup folds 4 children per
+parent. Spark's own approx_count_distinct (HLL++) is the
+non-inspectable alternative; KMV is used here because its state is a
+plain BIGINT array both engines can compute identically, which makes
+the sketch itself oracle-checkable, not just the estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fileverification_spark import grid
+
+#: hash space: 15 hex digits = 60 bits (fits int64, exact as double)
+SPACE = float(1 << 60)
+DEFAULT_K = 64
+
+
+def kmv_hash(key: Column) -> Column:
+    """Uniform 60-bit hash of a key: the leading 15 hex digits of its
+    SHA-256 — same construction (and cross-engine spelling) as the
+    pages geocode hash."""
+    return F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _estimate(kmv: Column, k: int) -> Column:
+    n = F.size(kmv)
+    kth = F.element_at(kmv, k)  # 1-based
+    return F.round(
+        F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(SPACE) / kth.cast("double")
+        ),
+        4,
+    )
+
+
+def kmv_cells(pages: DataFrame, res: int, k: int = DEFAULT_K) -> DataFrame:
+    """Per-cell sketch relation (cell, kmv ARRAY<BIGINT>): the k smallest
+    distinct URL hashes per cell at ``res``."""
+    h = pages.select(
+        grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"),
+        kmv_hash(F.col("url")).alias("h"),
+    )
+    return h.groupBy("cell").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmv")
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Scalar view of a sketch relation (array columns crash the driver
+    canon, so the contract query emits these instead):
+    (cell, n_in_sketch, kmv_max, est)."""
+    return sketches.select(
+        "cell",
+        F.size("kmv").cast("bigint").alias("n_in_sketch"),
+        F.element_at("kmv", F.size("kmv")).alias("kmv_max"),
+        _estimate(F.col("kmv"), k).alias("est"),
+    )
+
+
+def kmv_rollup(
+    sketches: DataFrame, res: int, parent_res: int, k: int = DEFAULT_K
+) -> DataFrame:
+    """Merge child sketches into parent-cell sketches WITHOUT touching
+    pages: union the child arrays, dedup, keep the k smallest. Exactly
+    equal to kmv_cells at ``parent_res`` (the KMV merge identity)."""
+    parent = grid.cell_parent(F.col("cell"), res, parent_res).alias("cell")
+    return (
+        sketches.select(parent, "kmv")
+        .groupBy("cell")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("kmv")))
+                ),
+                1,
+                k,
+            ).alias("kmv")
+        )
+    )
+
+
+def sql_kmv_estimate(res: int, k: int = DEFAULT_K,
+                     pages_rel: str = "pages") -> str:
+    """Oracle for kmv_estimate(kmv_cells(...)): identical hash, k-min
+    set, and estimator arithmetic (bare SELECT; composes under the
+    contract's pages CTE)."""
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+SELECT cell,
+       CAST(len(kmv) AS BIGINT) AS n_in_sketch,
+       kmv[len(kmv)] AS kmv_max,
+       round(CASE WHEN len(kmv) < {k} THEN CAST(len(kmv) AS DOUBLE)
+                  ELSE {float(k - 1)!r} * {SPACE!r}
+                       / CAST(kmv[{k}] AS DOUBLE) END, 4) AS est
+FROM (
+  SELECT cell,
+         list_slice(list_sort(list(DISTINCT h)), 1, {k}) AS kmv
+  FROM (
+    SELECT {cell} AS cell,
+           CAST(('0x' || substr(sha256(url), 1, 15)) AS BIGINT) AS h
+    FROM {pages_rel}
+  ) GROUP BY cell
+)"""
