@@ -44,7 +44,9 @@ from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import repetition as REP
 from fileverification_spark.operators import multimodal as MM
+from fileverification_spark.operators import search as SRCH
 from fileverification_spark.operators import similarity as SIM
+from fileverification_spark.operators import sketch as SK
 from fileverification_spark.operators import spatial as S
 from fileverification_spark.operators import trajectory as TJ
 from fileverification_spark.operators import verify as V
@@ -74,8 +76,11 @@ def _sf_label(path: str) -> float:
 
 def _pin_cpus() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # optional base offset: lets a smoke run occupy cores N..N+K while a
+    # timing run owns cores 0..N-1 on the same host
+    base = int(os.environ.get("SPARK_GRAFT_CPU_BASE", "0"))
     try:
-        os.sched_setaffinity(0, range(cpus))
+        os.sched_setaffinity(0, range(base, base + cpus))
     except (AttributeError, OSError, ValueError):
         pass  # non-Linux or cgroup-restricted: run unpinned
 
@@ -151,6 +156,14 @@ def main() -> None:
             docs.where(F.col("doc_id") % REP.BENCH_MOD == 0),
         ).count(),
         "vocab_topk": lambda: CUR.vocab_topk(docs).count(),
+        # round-3 late additions: retrieval/keyword surface, URL-family
+        # dedup over the replicated pages table, KMV sketch ladder over
+        # the bench corpus, focal raster stencil
+        "tfidf_terms": lambda: CUR.tfidf_top_terms(docs, k=3).count(),
+        "bm25_topk": lambda: SRCH.bm25_search(docs, "fast hash join", 20).count(),
+        "url_families": lambda: D.canonical_families(live).count(),
+        "kmv_cells": lambda: SK.kmv_estimate(SK.kmv_cells(live, 6)).count(),
+        "raster_smooth": lambda: S.raster_smooth(live, 6).count(),
     }
 
     # -- interleaved timing passes --
