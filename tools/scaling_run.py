@@ -196,7 +196,7 @@ JOB_DESCS = {
 }
 
 
-def run_child(code: str, timeout: int = 1800, cores: int | None = None) -> str:
+def run_child(code: str, timeout: int = 5400, cores: int | None = None) -> str:
     cmd = [sys.executable, "-c", code]
     if cores is not None:
         # pin JVM + Python workers to exactly `cores` CPUs (see module doc)
