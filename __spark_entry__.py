@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from fileverification_spark import config as CFG
 from fileverification_spark import grid
 from fileverification_spark.functions import scrub as SCRUB
+from fileverification_spark.functions import html as HT
 from fileverification_spark.functions import urls as U
 from fileverification_spark.functions import text as TX
 from fileverification_spark.streaming import incremental as INC
@@ -603,6 +604,43 @@ def _q_raster_smooth(spark: SparkSession, sf: str) -> DataFrame:
 _TILE_Z = 4  # web-map zoom for the XYZ-tile interop query
 
 
+# planted rich-HTML corpus: script/style/comment blocks, attributes,
+# entities (incl. the &amp;-last ordering trap), nested text — both
+# engines construct the same page and must extract the same text
+_HTML_PRE = (
+    '<html><head><style>p{color:red}</style>'
+    '<script>var x=1<2 && true;</script></head><body><h1>T'
+)
+_HTML_POST = ' &amp; more&nbsp;x</p><!-- hidden --></body></html>'
+
+
+def _html_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit(_HTML_PRE), d.cast("string"),
+        F.lit('</h1><p class="a">'), F.col("text"), F.lit(_HTML_POST),
+    )
+    return _docs(spark, sf).select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+
+
+def _q_html_text(spark: SparkSession, sf: str) -> DataFrame:
+    out = HT.html_to_text(F.col("html")).alias("wet_text")
+    return _html_planted(spark, sf).select("doc_id", out)
+
+
+def _sql_html_text() -> str:
+    html = (
+        f"'{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || "
+        f"'</h1><p class=\"a\">' || text || '{_HTML_POST}'"
+    )
+    return (
+        f"SELECT doc_id, {HT.sql_html_to_text(html)} AS wet_text"
+        " FROM documents"
+    )
+
+
 def _q_kmv_cells(spark: SparkSession, sf: str) -> DataFrame:
     return SK.kmv_estimate(
         SK.kmv_cells(P.pages_with_derived(spark, sf), _RASTER_RES)
@@ -1002,6 +1040,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "trending_terms": _q_trending_terms,  # per-day top-k vocabulary
     "interval_join": _q_interval_join,  # bucketed range join (ts in [s,e])
     "kmv_cells": _q_kmv_cells,  # mergeable distinct-count sketch ladder
+    "html_text": _q_html_text,  # WARC->WET html-to-text extraction
 }
 
 
@@ -1235,6 +1274,7 @@ FROM events e JOIN sess s
   ON e.user_id = s.user_id
  AND epoch_us(e.ts) BETWEEN s.session_start AND s.session_end""",
         "kmv_cells": _with() + "\n" + SK.sql_kmv_estimate(_RASTER_RES),
+        "html_text": _sql_html_text(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

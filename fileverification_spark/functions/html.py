@@ -1,0 +1,66 @@
+"""HTML -> text extraction — the WET step of a crawl pipeline.
+
+Common Crawl ships WARC (raw html) and WET (extracted text); this is
+the engine's WARC->WET conversion for the ``html BINARY`` column:
+drop script/style/comment blocks, strip tags, decode the common
+entities, collapse whitespace. Pure codegen'd regexp/replace chain —
+zero shuffle, no UDF; runs at scan speed next to the hash derivation.
+
+Dialect discipline (same as functions/scrub.py): every pattern is in
+the Java-regex ∩ RE2 subset — inline flags `(?is)` yes, backreferences
+NO (RE2 has none, so script and style close-tags are matched by
+separate literal patterns, not `</\\1>`).
+
+Fidelity note: this is the crawl-hygiene extractor (tag/entity/space
+handling), not a browser; block-level layout (tables, lists) collapses
+to single spaces, which is exactly what WET files do.
+
+Reference parity: the reference reads raw file bytes and derives the
+hashable content (FV/HashInfo.cs:164-238 GetFileHash over the byte
+stream); html_to_text is that byte->content derivation for web pages,
+feeding the same sha256 path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_BLOCKS = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+]
+_TAG = r"(?s)<[^>]*>"
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: so &amp;lt; decodes to &lt; not <
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Extracted text of an ``html BINARY`` column (UTF-8)."""
+    s = F.decode(html, "UTF-8")
+    for pat in _BLOCKS:
+        s = F.regexp_replace(s, pat, " ")
+    s = F.regexp_replace(s, _TAG, " ")
+    for ent, rep in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def sql_html_to_text(html_expr: str) -> str:
+    """DuckDB mirror over a VARCHAR html expression (DuckDB reads the
+    binary column as BLOB; callers decode/construct upstream)."""
+    s = html_expr
+    for pat in _BLOCKS:
+        s = f"regexp_replace({s}, '{pat}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{_TAG}', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
