@@ -67,3 +67,62 @@ def test_sql_mirror_parity(spark):
         ).fetchall()
     )
     assert [got[i] for i in range(len(CASES))] == [w for _, w in CASES]
+
+
+def test_fuzz_parity_and_idempotence(spark):
+    """300 seeded messy URLs (random case, ports, params incl. tracking,
+    fragments, trailing slashes, empty segments, non-URLs): Spark and
+    the DuckDB mirror must agree on every canonical form, and the form
+    must be a fixpoint."""
+    import random
+
+    rng = random.Random(20260818)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+    hosts = ["Example.COM", "www.Site.org", "WWW.a.b.C", "x.io"]
+    ports = ["", ":80", ":443", ":8080", ":0080"]
+    paths = ["", "/", "/A/b", "/a//b/", "/%7Euser", "/a.b"]
+    queries = ["", "?", "?a=1", "?b=2&a=1&a=0", "?utm_source=x&q=1",
+               "?fbclid=Z", "?&&", "?a", "?=v"]
+    frags = ["", "#", "#frag", "#a#b"]
+    urls = []
+    for i in range(300):
+        s = rng.choice(schemes)
+        base = (s + "://") if s else ""
+        urls.append(
+            base + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    got_spark = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", U.url_canonicalize(F.col("url")).alias("c")
+        ).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "({}, '{}')".format(i, u.replace("'", "''"))
+            for i, u in enumerate(urls)
+        )
+        + ") v(doc_id, url)"
+    )
+    got_sql = dict(con.execute(U.sql_canonical_select("t")).fetchall())
+    assert got_spark == got_sql
+
+    # idempotence over the whole fuzz set (via the SQL mirror — same
+    # semantics, no second JVM pass)
+    con.execute("CREATE TABLE c1 AS " + U.sql_canonical_select("t", "url"))
+    twice = dict(
+        con.execute(
+            U.sql_canonical_select("(SELECT doc_id, canonical_url AS url FROM c1) s")
+        ).fetchall()
+    )
+    assert twice == got_sql
