@@ -24,6 +24,7 @@ from fileverification_spark.streaming import windows as SW
 from fileverification_spark.operators import asof as AS
 from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
+from fileverification_spark.operators import graph as GR
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
 from fileverification_spark.operators import packing as PK
@@ -695,6 +696,113 @@ def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return SRCH.bm25_search(_docs(spark, sf), _BM25_QUERY, k=20)
 
 
+# planted outlink corpus: 16 'siteK.example.net' hosts, 3 modular link
+# targets per page (the doc_id*7 family self-loops whenever doc_id % 8
+# == 0, exercising the self-loop filter), an external host that only
+# ever appears as a TARGET (doc_id % 11 == 0 — a dangling PageRank
+# node), a case/space-varied HREF, and a relative link the absolute
+# filter must drop. Both engines construct the identical corpus.
+_LINK_HOSTS = 16
+
+
+def _link_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+
+    def site(expr):  # noqa: ANN001 — Column in, Column out
+        return F.concat(
+            F.lit("https://site"), expr.cast("string"), F.lit(".example.net")
+        )
+
+    url = F.concat(site(d % _LINK_HOSTS), F.lit("/p/"), d.cast("string"))
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        site((d * 3 + 1) % _LINK_HOSTS),
+        F.lit('/x">a</a><A HREF = "'),
+        site((d * 5 + 2) % _LINK_HOSTS),
+        F.lit('/y">b</A><a href="'),
+        site((d * 7) % _LINK_HOSTS),
+        F.lit('/z">c</a>'),
+        F.when(
+            d % 11 == 0,
+            F.lit('<a href="https://ext.example.com/e">e</a>'),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="/relative/skip">r</a></body></html>'),
+    )
+    return _docs(spark, sf).select(
+        d.alias("doc_id"),
+        url.alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+_SQL_LINK_PLANTED = f"""(
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % {_LINK_HOSTS} AS VARCHAR)
+      || '.example.net/p/' || CAST(doc_id AS VARCHAR) AS url,
+    '<html><body><a href="https://site'
+      || CAST((doc_id * 3 + 1) % {_LINK_HOSTS} AS VARCHAR)
+      || '.example.net/x">a</a><A HREF = "https://site'
+      || CAST((doc_id * 5 + 2) % {_LINK_HOSTS} AS VARCHAR)
+      || '.example.net/y">b</A><a href="https://site'
+      || CAST((doc_id * 7) % {_LINK_HOSTS} AS VARCHAR)
+      || '.example.net/z">c</a>'
+      || CASE WHEN doc_id % 11 = 0
+              THEN '<a href="https://ext.example.com/e">e</a>'
+              ELSE '' END
+      || '<a href="/relative/skip">r</a></body></html>' AS html
+  FROM documents) planted"""
+
+
+def _q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
+    src = _link_planted(spark, sf)
+    return src.select(
+        "doc_id",
+        F.explode(HT.extract_links(F.col("html"))).alias("link"),
+    )
+
+
+def _sql_extract_links() -> str:
+    return (
+        f"SELECT doc_id, unnest({HT.sql_extract_links('html')}) AS link"
+        f" FROM {_SQL_LINK_PLANTED}"
+    )
+
+
+def _q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.host_edges(_link_planted(spark, sf))
+
+
+def _sql_host_edges(planted_rel: str) -> str:
+    """Bare SELECT (no WITH — contract helper rule) rebuilding
+    graph.host_edges over the planted corpus."""
+    return f"""SELECT src, {GR.sql_host_of('link')} AS dst,
+       CAST(count(*) AS BIGINT) AS w
+FROM (SELECT {GR.sql_host_of('url')} AS src,
+             unnest({HT.sql_extract_links('html')}) AS link
+      FROM {planted_rel}) raw
+WHERE regexp_matches(link, '{HT.ABS_RE}')
+  AND src != {GR.sql_host_of('link')}
+GROUP BY 1, 2"""
+
+
+_PAGERANK_ITERS = 5
+
+
+def _q_pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    edges = GR.host_edges(_link_planted(spark, sf))
+    return GR.pagerank(edges, iters=_PAGERANK_ITERS)
+
+
+def _sql_pagerank_hosts() -> str:
+    parts = [f"edges AS ({_sql_host_edges(_SQL_LINK_PLANTED)})"]
+    parts += GR.sql_pagerank_parts("edges", iters=_PAGERANK_ITERS)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank FROM r{_PAGERANK_ITERS}"
+    )
+
+
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     sigs = D.minhash_signatures(_docs(spark, sf))
     return D.lsh_candidate_pairs(sigs)
@@ -1041,6 +1149,12 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "interval_join": _q_interval_join,  # bucketed range join (ts in [s,e])
     "kmv_cells": _q_kmv_cells,  # mergeable distinct-count sketch ladder
     "html_text": _q_html_text,  # WARC->WET html-to-text extraction
+    # link-graph family (new r3, continuation): WAT-style outlink
+    # records -> host edge relation -> exact-integer PageRank — born
+    # demoted; driver window stays at the 50 settled queries
+    "extract_links": _q_extract_links,
+    "host_graph": _q_host_graph,
+    "pagerank_hosts": _q_pagerank_hosts,
 }
 
 
@@ -1275,6 +1389,9 @@ FROM events e JOIN sess s
  AND epoch_us(e.ts) BETWEEN s.session_start AND s.session_end""",
         "kmv_cells": _with() + "\n" + SK.sql_kmv_estimate(_RASTER_RES),
         "html_text": _sql_html_text(),
+        "extract_links": _sql_extract_links(),
+        "host_graph": _sql_host_edges(_SQL_LINK_PLANTED),
+        "pagerank_hosts": _sql_pagerank_hosts(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -64,3 +64,37 @@ def sql_html_to_text(html_expr: str) -> str:
         rep_sql = rep.replace("'", "''")
         s = f"replace({s}, '{ent}', '{rep_sql}')"
     return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction — the WAT step (link records) next to the WET step
+# ---------------------------------------------------------------------------
+
+#: href attribute value in a double-quoted attribute. Java ∩ RE2 dialect:
+#: inline (?i) yes, backreferences no. Single-quoted/unquoted attributes are
+#: out of scope (crawl-hygiene extractor, same fidelity bar as
+#: html_to_text); group 1 is the raw link.
+HREF_RE = r'(?i)href\s*=\s*"([^"]*)"'
+
+#: absolute http(s) links only — relative links would need per-page base-url
+#: resolution, which the WAT-style link record defers to the consumer
+ABS_RE = "^https?://"
+
+
+def extract_links(html: Column) -> Column:
+    """Array of raw outlink targets of an ``html BINARY`` column (UTF-8):
+    every double-quoted href attribute value, document order preserved,
+    relative links included (filter with :data:`ABS_RE` downstream).
+
+    Pure codegen'd ``regexp_extract_all`` — zero shuffle, no UDF; the
+    WAT-record analogue of :func:`html_to_text`'s WET record. Reference
+    parity: the reference derives per-file records from raw bytes
+    (FV/HashInfo.cs:164-238); this derives the link records the crawl
+    frontier / link graph is built from.
+    """
+    return F.regexp_extract_all(F.decode(html, "UTF-8"), F.lit(HREF_RE), 1)
+
+
+def sql_extract_links(html_expr: str) -> str:
+    """DuckDB mirror: LIST of href values over a VARCHAR html expression."""
+    return f"regexp_extract_all({html_expr}, '{HREF_RE}', 1)"

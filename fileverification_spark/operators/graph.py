@@ -1,0 +1,222 @@
+"""Web link graph + PageRank — the crawl-frontier analytics layer.
+
+The reference walks a *tree* (each directory has exactly one parent —
+FileVerification/PathInfo.cs:427-537 CrawlDirectory); a web corpus is a
+*graph* (pages link to arbitrary pages). This module grafts the same
+"derive records from content, then aggregate up the hierarchy" shape
+onto the graph case:
+
+- :func:`host_edges` — WAT-style outlink records -> weighted host-level
+  edge relation ``(src, dst, w)``. One projection + one hash-groupBy;
+  partial-aggregates map-side, shuffle ∝ distinct host pairs (web graphs
+  have ~1e8 hosts vs 1e12 pages, so the host rollup is the 10^4x
+  compression step that makes the iteration affordable).
+- :func:`pagerank` — damped PageRank over the edge relation in EXACT
+  64-bit integer arithmetic, so Spark and the DuckDB oracle agree
+  bit-for-bit (double addition is not associative across engines; see
+  BENCH/BASELINE.md float-canon notes). Ranks live at a fixed scale
+  (``rank_int = rank * scale``), per-edge contributions use integer
+  division, and integer sums are order-independent — no rounding canon
+  needed anywhere.
+
+Per-iteration plan (all built-ins, no UDF):
+
+    contrib  = edges ⨝ ranks ON src   (shuffle hash join on src)
+               -> groupBy(dst) SUM    (one shuffle on dst)
+    dangling = ranks ⟕̸ out-degree     (anti join; 1-row agg, broadcast)
+    ranks'   = nodes ⟕ contrib        (left join; codegen'd fold)
+
+Scale shape at 10^12 pages / 1e8 hosts: the edge relation is shuffled
+ONCE onto its join keys and persisted; each iteration re-uses that
+partitioning (two shuffles per iteration: ranks onto src, contributions
+onto dst — both over the ~1e8-row host relation, never the 1e12-row page
+relation). ``ranks`` is persisted per iteration so the plan's lineage
+stays linear in ``iters`` (at cluster scale swap for
+``localCheckpoint()`` to truncate lineage entirely).
+
+Overflow bound (documented, not checked per-row): all values are
+non-negative and total rank mass is conserved at ``n_nodes * scale``,
+so the largest intermediate is ``d_num * (rank * w)`` ≤
+``d_num * n_nodes * scale * max_w``. With the default ``scale=10^9``
+that stays inside int64 for ``n_nodes * max_w ≤ 9.2e7`` — lower
+``scale`` (e.g. 10^6) for larger host graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fileverification_spark.functions import html as HT
+
+#: host part of an http(s) URL — identical PCRE in Spark and DuckDB
+#: (same pattern as curation.DOMAIN_RE but anchored without requiring a
+#: trailing slash, so bare "https://host" links still resolve)
+HOST_RE = "^https?://([^/?#]+)"
+
+#: fixed-point scale of integer ranks: rank 1.0 == 10^9
+RANK_SCALE = 10**9
+
+
+def host_of(url: Column) -> Column:
+    """Host of an absolute http(s) URL ('' for relative links)."""
+    return F.regexp_extract(url, HOST_RE, 1)
+
+
+def sql_host_of(url_expr: str) -> str:
+    return f"regexp_extract({url_expr}, '{HOST_RE}', 1)"
+
+
+def host_edges(pages: DataFrame) -> DataFrame:
+    """Weighted host-level link graph ``(src, dst, w)`` from the pages
+    table's html column.
+
+    Pipeline: decode html -> :func:`html.extract_links` (codegen'd
+    regexp_extract_all) -> explode -> keep absolute http(s) links ->
+    host extraction both sides -> drop self-loops -> ONE hash-groupBy
+    on (src, dst). Everything before the groupBy is a narrow map over
+    the scan (only url + html are read; column pruning keeps the scan
+    2-wide), so shuffle volume is distinct host pairs, not links.
+    """
+    links = pages.select(
+        host_of(F.col("url")).alias("src"),
+        F.explode(HT.extract_links(F.col("html"))).alias("link"),
+    )
+    return (
+        links.where(F.col("link").rlike(HT.ABS_RE))
+        .select("src", host_of(F.col("link")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = RANK_SCALE,
+    d_num: int = 85,
+    d_den: int = 100,
+    persist: bool = True,
+) -> DataFrame:
+    """Damped PageRank over ``(src, dst, w)`` in exact int64 arithmetic:
+    returns ``(node, rank)`` with ``rank = true_rank * scale`` after
+    ``iters`` synchronous iterations (damping ``d_num/d_den``).
+
+    Update rule (every term exact, division = truncation toward zero,
+    all values non-negative so trunc == floor == DuckDB's ``//``):
+
+        contrib(v) = Σ_{(u,v,w)} (rank(u) * w) div total_w(u)
+        dangling   = (Σ_{u: no out-edges} rank(u)) div n_nodes
+        rank'(v)   = ((d_den-d_num)*scale + d_num*(contrib(v)+dangling))
+                     div d_den
+
+    Dangling mass is redistributed uniformly (the standard fix — nodes
+    that only ever appear as link *targets* have no out-edges). The
+    1-row dangling/n_nodes relations are broadcast, never collected, so
+    the whole ladder is one lazy plan.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if persist:
+        nodes = nodes.persist()
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("total_w")
+    )
+    e2 = edges.join(outw, "src")
+    if persist:
+        e2 = e2.persist()
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e2.join(ranks, e2["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank * w) div total_w").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("isum"))
+        )
+        dang = (
+            ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
+            .agg(
+                F.coalesce(F.sum("rank"), F.lit(0))
+                .cast("long")
+                .alias("dsum")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((({d_den - d_num} * CAST({scale} AS BIGINT))"
+                    f" + {d_num} * (coalesce(isum, CAST(0 AS BIGINT))"
+                    f" + (dsum div n_nodes))) div {d_den} AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+        if persist:
+            ranks = ranks.persist()
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirror — CTE parts for the contract's _with() assembler
+# ---------------------------------------------------------------------------
+
+def sql_pagerank_parts(
+    edges_cte: str,
+    iters: int = 5,
+    scale: int = RANK_SCALE,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> list[str]:
+    """CTE definitions (no WITH keyword — the contract's ``_with()``
+    opens the clause) that replay :func:`pagerank` over an ``edges``
+    relation provided by the caller as the CTE named in ``edges_cte``.
+    Final ranks land in CTE ``r{iters}``.
+
+    DuckDB notes: SUM(BIGINT) -> HUGEINT, so every sum is cast back;
+    ``//`` is floor division == Spark's ``div`` on the non-negative
+    domain.
+    """
+    parts = [
+        f"nodes AS (SELECT src AS node FROM {edges_cte} "
+        f"UNION SELECT dst FROM {edges_cte})",
+        f"outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS total_w "
+        f"FROM {edges_cte} GROUP BY src)",
+        f"e2 AS (SELECT e.src, e.dst, e.w, o.total_w FROM {edges_cte} e "
+        f"JOIN outw o ON e.src = o.src)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e2.dst, CAST(SUM((r.rank * e2.w) // e2.total_w)"
+            f" AS BIGINT) AS isum FROM e2 JOIN {p} r ON r.node = e2.src"
+            f" GROUP BY e2.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT)"
+            f" AS dsum FROM {p} r LEFT JOIN outw o ON r.node = o.src"
+            f" WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, CAST((({d_den - d_num}"
+            f" * CAST({scale} AS BIGINT)) + {d_num} * (COALESCE(c.isum,"
+            f" CAST(0 AS BIGINT)) + (d.dsum // nn.n_nodes))) // {d_den}"
+            f" AS BIGINT) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst,"
+            f" d{i} d, nn)"
+        )
+    return parts

@@ -1,0 +1,131 @@
+"""Link graph + integer PageRank (operators/graph.py).
+
+Hand-replayable cases: the PageRank update is exact int64 arithmetic,
+so a pure-Python replay must match Spark bit-for-bit — no tolerance
+anywhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fileverification_spark.functions import html as HT
+from fileverification_spark.operators import graph as GR
+
+SCALE = 10**5  # small scale keeps hand numbers readable; exactness is
+               # scale-independent
+
+
+def _pagerank_py(edges, iters, scale=SCALE, d_num=85, d_den=100):
+    """Pure-Python replay of graph.pagerank's exact update rule."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            contrib[d] += (rank[s] * w) // outw[s]
+        dang = sum(rank[n] for n in nodes if n not in outw)
+        each = dang // len(nodes)
+        rank = {
+            n: ((d_den - d_num) * scale + d_num * (contrib[n] + each))
+            // d_den
+            for n in nodes
+        }
+    return rank
+
+
+@pytest.fixture(scope="module")
+def hand_edges(spark):
+    # A -> B (w2), A -> C, B -> C, C -> A; D is DANGLING (target only)
+    rows = [
+        ("A", "B", 2),
+        ("A", "C", 1),
+        ("B", "C", 1),
+        ("C", "A", 1),
+        ("B", "D", 1),
+    ]
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def test_pagerank_matches_python_replay(spark, hand_edges):
+    got = {
+        r["node"]: r["rank"]
+        for r in GR.pagerank(hand_edges, iters=4, scale=SCALE).collect()
+    }
+    want = _pagerank_py(
+        [(r["src"], r["dst"], r["w"]) for r in hand_edges.collect()], 4
+    )
+    assert got == want  # exact, no tolerance
+
+
+def test_pagerank_dangling_mass_redistributed(spark, hand_edges):
+    # With damping 1 (d_num == d_den) and no dangling leak handling the
+    # total mass would shrink; the uniform redistribution keeps the
+    # total within n_nodes quantization drops per iteration.
+    ranks = GR.pagerank(
+        hand_edges, iters=3, scale=SCALE, d_num=100, d_den=100
+    ).collect()
+    total = sum(r["rank"] for r in ranks)
+    n, iters = 4, 3  # nodes A,B,C,D
+    # each iteration drops < n integer-division remainders of the
+    # contribution terms plus the dangling split remainder
+    max_drop = iters * (n + len(ranks)) * 2
+    assert n * SCALE - max_drop <= total <= n * SCALE
+
+
+def test_pagerank_sink_gains_source_loses(spark, hand_edges):
+    ranks = {
+        r["node"]: r["rank"]
+        for r in GR.pagerank(hand_edges, iters=8, scale=SCALE).collect()
+    }
+    # A absorbs ALL of C's mass (C->A is C's only out-edge) while every
+    # other node only receives fractions; D receives the least (half of
+    # B's fan-out plus its own dangling reflux)
+    assert ranks["A"] == max(ranks.values())
+    assert ranks["D"] == min(ranks.values())
+    assert set(ranks) == {"A", "B", "C", "D"}
+
+
+def test_host_edges_filters_and_weights(spark):
+    html = (
+        '<a href="https://x.net/1">l</a>'
+        '<A HREF = "https://x.net/2">c</A>'  # case + spaces
+        '<a href="https://self.org/loop">s</a>'  # self loop -> dropped
+        '<a href="/rel">r</a>'  # relative -> dropped
+        "<a href='https://sq.net/x'>q</a>"  # single-quoted -> out of scope
+    )
+    pages = spark.createDataFrame(
+        [("https://self.org/p", html)], "url string, html_s string"
+    ).select("url", F.encode("html_s", "UTF-8").alias("html"))
+    got = {(r["src"], r["dst"]): r["w"] for r in GR.host_edges(pages).collect()}
+    assert got == {("self.org", "x.net"): 2}
+
+
+def test_extract_links_order_and_relative(spark):
+    df = spark.createDataFrame([("x",)], "k string").select(
+        HT.extract_links(
+            F.encode(
+                F.lit('<a href="https://a/1"></a><a href="/r"></a>'), "UTF-8"
+            )
+        ).alias("l")
+    )
+    assert df.collect()[0]["l"] == ["https://a/1", "/r"]
+
+
+def test_host_of_variants(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h.example.com/p", "h.example.com"),
+            ("http://h2:8080/p", "h2:8080"),
+            ("https://bare.net", "bare.net"),
+            ("ftp://nope/x", ""),
+            ("/relative", ""),
+        ],
+        "url string, want string",
+    )
+    bad = df.where(GR.host_of(F.col("url")) != F.col("want")).count()
+    assert bad == 0
