@@ -788,6 +788,55 @@ GROUP BY 1, 2"""
 _PAGERANK_ITERS = 5
 
 
+# robots-style disallow rules over the REAL pages hosts
+# ({source}.example.org/{lang}/{doc_id}): one lang-scoped rule, one
+# whole-host rule, one rule on a host that never occurs
+_ROBOTS_RULES = [
+    ("src0.example.org", "/en/"),
+    ("src1.example.org", "/"),
+    ("src2.example.org", "/de/"),
+    ("nope.example.org", "/"),
+]
+
+
+def _q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, path_prefix string"
+    )
+    return CUR.robots_filter(P.pages(spark, sf), rules).select(
+        "doc_id", "url"
+    )
+
+
+def _sql_robots_filter() -> str:
+    vals = ", ".join(f"('{h}', '{p}')" for h, p in _ROBOTS_RULES)
+    return CUR.sql_robots_filter("pages", vals)
+
+
+_GEOHASH_P = 4
+
+
+def _q_geohash_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = P.pages_with_derived(spark, sf)
+    return d.groupBy(
+        grid.geohash(F.col("lat"), F.col("lon"), _GEOHASH_P).alias("gh")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pages"))
+
+
+def _sql_geohash_counts() -> str:
+    gh = grid.sql_geohash("lat", "lon", _GEOHASH_P)
+    return (
+        f"SELECT {gh} AS gh, CAST(count(*) AS BIGINT) AS n_pages"
+        " FROM pages GROUP BY 1"
+    )
+
+
+def _q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    # postings_cap small enough that head terms exercise the df-only
+    # ('' postings) path at every sf
+    return SRCH.inverted_index(_docs(spark, sf), min_df=2, postings_cap=8)
+
+
 def _q_pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
     edges = GR.host_edges(_link_planted(spark, sf))
     return GR.pagerank(edges, iters=_PAGERANK_ITERS)
@@ -1155,6 +1204,9 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "extract_links": _q_extract_links,
     "host_graph": _q_host_graph,
     "pagerank_hosts": _q_pagerank_hosts,
+    "robots_filter": _q_robots_filter,  # per-host disallow-prefix rules
+    "inverted_index": _q_inverted_index,  # term -> df + tail postings
+    "geohash_counts": _q_geohash_counts,  # public geohash raster export
 }
 
 
@@ -1392,6 +1444,9 @@ FROM events e JOIN sess s
         "extract_links": _sql_extract_links(),
         "host_graph": _sql_host_edges(_SQL_LINK_PLANTED),
         "pagerank_hosts": _sql_pagerank_hosts(),
+        "robots_filter": _with() + "\n" + _sql_robots_filter(),
+        "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
+        "geohash_counts": _with() + "\n" + _sql_geohash_counts(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

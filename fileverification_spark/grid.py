@@ -503,3 +503,100 @@ def sql_tile_quadkey(x_expr: str, y_expr: str, z: int) -> str:
         f"i -> CAST((({y_expr} >> CAST(i - 1 AS INT)) & 1) * 2 "
         f"+ (({x_expr} >> CAST(i - 1 AS INT)) & 1) AS VARCHAR)), '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash interop — the third public addressing scheme next to XYZ/quadkey
+# ---------------------------------------------------------------------------
+
+#: the public geohash base-32 alphabet (no a/i/l/o)
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_char_values(lat: Column, lon: Column, precision: int) -> list[Column]:
+    """Per-character 5-bit values of the geohash, unrolled at plan time.
+
+    Geohash bit layout (public spec): 5*precision bits MSB-first, even
+    global bit positions from longitude, odd from latitude; each side is
+    the binary-search quantisation of its coordinate, i.e. the top bits
+    of floor((coord - lo) / (hi - lo) * 2^bits).
+    """
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+
+    def quant(coord: Column, lo: float, hi: float, bits: int) -> Column:
+        n = 1 << bits
+        q = F.floor((coord - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n))).cast(
+            "bigint"
+        )
+        return F.least(F.greatest(q, F.lit(0)), F.lit(n - 1))
+
+    lon_q = quant(lon, -180.0, 180.0, lon_bits)
+    lat_q = quant(lat, -90.0, 90.0, lat_bits)
+
+    def bit(i: int) -> Column:
+        if i % 2 == 0:
+            return F.shiftright(lon_q, lon_bits - 1 - i // 2).bitwiseAND(F.lit(1))
+        return F.shiftright(lat_q, lat_bits - 1 - (i - 1) // 2).bitwiseAND(F.lit(1))
+
+    out = []
+    for j in range(precision):
+        c = F.lit(0)
+        for b in range(5):
+            c = c + F.shiftleft(bit(5 * j + b), 4 - b)
+        out.append(c)
+    return out
+
+
+def geohash(lat: Column, lon: Column, precision: int) -> Column:
+    """Geohash string of (lat, lon) at ``precision`` chars — the public
+    base-32 cell addressing (Elasticsearch/Redis/PostGIS interop), pure
+    codegen'd shift/mask arithmetic unrolled at plan time, no UDF.
+
+    Like tile_xyz/tile_quadkey this is an EXPORT surface over the
+    engine's quadtree cells, not a replacement: a geohash prefix is a
+    rectangle, so `geohash(lat, lon, p)` group-bys give rasters any
+    public geo stack can ingest directly. All arithmetic is exact
+    integer quantisation (floor of a double product — identical
+    expression both engines), so the oracle matches bit-for-bit."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    alphabet = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    return F.concat_ws(
+        "",
+        *[
+            F.element_at(alphabet, (c + F.lit(1)).cast("int"))
+            for c in _geohash_char_values(lat, lon, precision)
+        ],
+    )
+
+
+def sql_geohash(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """DuckDB mirror of :func:`geohash` (same unrolled arithmetic)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+
+    def quant(expr: str, lo: float, hi: float, bits: int) -> str:
+        n = 1 << bits
+        return (
+            f"LEAST(GREATEST(CAST(FLOOR(({expr} - ({lo!r})) / {hi - lo!r}"
+            f" * {n}.0) AS BIGINT), 0), {n - 1})"
+        )
+
+    lon_q = quant(lon_expr, -180.0, 180.0, lon_bits)
+    lat_q = quant(lat_expr, -90.0, 90.0, lat_bits)
+
+    def bit(i: int) -> str:
+        if i % 2 == 0:
+            return f"(({lon_q} >> {lon_bits - 1 - i // 2}) & 1)"
+        return f"(({lat_q} >> {lat_bits - 1 - (i - 1) // 2}) & 1)"
+
+    chars = []
+    for j in range(precision):
+        c = " + ".join(f"({bit(5 * j + b)} << {4 - b})" for b in range(5))
+        chars.append(
+            f"substr('{GEOHASH_ALPHABET}', CAST(({c}) + 1 AS INT), 1)"
+        )
+    return " || ".join(chars)

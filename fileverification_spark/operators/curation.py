@@ -295,3 +295,55 @@ SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
        CAST(count(DISTINCT upper(sha256(text))) AS BIGINT) AS n_unique_texts
 FROM {pages_rel}
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Robots-style URL prefix filtering
+# ---------------------------------------------------------------------------
+
+#: host of an absolute http(s) URL (no trailing-slash requirement) and the
+#: path-and-after remainder — identical PCRE both engines
+ROBOTS_HOST_RE = "^https?://([^/?#]+)"
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Pages NOT blocked by a robots-style disallow rule set.
+
+    ``rules(host STRING, path_prefix STRING)`` — a page is blocked when
+    its URL host equals a rule's host AND the part after the host
+    starts with the rule's path prefix (robots.txt ``Disallow:``
+    semantics per host, prefix match on the path; no Allow overrides —
+    the common crawl-pipeline subset).
+
+    Reference parity: this is the reference's exclusion engine
+    (FV/Configuration/Settings.cs exclusions; folders cascade over the
+    full path — config.Exclusions) applied to URL space: host == the
+    "folder" scope, path prefix == the cascading subtree rule.
+
+    Scale: the rule set is a crawl policy (thousands of rows) —
+    broadcast LEFT ANTI join; the non-equi prefix test rides on the
+    host equi-key, so every page is checked against only its own
+    host's rules. Zero shuffle of the pages side.
+    """
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("r_host"),
+            F.col("path_prefix").alias("r_prefix"),
+        )
+    )
+    host = F.regexp_extract(F.col("url"), ROBOTS_HOST_RE, 1)
+    path = F.regexp_replace(F.col("url"), ROBOTS_HOST_RE, "")
+    cond = (host == F.col("r_host")) & path.startswith(F.col("r_prefix"))
+    return pages.join(r, cond, "left_anti")
+
+
+def sql_robots_filter(
+    pages_rel: str, rules_values: str, select: str = "doc_id, url"
+) -> str:
+    """DuckDB mirror: NOT EXISTS over a VALUES rule list (bare SELECT)."""
+    return f"""SELECT {select} FROM {pages_rel} p
+WHERE NOT EXISTS (
+  SELECT 1 FROM (VALUES {rules_values}) r(host, path_prefix)
+  WHERE regexp_extract(p.url, '{ROBOTS_HOST_RE}', 1) = r.host
+    AND starts_with(regexp_replace(p.url, '{ROBOTS_HOST_RE}', ''),
+                    r.path_prefix))"""

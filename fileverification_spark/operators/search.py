@@ -158,3 +158,88 @@ SELECT doc_id, score FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
   FROM r
 ) WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index — term -> posting list
+# ---------------------------------------------------------------------------
+
+def inverted_index(
+    docs: DataFrame, min_df: int = 1, postings_cap: int = 64
+) -> DataFrame:
+    """Distributed inverted-index construction: ``(term, df, postings)``
+    where ``df`` is the exact document frequency and ``postings`` is the
+    comma-joined ascending doc_id list — materialised ONLY for tail
+    terms (``df <= postings_cap``; head terms keep ``postings = ''``).
+
+    The reference's manifest is exactly this shape for files — a
+    per-directory key -> hash lookup table (FV/CheckSumFile.cs:50
+    Checksums dictionary); the inverted index is the text-retrieval
+    twin: per-term key -> document list.
+
+    Scale shape (the reason for the two-pass form): a head term at
+    10^12 docs has ~1e9 postings — a single ``collect_list`` on it
+    OOMs one reducer. So pass 1 computes df with a plain
+    partial-aggregatable count (no lists anywhere); pass 2 builds
+    lists only where df is bounded by ``postings_cap``, so per-group
+    state is <= cap ids by construction. Head-term postings belong in
+    a sharded layout (posting-list segments keyed by (term, shard)),
+    which consumers opt into separately; the df column here is already
+    exact for them. Skew: the df<=cap semi-join removes precisely the
+    skewed keys before the list aggregation — the groupBy that builds
+    lists is skew-free by construction.
+    """
+    pairs = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+    )
+    dfrel = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    tail = pairs.join(
+        dfrel.where(F.col("df") <= postings_cap).select("term"), "term"
+    )
+    posts = tail.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return (
+        dfrel.where(F.col("df") >= min_df)
+        .join(posts, "term", "left")
+        .select(
+            "term",
+            "df",
+            F.coalesce(F.col("postings"), F.lit("")).alias("postings"),
+        )
+    )
+
+
+def sql_inverted_index(min_df: int = 1, postings_cap: int = 64) -> str:
+    """DuckDB mirror over the ``documents`` view (bare SELECT form)."""
+    return f"""SELECT d.term, d.df, COALESCE(p.postings, '') AS postings
+FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, unnest({TX.sql_tokens('text')}) AS term
+        FROM documents)
+  GROUP BY term
+) d
+LEFT JOIN (
+  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM (SELECT DISTINCT doc_id, unnest({TX.sql_tokens('text')}) AS term
+        FROM documents)
+  WHERE term IN (
+    SELECT term
+    FROM (SELECT DISTINCT doc_id, unnest({TX.sql_tokens('text')}) AS term
+          FROM documents)
+    GROUP BY term HAVING count(*) <= {postings_cap})
+  GROUP BY term
+) p USING (term)
+WHERE d.df >= {min_df}"""

@@ -106,3 +106,40 @@ def test_tfidf_rank_uses_rounded_score_and_term_tiebreak(spark):
     # identical tf/df for both terms in both docs -> tie on score,
     # term ASC wins deterministically
     assert all(r.term == "alpha" for r in rows) and len(rows) == 2
+
+
+# ---------------------------------------------------------------------------
+# Robots-style URL prefix filtering
+# ---------------------------------------------------------------------------
+
+def test_robots_filter_semantics(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/en/x"),    # blocked: host+prefix
+            (2, "https://a.com/de/x"),    # kept: prefix differs
+            (3, "https://b.com/en/x"),    # kept: host differs
+            (4, "https://c.com/any"),     # blocked: '/' whole host
+            (5, "https://a.com/enx"),     # blocked: '/en' prefix of '/enx'
+            (6, "https://a.com:8080/en/x"),  # kept: host incl. port differs
+        ],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/en"), ("c.com", "/")],
+        "host string, path_prefix string",
+    )
+    kept = {
+        r["doc_id"] for r in CUR.robots_filter(pages, rules).collect()
+    }
+    assert kept == {2, 3, 6}
+
+
+def test_robots_filter_broadcast_plan(spark):
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x")], "doc_id long, url string"
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/y")], "host string, path_prefix string"
+    )
+    plan = CUR.robots_filter(pages, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -259,3 +259,64 @@ def test_tile_zoom_guard():
 
     with pytest.raises(ValueError, match="zoom"):
         G.tile_xyz(F.lit(0.0), F.lit(0.0), 31)
+
+
+# ---------------------------------------------------------------------------
+# Geohash
+# ---------------------------------------------------------------------------
+
+def test_geohash_public_reference_values(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            # the Wikipedia worked example
+            (57.64911, 10.40744, "u4pruydqqvj"),
+            # geohash.org classic (Curitiba)
+            (-25.382708, -49.265506, "6gkzwgjzn82"),
+            (0.0, 0.0, "s0000000000"),
+        ],
+        "lat double, lon double, want string",
+    )
+    bad = df.where(
+        grid.geohash(F.col("lat"), F.col("lon"), 11) != F.col("want")
+    ).count()
+    assert bad == 0
+
+
+def test_geohash_prefix_property(spark):
+    # precision p output is a PREFIX of precision p+k output (cell
+    # containment up the ladder — same property as cell_parent)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-89.9, -179.9), (41.0, -7.3)],
+        "lat double, lon double",
+    )
+    bad = df.where(
+        grid.geohash(F.col("lat"), F.col("lon"), 11).substr(1, 5)
+        != grid.geohash(F.col("lat"), F.col("lon"), 5)
+    ).count()
+    assert bad == 0
+
+
+def test_geohash_bounds_clamped(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(90.0, 180.0), (-90.0, -180.0)], "lat double, lon double"
+    )
+    vals = [
+        r[0] for r in df.select(grid.geohash(F.col("lat"), F.col("lon"), 4)).collect()
+    ]
+    assert vals == ["zzzz", "0000"]
+
+
+def test_geohash_precision_guard(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    with _pt.raises(ValueError):
+        grid.geohash(F.lit(0.0), F.lit(0.0), 0)
+    with _pt.raises(ValueError):
+        grid.geohash(F.lit(0.0), F.lit(0.0), 13)

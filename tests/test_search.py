@@ -74,3 +74,42 @@ def test_empty_query(spark):
 
 def test_query_tokenized_like_corpus():
     assert SRCH.query_terms("Fast, HASH-join!") == ["fast", "hash", "join"]
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------------
+
+def _idx_docs(spark):
+    rows = [
+        (1, "alpha beta beta"),   # beta twice in ONE doc -> df 1
+        (2, "alpha gamma"),
+        (3, "alpha gamma delta"),
+        (4, "epsilon"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_inverted_index_df_and_postings(spark):
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in SRCH.inverted_index(_idx_docs(spark), min_df=1).collect()
+    }
+    assert got == {
+        "alpha": (3, "1,2,3"),
+        "beta": (1, "1"),       # within-doc repeat counted once
+        "gamma": (2, "2,3"),
+        "delta": (1, "3"),
+        "epsilon": (1, "4"),
+    }
+
+
+def test_inverted_index_min_df_and_cap(spark):
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in SRCH.inverted_index(
+            _idx_docs(spark), min_df=2, postings_cap=2
+        ).collect()
+    }
+    # alpha (df 3) exceeds the cap -> df kept, postings elided
+    assert got == {"alpha": (3, ""), "gamma": (2, "2,3")}
