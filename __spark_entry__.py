@@ -726,6 +726,16 @@ def _link_planted(spark: SparkSession, sf: str) -> DataFrame:
             d % 11 == 0,
             F.lit('<a href="https://ext.example.com/e">e</a>'),
         ).otherwise(F.lit("")),
+        # link to the NEXT page's own url: already-fetched for every
+        # doc_id+1 that exists, so the crawl frontier filters it out;
+        # anchor text is lang-dependent so anchor_terms has structure
+        F.lit('<a href="'),
+        site((d + 1) % _LINK_HOSTS),
+        F.lit("/p/"),
+        (d + 1).cast("string"),
+        F.lit('">next '),
+        F.col("lang"),
+        F.lit("</a>"),
         F.lit('<a href="/relative/skip">r</a></body></html>'),
     )
     return _docs(spark, sf).select(
@@ -749,6 +759,10 @@ _SQL_LINK_PLANTED = f"""(
       || CASE WHEN doc_id % 11 = 0
               THEN '<a href="https://ext.example.com/e">e</a>'
               ELSE '' END
+      || '<a href="https://site'
+      || CAST((doc_id + 1) % {_LINK_HOSTS} AS VARCHAR)
+      || '.example.net/p/' || CAST(doc_id + 1 AS VARCHAR)
+      || '">next ' || lang || '</a>'
       || '<a href="/relative/skip">r</a></body></html>' AS html
   FROM documents) planted"""
 
@@ -811,6 +825,14 @@ def _q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_robots_filter() -> str:
     vals = ", ".join(f"('{h}', '{p}')" for h, p in _ROBOTS_RULES)
     return CUR.sql_robots_filter("pages", vals)
+
+
+def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.anchor_terms(_link_planted(spark, sf))
+
+
+def _q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.crawl_frontier(_link_planted(spark, sf))
 
 
 _GEOHASH_P = 4
@@ -1207,6 +1229,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "robots_filter": _q_robots_filter,  # per-host disallow-prefix rules
     "inverted_index": _q_inverted_index,  # term -> df + tail postings
     "geohash_counts": _q_geohash_counts,  # public geohash raster export
+    "anchor_terms": _q_anchor_terms,  # anchor-text relevance signal
+    "crawl_frontier": _q_crawl_frontier,  # discovered-not-fetched URLs
 }
 
 
@@ -1447,6 +1471,8 @@ FROM events e JOIN sess s
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),
+        "anchor_terms": GR.sql_anchor_terms(_SQL_LINK_PLANTED),
+        "crawl_frontier": GR.sql_crawl_frontier(_SQL_LINK_PLANTED),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

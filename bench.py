@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
+from fileverification_spark.operators import graph as GR
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import repetition as REP
 from fileverification_spark.operators import multimodal as MM
@@ -91,6 +92,38 @@ def _nn_bench(live) -> int:
         return S.nn_join(src, src, resolutions=(8,)).count()
     finally:
         src.unpersist()
+
+
+_LINK_BENCH_HOSTS = 1024
+
+
+def _link_pages(live):
+    """Synthesize a 1024-host outlink corpus over the replicated pages
+    (3 anchor elements per page, modular targets) — bench twin of the
+    contract's planted link corpus at n_pages scale."""
+    d = F.abs(F.hash("url")).cast("bigint")
+
+    def site(expr):
+        return F.concat(
+            F.lit('<a href="https://site'),
+            (expr % _LINK_BENCH_HOSTS).cast("string"),
+            F.lit(".example.net/p"),
+        )
+
+    html = F.concat(
+        site(d * 3 + 1), F.lit('">fast join</a>'),
+        site(d * 5 + 2), F.lit('">hash verify</a>'),
+        site(d * 7), F.lit('">broadcast cell</a>'),
+    )
+    return live.select(
+        F.concat(
+            F.lit("https://site"),
+            (d % _LINK_BENCH_HOSTS).cast("string"),
+            F.lit(".example.net/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
 
 
 def main() -> None:
@@ -164,6 +197,18 @@ def main() -> None:
         "url_families": lambda: D.canonical_families(live).count(),
         "kmv_cells": lambda: SK.kmv_estimate(SK.kmv_cells(live, 6)).count(),
         "raster_smooth": lambda: S.raster_smooth(live, 6).count(),
+        # round-3 continuation: link-graph surface — html synthesized
+        # per replicated page (1024-host modular corpus), so the legs
+        # measure real WAT extraction (regexp_extract_all over n_pages
+        # strings) + the graph aggregation/iteration on top
+        "host_graph": lambda: GR.host_edges(_link_pages(live)).count(),
+        "pagerank_hosts": lambda: GR.pagerank(
+            GR.host_edges(_link_pages(live)), iters=3
+        ).count(),
+        "anchor_terms": lambda: GR.anchor_terms(_link_pages(live)).count(),
+        "inverted_index": lambda: SRCH.inverted_index(
+            docs, min_df=2, postings_cap=8
+        ).count(),
     }
 
     # -- interleaved timing passes --

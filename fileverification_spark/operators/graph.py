@@ -220,3 +220,99 @@ def sql_pagerank_parts(
             f" d{i} d, nn)"
         )
     return parts
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation + crawl frontier
+# ---------------------------------------------------------------------------
+
+#: href value AND inner text of an anchor element, non-greedy body, in the
+#: Java ∩ RE2 dialect (both engines support lazy quantifiers + inline
+#: flags; no backreferences). Extracted twice (group 1, group 2) and
+#: zipped — regexp_extract_all returns one group per call in both engines
+#: and the match ORDER is identical, so positional zip is exact.
+ANCHOR_RE = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+
+
+def anchor_pairs(pages: DataFrame) -> DataFrame:
+    """(link, anchor) pairs of every absolute-href anchor element — the
+    WAT-record extension that carries the link's *description*. Anchor
+    text is the classic external relevance signal for the link TARGET
+    (it's how pages describe each other), which is why retrieval
+    pipelines index it next to the target's own text."""
+    pat = F.lit(ANCHOR_RE)
+    html = F.decode(F.col("html"), "UTF-8")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(html, pat, 1).alias("link"),
+        F.regexp_extract_all(html, pat, 2).alias("anchor"),
+    )
+    return (
+        pages.select(F.explode(zipped).alias("z"))
+        .select(F.col("z.link").alias("link"), F.col("z.anchor").alias("anchor"))
+        .where(F.col("link").rlike(HT.ABS_RE))
+    )
+
+
+def anchor_terms(pages: DataFrame) -> DataFrame:
+    """Per-(target host, term) anchor-text term counts: tokenize every
+    anchor's text and aggregate onto the link TARGET's host —
+    ``(host, term, n)``. One projection chain + one hash-groupBy;
+    shuffle ∝ distinct (host, term) pairs (partial-aggregated
+    map-side), never ∝ links."""
+    from fileverification_spark.functions import text as TX
+
+    pairs = anchor_pairs(pages)
+    return (
+        pairs.select(
+            host_of(F.col("link")).alias("host"),
+            F.explode(TX.tokens(F.col("anchor"))).alias("term"),
+        )
+        .groupBy("host", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def sql_anchor_terms(pages_rel: str) -> str:
+    """DuckDB mirror (bare SELECT). DuckDB unnests multiple lists in the
+    same SELECT positionally in lockstep — the zip twin of arrays_zip."""
+    from fileverification_spark.functions import text as TX
+
+    return f"""SELECT {sql_host_of('link')} AS host, term,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT link, unnest({TX.sql_tokens('anchor')}) AS term
+  FROM (SELECT unnest(regexp_extract_all(html, '{ANCHOR_RE}', 1)) AS link,
+               unnest(regexp_extract_all(html, '{ANCHOR_RE}', 2)) AS anchor
+        FROM {pages_rel})
+  WHERE regexp_matches(link, '{HT.ABS_RE}'))
+GROUP BY 1, 2"""
+
+
+def crawl_frontier(pages: DataFrame) -> DataFrame:
+    """URLs the crawl has DISCOVERED but not yet fetched: distinct
+    absolute outlinks anti-joined against the fetched url set — the
+    reference's ADDED status (files on disk missing from the manifest,
+    operators/verify.py J3) lifted to URL space, where it is the crawl
+    scheduler's work queue.
+
+    Scale: distinct on the link side (shuffle ∝ distinct URLs), then a
+    shuffled LEFT ANTI against pages.url — both sides hash-partitioned
+    on the same key, no broadcast of the 10^12-row fetched set."""
+    links = pages.select(
+        F.explode(HT.extract_links(F.col("html"))).alias("u")
+    )
+    return (
+        links.where(F.col("u").rlike(HT.ABS_RE))
+        .distinct()
+        .join(pages.select(F.col("url").alias("u")), "u", "left_anti")
+        .select(F.col("u").alias("url"))
+    )
+
+
+def sql_crawl_frontier(pages_rel: str) -> str:
+    return f"""SELECT u AS url FROM (
+  SELECT DISTINCT unnest({HT.sql_extract_links('html')}) AS u
+  FROM {pages_rel}) links
+WHERE regexp_matches(u, '{HT.ABS_RE}')
+  AND NOT EXISTS (SELECT 1 FROM (SELECT url FROM {pages_rel}) fetched
+                  WHERE fetched.url = links.u)"""

@@ -129,3 +129,42 @@ def test_host_of_variants(spark):
     )
     bad = df.where(GR.host_of(F.col("url")) != F.col("want")).count()
     assert bad == 0
+
+
+def _one_page(spark, url, html):
+    return spark.createDataFrame(
+        [(url, html)], "url string, html_s string"
+    ).select("url", F.encode("html_s", "UTF-8").alias("html"))
+
+
+def test_anchor_terms_tokenized_onto_target_host(spark):
+    html = (
+        '<a href="https://t.net/a">Fast Join</a>'
+        '<a href="https://t.net/b">fast hash</a>'
+        '<a href="https://u.org/c">Broadcast!</a>'
+        '<a href="/rel">skipped words</a>'
+    )
+    got = {
+        (r["host"], r["term"]): r["n"]
+        for r in GR.anchor_terms(
+            _one_page(spark, "https://s.com/p", html)
+        ).collect()
+    }
+    assert got == {
+        ("t.net", "fast"): 2,
+        ("t.net", "join"): 1,
+        ("t.net", "hash"): 1,
+        ("u.org", "broadcast"): 1,
+    }
+
+
+def test_crawl_frontier_excludes_fetched(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", '<a href="https://a.com/2">x</a><a href="https://b.com/new">y</a>'),
+            ("https://a.com/2", '<a href="https://a.com/1">b</a><a href="/rel">r</a>'),
+        ],
+        "url string, html_s string",
+    ).select("url", F.encode("html_s", "UTF-8").alias("html"))
+    got = {r["url"] for r in GR.crawl_frontier(pages).collect()}
+    assert got == {"https://b.com/new"}
