@@ -39,6 +39,7 @@ from fileverification_spark.operators import verify as V
 from fileverification_spark.functions import hashing as H
 from fileverification_spark.sources import manifest_io as MIO
 from fileverification_spark.sources import pages as P
+from fileverification_spark.sources import warc as WARC
 
 SF0001 = "/root/testdata/sf0.001"
 LEAF = P.LEAF_RES
@@ -827,6 +828,36 @@ def _sql_robots_filter() -> str:
     return CUR.sql_robots_filter("pages", vals)
 
 
+def _q_surt_keys(spark: SparkSession, sf: str) -> DataFrame:
+    # SURT over the messy planted corpus: canonicalize first (the CDX
+    # pipeline order), so case/port/tracking-param noise collapses and
+    # the :8080 family exercises the kept-port path
+    return _url_planted(spark, sf).select(
+        "doc_id",
+        U.surt_key(U.url_canonicalize(F.col("url"))).alias("surt"),
+    )
+
+
+def _sql_surt_keys() -> str:
+    return (
+        f"SELECT doc_id, {U.sql_surt_key('canonical_url')} AS surt"
+        f" FROM ({U.sql_canonical_select(_SQL_URL_PLANTED)}) c"
+    )
+
+
+def _q_warc_export(spark: SparkSession, sf: str) -> DataFrame:
+    return WARC.warc_records(P.pages(spark, sf, with_html=True))
+
+
+def _sql_warc_export() -> str:
+    rel = (
+        "(SELECT url, warc_ts,"
+        " '<html><body>' || text || '</body></html>' AS html"
+        " FROM pages) ph"
+    )
+    return _with() + "\n" + WARC.sql_warc_records(rel)
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -1231,6 +1262,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "geohash_counts": _q_geohash_counts,  # public geohash raster export
     "anchor_terms": _q_anchor_terms,  # anchor-text relevance signal
     "crawl_frontier": _q_crawl_frontier,  # discovered-not-fetched URLs
+    "surt_keys": _q_surt_keys,  # CDX-style SURT index keys
+    "warc_export": _q_warc_export,  # WARC response-record framing
 }
 
 
@@ -1473,6 +1506,8 @@ FROM events e JOIN sess s
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),
         "anchor_terms": GR.sql_anchor_terms(_SQL_LINK_PLANTED),
         "crawl_frontier": GR.sql_crawl_frontier(_SQL_LINK_PLANTED),
+        "surt_keys": _sql_surt_keys(),
+        "warc_export": _sql_warc_export(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -113,3 +113,54 @@ FROM (
     )
   )
 )"""
+
+
+# ---------------------------------------------------------------------------
+# SURT keys — the Common Crawl CDX index key format
+# ---------------------------------------------------------------------------
+
+def surt_key(canonical_url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of an already-
+    CANONICAL http(s) URL — the public CDX index key format (pywb /
+    Common Crawl cdx-index): scheme dropped, host components reversed
+    and comma-joined, optional ``:port`` kept, ``)`` separator, then the
+    lowercased path+query:
+
+        https://sub.example.com:8080/A/b?q=1
+            -> com,example,sub:8080)/a/b?q=1
+
+    Sorting rows by this key clusters a registered domain and ALL its
+    subdomains into one contiguous key range — the URL-space twin of
+    grid.zorder_key (prefix range == subtree), which is what makes
+    per-domain range scans cheap in a CDX-ordered layout. Pure codegen;
+    compose as ``surt_key(url_canonicalize(url))``. Non-absolute
+    inputs (no ``scheme://``) yield NULL."""
+    hostport = F.regexp_extract(canonical_url, SCHEME_RE + "([^/?#]*)", 2)
+    host = F.regexp_extract(hostport, "^([^:]*)", 1)
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    rest = F.lower(F.regexp_replace(canonical_url, SCHEME_RE + "[^/?#]*", ""))
+    out = F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        rest,
+    )
+    return F.when(
+        F.regexp_extract(canonical_url, SCHEME_RE, 1) == "", F.lit(None)
+    ).otherwise(out)
+
+
+def sql_surt_key(canon_expr: str) -> str:
+    """DuckDB mirror of :func:`surt_key` over a canonical-URL expression."""
+    hostport = f"regexp_extract({canon_expr}, '{SCHEME_RE}([^/?#]*)', 2)"
+    host = f"regexp_extract({hostport}, '^([^:]*)', 1)"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    rest = f"lower(regexp_replace({canon_expr}, '{SCHEME_RE}[^/?#]*', ''))"
+    return (
+        f"CASE WHEN regexp_extract({canon_expr}, '{SCHEME_RE}', 1) = ''"
+        f" THEN NULL ELSE {rev} ||"
+        f" CASE WHEN {port} = '' THEN '' ELSE ':' || {port} END"
+        f" || ')' || {rest} END"
+    )

@@ -126,3 +126,51 @@ def test_fuzz_parity_and_idempotence(spark):
         ).fetchall()
     )
     assert twice == got_sql
+
+
+# ---------------------------------------------------------------------------
+# SURT keys
+# ---------------------------------------------------------------------------
+
+def test_surt_key_worked_examples(spark):
+    cases = [
+        # pywb-style worked example (canonical input)
+        ("https://sub.example.com:8080/A/b?q=1", "com,example,sub:8080)/a/b?q=1"),
+        ("https://example.com/path", "com,example)/path"),
+    ]
+    df = spark.createDataFrame(
+        [(c[0],) for c in cases[:2]], "url string"
+    ).select(U.surt_key(F.col("url")).alias("surt"))
+    assert [r["surt"] for r in df.collect()] == [c[1] for c in cases[:2]]
+
+
+def test_surt_key_bare_host_and_null(spark):
+    df = spark.createDataFrame(
+        [("https://example.org",), ("not-a-url",), ("/rel/path",)],
+        "url string",
+    ).select(U.surt_key(F.col("url")).alias("surt"))
+    got = [r["surt"] for r in df.collect()]
+    assert got == ["org,example)", None, None]
+
+
+def test_surt_prefix_clusters_subdomains(spark):
+    # every subdomain of example.com shares the 'com,example' prefix —
+    # the range-scan property the CDX layout depends on
+    df = spark.createDataFrame(
+        [
+            ("https://example.com/a",),
+            ("https://www2.example.com/b",),
+            ("https://a.b.example.com/c",),
+        ],
+        "url string",
+    ).select(U.surt_key(F.col("url")).alias("surt"))
+    assert all(r["surt"].startswith("com,example") for r in df.collect())
+
+
+def test_surt_composes_with_canonicalize(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Example.COM:443/A/?utm_source=x",)], "url string"
+    ).select(
+        U.surt_key(U.url_canonicalize(F.col("url"))).alias("surt")
+    )
+    assert df.collect()[0]["surt"] == "com,example)/a"

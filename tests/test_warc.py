@@ -1,0 +1,46 @@
+"""WARC response-record framing (sources/warc.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fileverification_spark.sources import warc as W
+
+
+def _page(spark, url, ts, body):
+    return spark.createDataFrame(
+        [(url, ts, body)], "url string, ts_s string, body string"
+    ).select(
+        "url",
+        F.to_timestamp("ts_s").alias("warc_ts"),
+        F.encode("body", "UTF-8").alias("html"),
+    )
+
+
+def test_warc_record_fields_and_framing(spark):
+    rec = W.warc_records(
+        _page(spark, "https://a.com/x", "2024-03-01 12:00:05", "<p>hi</p>")
+    ).collect()[0]
+    assert rec["content_length"] == 9  # "<p>hi</p>" is 9 octets
+    lines = rec["record"].split("\r\n")
+    assert lines[0] == "WARC/1.0"
+    assert "WARC-Type: response" in lines
+    assert "WARC-Target-URI: https://a.com/x" in lines
+    assert "WARC-Date: 2024-03-01T12:00:05Z" in lines
+    assert "Content-Length: 9" in lines
+    # blank line separates header from payload; record ends with CRLFCRLF
+    assert "\r\n\r\n<p>hi</p>\r\n\r\n" in rec["record"]
+    # deterministic content-derived record id
+    import hashlib
+
+    rid = hashlib.sha256(b"<p>hi</p>").hexdigest()
+    assert f"WARC-Record-ID: <urn:sha256:{rid}>" in lines
+
+
+def test_warc_content_length_is_octets_not_chars(spark):
+    # 'é' is 1 char but 2 UTF-8 octets — WARC counts octets
+    rec = W.warc_records(
+        _page(spark, "https://a.com/u", "2024-01-01 00:00:00", "é")
+    ).collect()[0]
+    assert rec["content_length"] == 2
+    assert "Content-Length: 2" in rec["record"]
