@@ -828,6 +828,16 @@ def _sql_robots_filter() -> str:
     return CUR.sql_robots_filter("pages", vals)
 
 
+def _q_host_components(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.connected_components(
+        GR.host_edges(_link_planted(spark, sf))
+    )
+
+
+def _sql_host_components() -> str:
+    return GR.sql_connected_components(_sql_host_edges(_SQL_LINK_PLANTED))
+
+
 def _q_surt_keys(spark: SparkSession, sf: str) -> DataFrame:
     # SURT over the messy planted corpus: canonicalize first (the CDX
     # pipeline order), so case/port/tracking-param noise collapses and
@@ -1264,6 +1274,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "crawl_frontier": _q_crawl_frontier,  # discovered-not-fetched URLs
     "surt_keys": _q_surt_keys,  # CDX-style SURT index keys
     "warc_export": _q_warc_export,  # WARC response-record framing
+    "host_components": _q_host_components,  # link-graph components
 }
 
 
@@ -1508,6 +1519,7 @@ FROM events e JOIN sess s
         "crawl_frontier": GR.sql_crawl_frontier(_SQL_LINK_PLANTED),
         "surt_keys": _sql_surt_keys(),
         "warc_export": _sql_warc_export(),
+        "host_components": _sql_host_components(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -126,6 +126,17 @@ def _link_pages(live):
     )
 
 
+def _pagerank_bench(live) -> int:
+    # persist the edge relation so the timed region pays ONE extraction
+    # pass + the iteration ladder (pagerank's internal nodes/e2 caches
+    # otherwise each re-trigger the 3-regexp extraction scan)
+    edges = GR.host_edges(_link_pages(live)).persist()
+    try:
+        return GR.pagerank(edges, iters=3).count()
+    finally:
+        edges.unpersist()
+
+
 def main() -> None:
     _pin_cpus()
     spark = get_spark("bench")
@@ -202,9 +213,7 @@ def main() -> None:
         # measure real WAT extraction (regexp_extract_all over n_pages
         # strings) + the graph aggregation/iteration on top
         "host_graph": lambda: GR.host_edges(_link_pages(live)).count(),
-        "pagerank_hosts": lambda: GR.pagerank(
-            GR.host_edges(_link_pages(live)), iters=3
-        ).count(),
+        "pagerank_hosts": lambda: _pagerank_bench(live),
         "anchor_terms": lambda: GR.anchor_terms(_link_pages(live)).count(),
         "inverted_index": lambda: SRCH.inverted_index(
             docs, min_df=2, postings_cap=8

@@ -316,3 +316,72 @@ def sql_crawl_frontier(pages_rel: str) -> str:
 WHERE regexp_matches(u, '{HT.ABS_RE}')
   AND NOT EXISTS (SELECT 1 FROM (SELECT url FROM {pages_rel}) fetched
                   WHERE fetched.url = links.u)"""
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 64
+) -> DataFrame:
+    """Connected components of the UNDIRECTED closure of ``(src, dst)``:
+    returns ``(node, component)`` with component = min node label of the
+    component (lexicographic for strings — both engines agree).
+
+    Same distributed min-label fixpoint as ``dedup.duplicate_clusters``
+    / ``spatial.hotspots_distributed`` (this is the third surface the
+    pattern powers — generalized here so graph consumers don't re-derive
+    it): each sweep is one equi-join + one partial-aggregatable min,
+    eagerly staged so lineage stays flat; convergence = changed-row
+    count (one driver scalar per sweep); sweeps needed = component
+    diameter, so the web-typical short-diameter host graph converges in
+    a handful. ``max_iters`` bounds chain-shaped graphs and raises
+    rather than returning unconverged labels."""
+    from fileverification_spark.operators.spatial import _stage
+
+    fwd = edges.select("src", "dst")
+    und = _stage(
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        eager=True,
+    )
+    labels = _stage(
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component")),
+        eager=True,
+    )
+    for _ in range(max_iters):
+        msgs = und.join(labels, und["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "component"
+        )
+        new_labels = _stage(
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component")),
+            eager=True,
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: not converged after {max_iters} sweeps"
+    )
+
+
+def sql_connected_components(edges_rel: str) -> str:
+    """Oracle: recursive-CTE transitive closure (own WITH — standalone)."""
+    return f"""WITH RECURSIVE e0 AS (SELECT src, dst FROM ({edges_rel}) raw),
+edges AS (SELECT src AS a, dst AS b FROM e0
+          UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(a, b) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS node, min(b) AS component FROM reach GROUP BY a"""

@@ -168,3 +168,43 @@ def test_crawl_frontier_excludes_fetched(spark):
     ).select("url", F.encode("html_s", "UTF-8").alias("html"))
     got = {r["url"] for r in GR.crawl_frontier(pages).collect()}
     assert got == {"https://b.com/new"}
+
+
+def test_connected_components_multi_component(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a.com", "b.com", 1),
+            ("b.com", "c.com", 1),   # chain a-b-c
+            ("x.org", "y.org", 2),   # separate pair
+            ("lone.net", "lone2.net", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in GR.connected_components(edges).collect()
+    }
+    assert got == {
+        "a.com": "a.com",
+        "b.com": "a.com",
+        "c.com": "a.com",
+        "x.org": "x.org",
+        "y.org": "x.org",
+        "lone.net": "lone.net",
+        "lone2.net": "lone.net",
+    }
+
+
+def test_connected_components_chain_converges(spark):
+    # a directed chain needs diameter sweeps; undirected closure must
+    # still label every node with the chain head
+    n = 9
+    edges = spark.createDataFrame(
+        [(f"h{i:02d}", f"h{i + 1:02d}", 1) for i in range(n)],
+        "src string, dst string, w long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in GR.connected_components(edges, max_iters=32).collect()
+    }
+    assert set(got.values()) == {"h00"} and len(got) == n + 1
