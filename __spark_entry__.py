@@ -302,6 +302,14 @@ def _q_track_length(spark: SparkSession, sf: str) -> DataFrame:
     return TJ.track_length(SW.read_events(spark, sf))
 
 
+_TRACK_RES = 5
+
+
+def _q_track_cells(spark: SparkSession, sf: str) -> DataFrame:
+    # line rasterization: corridor cells of each user's trajectory
+    return TJ.track_cells(SW.read_events(spark, sf), _TRACK_RES)
+
+
 # registry B for the polygon-polygon join: the default registry shifted
 # (+5 lat, +7 lon) so every feature partially overlaps its source
 _POLYS_B = [
@@ -1247,6 +1255,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "pii_scrub": _q_pii_scrub,
     "paragraph_dedup": _q_paragraph_dedup,
     "track_length": _q_track_length,  # per-user geodesic trajectory length
+    "track_cells": _q_track_cells,  # line rasterization (corridor cells)
     "poly_join": _q_poly_join,  # polygon-polygon mask-intersection join
     # webtext pipeline round 3 (late): canonical-URL dedup families over
     # a planted surface-variant corpus; GPT-style sequence packing via
@@ -1454,6 +1463,7 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         ),
         "od_matrix": TJ.sql_od_matrix(),
         "track_length": TJ.sql_track_length(),
+        "track_cells": TJ.sql_track_cells(_TRACK_RES),
         "poly_join": S.sql_poly_intersection_join(
             S.default_polygons(8), _POLYS_B, _POLY_JOIN_RES
         ),

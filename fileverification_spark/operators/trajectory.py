@@ -265,3 +265,85 @@ SELECT user_id,
                  THEN CAST(round({d}, 6) AS DECIMAL(18,6)) END) AS VARCHAR),
                 '0.000000') AS track_km
 FROM legs GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# Trajectory corridor rasterization (line -> cells)
+# ---------------------------------------------------------------------------
+
+def track_cells(
+    events: DataFrame, res: int, samples_per_leg: int = 8
+) -> DataFrame:
+    """Cells touched by each user's time-ordered trajectory —
+    ``(user_id, cell)``, distinct: the LINE rasterization completing the
+    vector trio (points: pages cell derive; polygons:
+    spatial.rasterize_polygons; lines: here). The corridor raster is
+    what geofence pre-screens and coverage/exposure analyses consume.
+
+    Method: each leg (lag window, same (ts, event_id) total order as
+    track_length) is sampled at ``samples_per_leg + 1`` evenly-spaced
+    points interpolated in equirectangular space (t = i/K exact in IEEE
+    doubles — identical expression both engines), each point is
+    cell-encoded, and (user, cell) de-dups. Sampling UNDERCOVERS when a
+    leg crosses more than ``samples_per_leg`` cells diagonally — pick
+    ``samples_per_leg >= leg_span / cell_width`` for supercover-grade
+    output (exact Bresenham supercover costs a UDF; the sampled form
+    stays whole-stage codegen).
+
+    Scale shape: one window shuffle on user_id, then a plan-time-constant
+    K+1-way explode (rows ∝ legs * K, all map-side), then the distinct's
+    hash-agg — partial aggregation collapses duplicate cells before the
+    shuffle, so shuffle rows ≈ output rows. Users with a single event
+    have no legs and are absent (documented).
+    """
+    geo = SG.with_geo(events)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = geo.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).where(F.col("plat").isNotNull())
+    k = samples_per_leg
+    t = F.col("i").cast("double") / F.lit(float(k))
+    ilat = F.col("plat") + (F.col("lat") - F.col("plat")) * t
+    ilon = F.col("plon") + (F.col("lon") - F.col("plon")) * t
+    return (
+        legs.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+            "lat",
+            "lon",
+            "plat",
+            "plon",
+        )
+        .select(
+            "user_id", grid.cell_encode(ilat, ilon, res).alias("cell")
+        )
+        .distinct()
+    )
+
+
+def sql_track_cells(
+    res: int, events_rel: str = "events", samples_per_leg: int = 8
+) -> str:
+    """Oracle: identical lag + interpolation + cell encode (own WITH)."""
+    k = samples_per_leg
+    cell = grid.sql_cell_encode(
+        f"(plat + (lat - plat) * (i / {k}.0))",
+        f"(plon + (lon - plon) * (i / {k}.0))",
+        res,
+    )
+    return f"""
+WITH {SG.sql_geo_cte(events_rel)},
+legs AS (
+  SELECT user_id,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+         lat, lon
+  FROM geo
+)
+SELECT DISTINCT user_id, {cell} AS cell
+FROM legs, (SELECT unnest(generate_series(0, {k})) AS i) s
+WHERE plat IS NOT NULL"""

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from fileverification_spark import grid
 from fileverification_spark.operators import trajectory as TJ
 from fileverification_spark.streaming import geofence as SG
@@ -121,3 +123,58 @@ def test_track_length_matches_driver_replay(spark):
         # JVM round and Python round; bound the drift by the leg count
         tol = Decimal("0.000001") * max(len(pts) - 1, 1)
         assert abs(Decimal(g["track_km"]) - total) <= tol, uid
+
+
+# ---------------------------------------------------------------------------
+# Trajectory corridor rasterization
+# ---------------------------------------------------------------------------
+
+def _raw_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id string, ts_s string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+
+
+def test_track_cells_covers_leg_and_skips_singletons(spark):
+    ev = _raw_events(
+        spark,
+        [
+            (1, "u1", "2024-01-01 00:00:00"),
+            (2, "u1", "2024-01-01 00:10:00"),
+            (3, "solo", "2024-01-01 00:00:00"),  # one event -> no legs
+        ],
+    )
+    got = TJ.track_cells(ev, res=5, samples_per_leg=8).collect()
+    users = {r["user_id"] for r in got}
+    assert users == {"u1"}
+    # endpoints' own cells must be covered (t=0 and t=1 samples)
+    geo = SG.with_geo(ev).where(F.col("user_id") == "u1")
+    end_cells = {
+        r["c"]
+        for r in geo.select(
+            grid.cell_encode(F.col("lat"), F.col("lon"), 5).alias("c")
+        ).collect()
+    }
+    assert end_cells <= {r["cell"] for r in got}
+
+
+def test_track_cells_more_samples_cover_superset(spark):
+    ev = _raw_events(
+        spark,
+        [
+            (1, "u1", "2024-01-01 00:00:00"),
+            (2, "u1", "2024-01-01 00:10:00"),
+            (3, "u1", "2024-01-01 00:20:00"),
+        ],
+    )
+    coarse = {
+        (r["user_id"], r["cell"])
+        for r in TJ.track_cells(ev, res=5, samples_per_leg=4).collect()
+    }
+    fine = {
+        (r["user_id"], r["cell"])
+        for r in TJ.track_cells(ev, res=5, samples_per_leg=32).collect()
+    }
+    # K and 8K sample grids don't nest (i/4 vs i/32 share t=0,1/4,...),
+    # but 32 includes every t=i/4 point exactly (i*8/32) -> superset
+    assert coarse <= fine
