@@ -98,6 +98,7 @@ def pagerank(
     d_num: int = 85,
     d_den: int = 100,
     persist: bool = True,
+    handles: list | None = None,
 ) -> DataFrame:
     """Damped PageRank over ``(src, dst, w)`` in exact int64 arithmetic:
     returns ``(node, rank)`` with ``rank = true_rank * scale`` after
@@ -115,20 +116,30 @@ def pagerank(
     that only ever appear as link *targets* have no out-edges). The
     1-row dangling/n_nodes relations are broadcast, never collected, so
     the whole ladder is one lazy plan.
+
+    ``handles``: pass a list to receive every internally-persisted
+    DataFrame (including the returned ranks). Benchmarks that time
+    repeated calls MUST unpersist them between runs — Spark's
+    CacheManager matches identical logical plans, so a second call
+    would silently serve the first call's caches and time nothing.
     """
-    nodes = (
+
+    def _p(df: DataFrame) -> DataFrame:
+        if persist:
+            df = df.persist()
+            if handles is not None:
+                handles.append(df)
+        return df
+
+    nodes = _p(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    if persist:
-        nodes = nodes.persist()
     outw = edges.groupBy("src").agg(
         F.sum("w").cast("long").alias("total_w")
     )
-    e2 = edges.join(outw, "src")
-    if persist:
-        e2 = e2.persist()
+    e2 = _p(edges.join(outw, "src"))
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("rank")
@@ -164,8 +175,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if persist:
-            ranks = ranks.persist()
+        ranks = _p(ranks)
     return ranks
 
 

@@ -189,14 +189,20 @@ def _links():
         F.encode(html, "UTF-8").alias("html"))
 
 def job():
+    # unpersist EVERYTHING between runs: Spark's CacheManager matches
+    # identical logical plans, so a repeated call would otherwise serve
+    # the previous run's caches and time ~nothing (measured: 1 s "runs"
+    # at 32M pages before this guard)
     edges = GR.host_edges(_links()).persist()
+    handles = [edges]
     try:
-        ranks = GR.pagerank(edges, iters=3)
+        ranks = GR.pagerank(edges, iters=3, handles=handles)
         rows = ranks.collect()
         return {"n_nodes": len(rows),
                 "rank_mass": sum(r["rank"] for r in rows)}
     finally:
-        edges.unpersist()
+        for h in handles:
+            h.unpersist(blocking=True)
 """,
 }
 
