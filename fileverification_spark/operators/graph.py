@@ -145,37 +145,127 @@ def pagerank(
         "node", F.lit(scale).cast("long").alias("rank")
     )
     for _ in range(iters):
-        contrib = (
-            e2.join(ranks, e2["src"] == ranks["node"])
-            .select(
-                F.col("dst"),
-                F.expr("(rank * w) div total_w").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("isum"))
-        )
-        dang = (
-            ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
-            .agg(
-                F.coalesce(F.sum("rank"), F.lit(0))
-                .cast("long")
-                .alias("dsum")
+        ranks = _p(
+            _pagerank_step(
+                nodes, e2, outw, n_nodes, ranks, scale, d_num, d_den
             )
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dang))
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST((({d_den - d_num} * CAST({scale} AS BIGINT))"
-                    f" + {d_num} * (coalesce(isum, CAST(0 AS BIGINT))"
-                    f" + (dsum div n_nodes))) div {d_den} AS BIGINT)"
-                ).alias("rank"),
-            )
+    return ranks
+
+
+def _pagerank_step(
+    nodes: DataFrame,
+    e2: DataFrame,
+    outw: DataFrame,
+    n_nodes: DataFrame,
+    ranks: DataFrame,
+    scale: int,
+    d_num: int,
+    d_den: int,
+) -> DataFrame:
+    """One synchronous PageRank update (the exact-integer rule in
+    :func:`pagerank`'s docstring) — shared by the in-memory ladder and
+    the snapshot-committed resumable form."""
+    contrib = (
+        e2.join(ranks, e2["src"] == ranks["node"])
+        .select(
+            F.col("dst"),
+            F.expr("(rank * w) div total_w").alias("c"),
         )
-        ranks = _p(ranks)
+        .groupBy("dst")
+        .agg(F.sum("c").cast("long").alias("isum"))
+    )
+    dang = (
+        ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
+        .agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dsum")
+        )
+    )
+    return (
+        nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        .crossJoin(F.broadcast(dang))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.expr(
+                f"CAST((({d_den - d_num} * CAST({scale} AS BIGINT))"
+                f" + {d_num} * (coalesce(isum, CAST(0 AS BIGINT))"
+                f" + (dsum div n_nodes))) div {d_den} AS BIGINT)"
+            ).alias("rank"),
+        )
+    )
+
+
+def pagerank_resumable(
+    spark,
+    edges: DataFrame,
+    table: str,
+    iters: int = 5,
+    scale: int = RANK_SCALE,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """:func:`pagerank` with per-iteration snapshot checkpoints: after
+    every iteration the rank relation is committed (operation
+    ``overwrite``) to the snaplog table at ``table`` with the iteration
+    number in the snapshot summary. A restarted job reads the highest
+    committed iteration and runs ONLY the remaining ones — and because
+    the update rule is exact int64 arithmetic and BIGINTs round-trip
+    parquet losslessly, the resumed result is bit-identical to the
+    straight-through run (pytest-pinned).
+
+    This is the north-rule resumability contract applied to the
+    iterative operator: the reference re-reads its manifest at startup
+    instead of re-hashing the tree (CheckSumFile.cs:95-98);
+    here the previous run's ranks snapshot replaces re-iterating from
+    scratch. Crash-safety comes from the snaplog commit ordering (data,
+    manifest, pointer swap) — a crash mid-iteration leaves the table at
+    the previous iteration, never torn.
+
+    Each iteration is one snapshot: at 1e8 hosts a ranks snapshot is a
+    few GB of parquet — cheap next to recomputing lost iterations on a
+    preempted cluster.
+    """
+    from fileverification_spark.sources import snaplog as SL
+
+    done = 0
+    sid = SL.current_snapshot_id(table)
+    if sid is not None:
+        snap = SL.load_snapshot(table, sid)
+        done = int(snap.summary.get("iteration", 0))
+        if done > iters:
+            raise ValueError(
+                f"table already holds iteration {done} > requested {iters}"
+            )
+        if done == iters:
+            return SL.read(spark, table)
+
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct().persist()
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("total_w")
+    )
+    e2 = edges.join(outw, "src").persist()
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+    if done == 0:
+        ranks = nodes.select(
+            "node", F.lit(scale).cast("long").alias("rank")
+        )
+    else:
+        ranks = SL.read(spark, table)
+    for i in range(done + 1, iters + 1):
+        ranks = _pagerank_step(
+            nodes, e2, outw, n_nodes, ranks, scale, d_num, d_den
+        )
+        SL.commit(
+            ranks, table, operation="overwrite", summary={"iteration": i}
+        )
+        # read back the committed snapshot: downstream iterations plan
+        # from the parquet files (lineage truncated at the checkpoint,
+        # exactly like a restart would see)
+        ranks = SL.read(spark, table)
     return ranks
 
 

@@ -208,3 +208,51 @@ def test_connected_components_chain_converges(spark):
         for r in GR.connected_components(edges, max_iters=32).collect()
     }
     assert set(got.values()) == {"h00"} and len(got) == n + 1
+
+
+def test_pagerank_resumable_bit_identical(spark, hand_edges, tmp_path):
+    want = {
+        r["node"]: r["rank"]
+        for r in GR.pagerank(hand_edges, iters=5, scale=SCALE).collect()
+    }
+    # straight-through resumable run
+    t1 = str(tmp_path / "pr_straight")
+    got1 = {
+        r["node"]: r["rank"]
+        for r in GR.pagerank_resumable(
+            spark, hand_edges, t1, iters=5, scale=SCALE
+        ).collect()
+    }
+    assert got1 == want
+    # "crash" after 2 iterations, then resume to 5 on a fresh call
+    t2 = str(tmp_path / "pr_resumed")
+    GR.pagerank_resumable(spark, hand_edges, t2, iters=2, scale=SCALE)
+    got2 = {
+        r["node"]: r["rank"]
+        for r in GR.pagerank_resumable(
+            spark, hand_edges, t2, iters=5, scale=SCALE
+        ).collect()
+    }
+    assert got2 == want  # bit-identical across the restart
+
+    from fileverification_spark.sources import snaplog as SL
+
+    hist = SL.history(t2)
+    assert len(hist) == 5  # one snapshot per iteration
+    assert [s.summary["iteration"] for s in hist] == [5, 4, 3, 2, 1]
+
+
+def test_pagerank_resumable_already_complete_and_overshoot(spark, hand_edges, tmp_path):
+    import pytest as _pt
+
+    t = str(tmp_path / "pr_done")
+    GR.pagerank_resumable(spark, hand_edges, t, iters=3, scale=SCALE)
+    # re-request same iters: no new snapshots, served from the table
+    from fileverification_spark.sources import snaplog as SL
+
+    n_before = len(SL.history(t))
+    again = GR.pagerank_resumable(spark, hand_edges, t, iters=3, scale=SCALE)
+    assert len(SL.history(t)) == n_before
+    assert again.count() == 4
+    with _pt.raises(ValueError):
+        GR.pagerank_resumable(spark, hand_edges, t, iters=2, scale=SCALE)
