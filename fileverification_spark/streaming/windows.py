@@ -223,3 +223,29 @@ SELECT user_id, session_id,
        CAST(epoch_us(max(ts)) AS BIGINT) AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_id"""
+
+
+def stream_frontier(pages: DataFrame, fetched: DataFrame) -> DataFrame:
+    """Streaming crawl frontier: absolute outlinks of ARRIVING pages
+    anti-joined against the static fetched-url set — the incremental
+    form of ``graph.crawl_frontier`` (its batch twin is the oracled
+    contract query; stream==batch convergence is pytest-pinned).
+
+    Shape: the stream side extracts/explodes links per micro-batch
+    (stateless), the stream-static LEFT ANTI join re-plans the static
+    side per batch (supported streaming join class), and the final
+    ``dropDuplicates`` is the stateful exact-dedup operator so a URL
+    discovered in two batches is emitted once. Production note: bound
+    the dedup state with a watermark on a discovery-time column (or the
+    stateful twin in streaming/stateful.py); unbounded here because the
+    availableNow drain is finite."""
+    from fileverification_spark.functions import html as HT
+
+    links = pages.select(
+        F.explode(HT.extract_links(F.col("html"))).alias("url")
+    )
+    return (
+        links.where(F.col("url").rlike(HT.ABS_RE))
+        .join(fetched.select("url"), "url", "left_anti")
+        .dropDuplicates(["url"])
+    )

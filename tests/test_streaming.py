@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import functions as F
+
 from fileverification_spark.streaming import windows as SW
 
 SF = "/root/testdata/sf0.001"
@@ -192,3 +194,39 @@ def test_trending_terms_stream_matches_batch(spark):
         ):
             want.add((w, t, n, rank))
     assert {(r["window_start"], r["term"], r["n"], r["rank"]) for r in top} == want
+
+
+def test_stream_frontier_matches_batch(spark):
+    from fileverification_spark.operators import graph as GR
+
+    # planted outlink html over the page stream (same construction on
+    # the batch side, so the only difference is the execution mode)
+    def with_links(pages):
+        d = F.col("doc_id")
+        html = F.concat(
+            F.lit('<a href="https://s'),
+            (d % 7).cast("string"),
+            F.lit('.net/x">a</a><a href="'),
+            F.col("url"),  # self-link: always already fetched
+            F.lit('">self</a><a href="/rel">r</a>'),
+        )
+        return pages.select(
+            "url", F.encode(html, "UTF-8").alias("html")
+        )
+
+    from fileverification_spark.sources import pages as P
+
+    batch_pages = with_links(P.pages(spark, SF))
+    want = {r["url"] for r in GR.crawl_frontier(batch_pages).collect()}
+
+    stream_df = SW.stream_frontier(
+        with_links(SW.read_pages_stream(spark, SF)),
+        batch_pages.select("url"),
+    )
+    name = f"fr_{uuid.uuid4().hex[:8]}"
+    got = {
+        r["url"]
+        for r in SW.run_stream_to_memory(stream_df, name).collect()
+    }
+    assert got == want
+    assert got == {f"https://s{i}.net/x" for i in range(7)}
