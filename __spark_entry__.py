@@ -836,6 +836,14 @@ def _sql_robots_filter() -> str:
     return CUR.sql_robots_filter("pages", vals)
 
 
+def _q_host_degrees(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.host_degrees(GR.host_edges(_link_planted(spark, sf)))
+
+
+def _q_mutual_links(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.mutual_links(GR.host_edges(_link_planted(spark, sf)))
+
+
 def _q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     return GR.connected_components(
         GR.host_edges(_link_planted(spark, sf))
@@ -1284,6 +1292,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "surt_keys": _q_surt_keys,  # CDX-style SURT index keys
     "warc_export": _q_warc_export,  # WARC response-record framing
     "host_components": _q_host_components,  # link-graph components
+    "host_degrees": _q_host_degrees,  # first-order graph features
+    "mutual_links": _q_mutual_links,  # reciprocal-pair (link-ring) signal
 }
 
 
@@ -1530,6 +1540,12 @@ FROM events e JOIN sess s
         "surt_keys": _sql_surt_keys(),
         "warc_export": _sql_warc_export(),
         "host_components": _sql_host_components(),
+        "host_degrees": GR.sql_host_degrees(
+            _sql_host_edges(_SQL_LINK_PLANTED)
+        ),
+        "mutual_links": GR.sql_mutual_links(
+            _sql_host_edges(_SQL_LINK_PLANTED)
+        ),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -485,3 +485,72 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 )
 SELECT a AS node, min(b) AS component FROM reach GROUP BY a"""
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Per-host degree table over the weighted edge relation:
+    ``(host, out_deg, in_deg, out_w, in_w)`` — the first-order graph
+    features link-spam/authority heuristics consume. Two partial-
+    aggregatable group-bys + one full-outer merge on the host key; at
+    1e8 hosts all three shuffles carry host-sized relations."""
+    out_d = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum("w").cast("long").alias("out_w"),
+    )
+    in_d = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg"),
+        F.sum("w").cast("long").alias("in_w"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        out_d.join(in_d, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_deg", z).alias("out_deg"),
+            F.coalesce("in_deg", z).alias("in_deg"),
+            F.coalesce("out_w", z).alias("out_w"),
+            F.coalesce("in_w", z).alias("in_w"),
+        )
+    )
+
+
+def sql_host_degrees(edges_rel: str) -> str:
+    return f"""SELECT COALESCE(o.host, i.host) AS host,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg,
+       COALESCE(o.out_w, 0) AS out_w,
+       COALESCE(i.in_w, 0) AS in_w
+FROM (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg,
+             CAST(sum(w) AS BIGINT) AS out_w
+      FROM ({edges_rel}) e1 GROUP BY src) o
+FULL JOIN (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_deg,
+                  CAST(sum(w) AS BIGINT) AS in_w
+           FROM ({edges_rel}) e2 GROUP BY dst) i
+  ON o.host = i.host"""
+
+
+def mutual_links(edges: DataFrame) -> DataFrame:
+    """Reciprocal host pairs — ``(host_a, host_b, w_ab, w_ba)`` with
+    ``host_a < host_b``, present only when BOTH directions exist: the
+    classic link-exchange (spam ring) signal. One self-equi-join on the
+    reversed pair key; output ∝ mutual pairs only."""
+    a = edges.select(
+        F.col("src").alias("host_a"),
+        F.col("dst").alias("host_b"),
+        F.col("w").alias("w_ab"),
+    ).where(F.col("host_a") < F.col("host_b"))
+    b = edges.select(
+        F.col("dst").alias("host_a"),
+        F.col("src").alias("host_b"),
+        F.col("w").alias("w_ba"),
+    ).where(F.col("host_a") < F.col("host_b"))
+    return a.join(b, ["host_a", "host_b"])
+
+
+def sql_mutual_links(edges_rel: str) -> str:
+    return f"""SELECT a.host_a, a.host_b, a.w_ab, b.w_ba
+FROM (SELECT src AS host_a, dst AS host_b, w AS w_ab
+      FROM ({edges_rel}) e1 WHERE src < dst) a
+JOIN (SELECT dst AS host_a, src AS host_b, w AS w_ba
+      FROM ({edges_rel}) e2 WHERE dst < src) b
+  USING (host_a, host_b)"""

@@ -256,3 +256,28 @@ def test_pagerank_resumable_already_complete_and_overshoot(spark, hand_edges, tm
     assert again.count() == 4
     with _pt.raises(ValueError):
         GR.pagerank_resumable(spark, hand_edges, t, iters=2, scale=SCALE)
+
+
+def test_host_degrees_hand_graph(spark, hand_edges):
+    got = {
+        r["host"]: (r["out_deg"], r["in_deg"], r["out_w"], r["in_w"])
+        for r in GR.host_degrees(hand_edges).collect()
+    }
+    assert got == {
+        "A": (2, 1, 3, 1),   # out: B(2)+C(1); in: C->A(1)
+        "B": (2, 1, 2, 2),   # out: C(1)+D(1); in: A->B(2)
+        "C": (1, 2, 1, 2),
+        "D": (0, 1, 0, 1),   # dangling: zero out side
+    }
+
+
+def test_mutual_links_requires_both_directions(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 1), ("a", "c", 2)],
+        "src string, dst string, w long",
+    )
+    got = [
+        (r["host_a"], r["host_b"], r["w_ab"], r["w_ba"])
+        for r in GR.mutual_links(edges).collect()
+    ]
+    assert got == [("a", "b", 3, 1)]
