@@ -836,6 +836,40 @@ def _sql_robots_filter() -> str:
     return CUR.sql_robots_filter("pages", vals)
 
 
+def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    # planted template corpus: per-host NAV header + footer on EVERY
+    # page (detected), a promo banner on ~1/3 of pages (below the 50%
+    # threshold — NOT detected), natural text in between
+    d = F.col("doc_id")
+    k = (d % 8).cast("string")
+    text = F.concat(
+        F.lit("NAV site"), k, F.lit(" menu\n\n"),
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("\n\npromo banner")).otherwise(F.lit("")),
+        F.lit("\n\n(c) site"), k, F.lit(" footer"),
+    )
+    pages = _docs(spark, sf).select(
+        F.concat(
+            F.lit("https://site"), k, F.lit(".example.net/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        text.alias("text"),
+    )
+    return CUR.boilerplate_paras(pages, min_pct=50)
+
+
+_SQL_BP_PLANTED = """(
+  SELECT 'https://site' || CAST(doc_id % 8 AS VARCHAR)
+           || '.example.net/p/' || CAST(doc_id AS VARCHAR) AS url,
+         'NAV site' || CAST(doc_id % 8 AS VARCHAR) || ' menu'
+           || chr(10) || chr(10) || text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || chr(10) || 'promo banner' ELSE '' END
+           || chr(10) || chr(10) || '(c) site'
+           || CAST(doc_id % 8 AS VARCHAR) || ' footer' AS text
+  FROM documents) bp"""
+
+
 def _q_host_degrees(spark: SparkSession, sf: str) -> DataFrame:
     return GR.host_degrees(GR.host_edges(_link_planted(spark, sf)))
 
@@ -1294,6 +1328,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "host_components": _q_host_components,  # link-graph components
     "host_degrees": _q_host_degrees,  # first-order graph features
     "mutual_links": _q_mutual_links,  # reciprocal-pair (link-ring) signal
+    "boilerplate": _q_boilerplate,  # per-host template-paragraph detection
 }
 
 
@@ -1546,6 +1581,7 @@ FROM events e JOIN sess s
         "mutual_links": GR.sql_mutual_links(
             _sql_host_edges(_SQL_LINK_PLANTED)
         ),
+        "boilerplate": CUR.sql_boilerplate_paras(_SQL_BP_PLANTED, 50),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

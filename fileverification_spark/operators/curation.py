@@ -347,3 +347,85 @@ WHERE NOT EXISTS (
   WHERE regexp_extract(p.url, '{ROBOTS_HOST_RE}', 1) = r.host
     AND starts_with(regexp_replace(p.url, '{ROBOTS_HOST_RE}', ''),
                     r.path_prefix))"""
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate (template) detection
+# ---------------------------------------------------------------------------
+
+def boilerplate_paras(
+    pages: DataFrame, min_pct: int = 50, sep: str = "\n\n"
+) -> DataFrame:
+    """Template paragraphs per host: paragraphs occurring on at least
+    ``min_pct`` % of a host's pages — ``(host, para_sha256, n_pages,
+    host_pages)``. This is the detection half of main-content
+    extraction (nav bars / footers repeat across a site; document text
+    doesn't), the step between WET extraction and dedup in a crawl
+    pipeline.
+
+    Scale shape: explode paragraphs -> distinct (host, para, url) ->
+    per-(host, para) count and per-host page count, joined on host; the
+    threshold compares n_para * 100 >= min_pct * host_pages in exact
+    integers (no float ratio, no canon). Paragraphs travel as sha256
+    fingerprints so shuffle rows are fixed-width — the reference keys
+    content by hash the same way (FV/HashInfo.cs).
+    """
+    host = F.regexp_extract(F.col("url"), "^https?://([^/?#]+)", 1)
+    paras = (
+        pages.select(host.alias("host"), "url", "text")
+        .select(
+            "host",
+            "url",
+            F.explode(F.split(F.col("text"), sep)).alias("para"),
+        )
+        .where(F.trim(F.col("para")) != "")
+        .select(
+            "host", "url", F.upper(F.sha2(F.col("para"), 256)).alias("ph")
+        )
+        .distinct()
+    )
+    per_para = paras.groupBy("host", "ph").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages")
+    )
+    # host page counts over ALL pages (not just pages with non-empty
+    # paragraphs) — keeps the denominator meaningful and matches the SQL
+    # mirror exactly
+    per_host = (
+        pages.select(host.alias("host"), "url")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("host_pages"))
+    )
+    return (
+        per_para.join(per_host, "host")
+        .where(F.col("n_pages") * 100 >= F.lit(min_pct) * F.col("host_pages"))
+        .select(
+            "host",
+            F.col("ph").alias("para_sha256"),
+            "n_pages",
+            "host_pages",
+        )
+    )
+
+
+def sql_boilerplate_paras(
+    pages_rel: str, min_pct: int = 50, sep: str = "\n\n"
+) -> str:
+    """DuckDB mirror (bare SELECT). string_split on the same separator;
+    chr(10)-composed to avoid literal newlines in the SQL text."""
+    sep_expr = "chr(10) || chr(10)" if sep == "\n\n" else f"'{sep}'"
+    return f"""SELECT p.host, p.ph AS para_sha256,
+       p.n_pages, h.host_pages
+FROM (
+  SELECT host, ph, CAST(count(*) AS BIGINT) AS n_pages
+  FROM (SELECT DISTINCT host, url, upper(sha256(para)) AS ph
+        FROM (SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                     url, unnest(string_split(text, {sep_expr})) AS para
+              FROM {pages_rel})
+        WHERE trim(para) <> '') GROUP BY host, ph) p
+JOIN (
+  SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS host_pages
+  FROM (SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, url
+        FROM {pages_rel}) GROUP BY host) h
+  ON p.host = h.host
+WHERE p.n_pages * 100 >= {min_pct} * h.host_pages"""

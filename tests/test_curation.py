@@ -143,3 +143,45 @@ def test_robots_filter_broadcast_plan(spark):
     )
     plan = CUR.robots_filter(pages, rules)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_boilerplate_paras_threshold(spark):
+    import hashlib
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", "NAV\n\nstory one\n\npromo"),
+            ("https://a.com/2", "NAV\n\nstory two"),
+            ("https://a.com/3", "NAV\n\nstory three"),
+            ("https://b.com/1", "other\n\nNAV"),  # different host: own count
+        ],
+        "url string, text string",
+    )
+    got = {
+        (r["host"], r["para_sha256"]): (r["n_pages"], r["host_pages"])
+        for r in CUR.boilerplate_paras(pages, min_pct=60).collect()
+    }
+    nav = hashlib.sha256(b"NAV").hexdigest().upper()
+    other = hashlib.sha256(b"other").hexdigest().upper()
+    # NAV on 3/3 of a.com (kept); promo 1/3 (dropped); b.com: both paras
+    # on its single page (100%)
+    assert got == {
+        ("a.com", nav): (3, 3),
+        ("b.com", nav): (1, 1),
+        ("b.com", other): (1, 1),
+    }
+
+
+def test_boilerplate_duplicate_para_counted_once_per_page(spark):
+    import hashlib
+
+    pages = spark.createDataFrame(
+        [("https://c.com/1", "X\n\nX\n\nbody")],
+        "url string, text string",
+    )
+    got = {
+        r["para_sha256"]: r["n_pages"]
+        for r in CUR.boilerplate_paras(pages, min_pct=100).collect()
+    }
+    x = hashlib.sha256(b"X").hexdigest().upper()
+    assert got[x] == 1  # distinct (host, url, para) — not 2
