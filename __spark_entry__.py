@@ -837,25 +837,10 @@ def _sql_robots_filter() -> str:
 
 
 def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
-    # planted template corpus: per-host NAV header + footer on EVERY
-    # page (detected), a promo banner on ~1/3 of pages (below the 50%
-    # threshold — NOT detected), natural text in between
-    d = F.col("doc_id")
-    k = (d % 8).cast("string")
-    text = F.concat(
-        F.lit("NAV site"), k, F.lit(" menu\n\n"),
-        F.col("text"),
-        F.when(d % 3 == 0, F.lit("\n\npromo banner")).otherwise(F.lit("")),
-        F.lit("\n\n(c) site"), k, F.lit(" footer"),
-    )
-    pages = _docs(spark, sf).select(
-        F.concat(
-            F.lit("https://site"), k, F.lit(".example.net/p/"),
-            d.cast("string"),
-        ).alias("url"),
-        text.alias("text"),
-    )
-    return CUR.boilerplate_paras(pages, min_pct=50)
+    # planted template corpus (see _bp_planted): per-host NAV header +
+    # footer on EVERY page (detected), a promo banner on ~1/3 of pages
+    # (below the 50% threshold — NOT detected), natural text in between
+    return CUR.boilerplate_paras(_bp_planted(spark, sf), min_pct=50)
 
 
 _SQL_BP_PLANTED = """(
@@ -868,6 +853,28 @@ _SQL_BP_PLANTED = """(
            || chr(10) || chr(10) || '(c) site'
            || CAST(doc_id % 8 AS VARCHAR) || ' footer' AS text
   FROM documents) bp"""
+
+
+def _bp_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    k = (d % 8).cast("string")
+    text = F.concat(
+        F.lit("NAV site"), k, F.lit(" menu\n\n"),
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("\n\npromo banner")).otherwise(F.lit("")),
+        F.lit("\n\n(c) site"), k, F.lit(" footer"),
+    )
+    return _docs(spark, sf).select(
+        F.concat(
+            F.lit("https://site"), k, F.lit(".example.net/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        text.alias("text"),
+    )
+
+
+def _q_clean_pages(spark: SparkSession, sf: str) -> DataFrame:
+    return CUR.remove_boilerplate(_bp_planted(spark, sf), min_pct=50)
 
 
 def _q_host_degrees(spark: SparkSession, sf: str) -> DataFrame:
@@ -1329,6 +1336,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "host_degrees": _q_host_degrees,  # first-order graph features
     "mutual_links": _q_mutual_links,  # reciprocal-pair (link-ring) signal
     "boilerplate": _q_boilerplate,  # per-host template-paragraph detection
+    "clean_pages": _q_clean_pages,  # main-content extraction (apply half)
 }
 
 
@@ -1582,6 +1590,7 @@ FROM events e JOIN sess s
             _sql_host_edges(_SQL_LINK_PLANTED)
         ),
         "boilerplate": CUR.sql_boilerplate_paras(_SQL_BP_PLANTED, 50),
+        "clean_pages": CUR.sql_remove_boilerplate(_SQL_BP_PLANTED, 50),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -354,14 +354,19 @@ WHERE NOT EXISTS (
 # ---------------------------------------------------------------------------
 
 def boilerplate_paras(
-    pages: DataFrame, min_pct: int = 50, sep: str = "\n\n"
+    pages: DataFrame,
+    min_pct: int = 50,
+    sep: str = "\n\n",
+    min_host_pages: int = 2,
 ) -> DataFrame:
     """Template paragraphs per host: paragraphs occurring on at least
     ``min_pct`` % of a host's pages — ``(host, para_sha256, n_pages,
     host_pages)``. This is the detection half of main-content
     extraction (nav bars / footers repeat across a site; document text
     doesn't), the step between WET extraction and dedup in a crawl
-    pipeline.
+    pipeline. Hosts with fewer than ``min_host_pages`` pages are exempt
+    — on a single-page host EVERY paragraph trivially hits 100% and the
+    page would lose all its content.
 
     Scale shape: explode paragraphs -> distinct (host, para, url) ->
     per-(host, para) count and per-host page count, joined on host; the
@@ -398,6 +403,7 @@ def boilerplate_paras(
     )
     return (
         per_para.join(per_host, "host")
+        .where(F.col("host_pages") >= min_host_pages)
         .where(F.col("n_pages") * 100 >= F.lit(min_pct) * F.col("host_pages"))
         .select(
             "host",
@@ -409,7 +415,8 @@ def boilerplate_paras(
 
 
 def sql_boilerplate_paras(
-    pages_rel: str, min_pct: int = 50, sep: str = "\n\n"
+    pages_rel: str, min_pct: int = 50, sep: str = "\n\n",
+    min_host_pages: int = 2,
 ) -> str:
     """DuckDB mirror (bare SELECT). string_split on the same separator;
     chr(10)-composed to avoid literal newlines in the SQL text."""
@@ -428,4 +435,103 @@ JOIN (
   FROM (SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, url
         FROM {pages_rel}) GROUP BY host) h
   ON p.host = h.host
-WHERE p.n_pages * 100 >= {min_pct} * h.host_pages"""
+WHERE h.host_pages >= {min_host_pages}
+  AND p.n_pages * 100 >= {min_pct} * h.host_pages"""
+
+
+def remove_boilerplate(
+    pages: DataFrame, min_pct: int = 50, sep: str = "\n\n",
+    min_host_pages: int = 2,
+) -> DataFrame:
+    """Main-content extraction — the APPLY half of
+    :func:`boilerplate_paras`: strip each host's template paragraphs
+    and reassemble the survivors in original order. Returns
+    ``(url, clean_text, n_paras, n_kept)`` for every page (a page whose
+    every paragraph is template keeps an empty ``clean_text``).
+
+    Same reassembly discipline as ``dedup.paragraph_dedup`` (posexplode
+    -> anti join on the (host, fingerprint) key -> min-struct ordered
+    concat); empty/whitespace paragraphs are dropped before counting,
+    so ``n_paras`` counts content paragraphs only."""
+    host = F.regexp_extract(F.col("url"), "^https?://([^/?#]+)", 1)
+    bp = boilerplate_paras(pages, min_pct, sep, min_host_pages).select(
+        F.col("host").alias("b_host"), F.col("para_sha256").alias("b_ph")
+    )
+    paras = (
+        pages.select(
+            host.alias("host"),
+            "url",
+            F.posexplode(F.split(F.col("text"), sep)).alias("idx", "para"),
+        )
+        .where(F.trim(F.col("para")) != "")
+        .withColumn("ph", F.upper(F.sha2(F.col("para"), 256)))
+    )
+    kept = paras.join(
+        bp,
+        (paras["host"] == bp["b_host"]) & (paras["ph"] == bp["b_ph"]),
+        "left_anti",
+    )
+    n_all = paras.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras")
+    )
+    n_kept = kept.groupBy("url").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda x: x["para"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        pages.select("url")
+        .distinct()
+        .join(n_all, "url", "left")
+        .join(n_kept, "url", "left")
+        .select(
+            "url",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", z).alias("n_paras"),
+            F.coalesce("n_kept", z).alias("n_kept"),
+        )
+    )
+
+
+def sql_remove_boilerplate(
+    pages_rel: str, min_pct: int = 50, sep: str = "\n\n",
+    min_host_pages: int = 2,
+) -> str:
+    """DuckDB mirror: LATERAL positional split + NOT EXISTS vs the
+    boilerplate relation + ordered string_agg (standalone WITH)."""
+    sep_expr = "chr(10) || chr(10)" if sep == "\n\n" else f"'{sep}'"
+    bp = sql_boilerplate_paras(pages_rel, min_pct, sep, min_host_pages)
+    return f"""WITH pp AS (
+  SELECT url, host, i AS idx, ps[i] AS para
+  FROM (SELECT url, regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+               string_split(text, {sep_expr}) AS ps
+        FROM {pages_rel}),
+       LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i) t
+  WHERE trim(ps[i]) <> ''
+),
+bp AS ({bp}),
+kept AS (
+  SELECT pp.* FROM pp
+  WHERE NOT EXISTS (SELECT 1 FROM bp
+                    WHERE bp.host = pp.host
+                      AND bp.para_sha256 = upper(sha256(pp.para)))
+),
+n_all AS (SELECT url, CAST(count(*) AS BIGINT) AS n_paras
+          FROM pp GROUP BY url),
+n_kept AS (SELECT url,
+                  string_agg(para, {sep_expr} ORDER BY idx) AS clean_text,
+                  CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY url)
+SELECT b.url,
+       COALESCE(k.clean_text, '') AS clean_text,
+       COALESCE(a.n_paras, 0) AS n_paras,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM (SELECT DISTINCT url FROM {pages_rel}) b
+LEFT JOIN n_all a ON b.url = a.url
+LEFT JOIN n_kept k ON b.url = k.url"""

@@ -162,21 +162,19 @@ def test_boilerplate_paras_threshold(spark):
         for r in CUR.boilerplate_paras(pages, min_pct=60).collect()
     }
     nav = hashlib.sha256(b"NAV").hexdigest().upper()
-    other = hashlib.sha256(b"other").hexdigest().upper()
-    # NAV on 3/3 of a.com (kept); promo 1/3 (dropped); b.com: both paras
-    # on its single page (100%)
-    assert got == {
-        ("a.com", nav): (3, 3),
-        ("b.com", nav): (1, 1),
-        ("b.com", other): (1, 1),
-    }
+    # NAV on 3/3 of a.com (kept); promo 1/3 (dropped); b.com has ONE
+    # page -> exempt entirely (min_host_pages floor)
+    assert got == {("a.com", nav): (3, 3)}
 
 
 def test_boilerplate_duplicate_para_counted_once_per_page(spark):
     import hashlib
 
     pages = spark.createDataFrame(
-        [("https://c.com/1", "X\n\nX\n\nbody")],
+        [
+            ("https://c.com/1", "X\n\nX\n\nbody one"),
+            ("https://c.com/2", "X\n\nbody two"),
+        ],
         "url string, text string",
     )
     got = {
@@ -184,4 +182,43 @@ def test_boilerplate_duplicate_para_counted_once_per_page(spark):
         for r in CUR.boilerplate_paras(pages, min_pct=100).collect()
     }
     x = hashlib.sha256(b"X").hexdigest().upper()
-    assert got[x] == 1  # distinct (host, url, para) — not 2
+    assert got == {x: 2}  # distinct (host, url, para): page 1 counts once
+
+
+def test_remove_boilerplate_strips_templates_in_order(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", "NAV\n\nstory one\n\nmore one\n\nFOOT"),
+            ("https://a.com/2", "NAV\n\nstory two\n\nFOOT"),
+            ("https://b.com/1", "NAV\n\nother site"),  # b.com: NAV is 100%
+        ],
+        "url string, text string",
+    )
+    got = {
+        r["url"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+        for r in CUR.remove_boilerplate(pages, min_pct=100).collect()
+    }
+    assert got["https://a.com/1"] == ("story one\n\nmore one", 4, 2)
+    assert got["https://a.com/2"] == ("story two", 3, 1)
+    # b.com has ONE page: exempt from template detection (min_host_pages)
+    # — without the floor every paragraph trivially hits 100% and the
+    # page would be emptied
+    assert got["https://b.com/1"] == ("NAV\n\nother site", 2, 2)
+
+
+def test_remove_boilerplate_all_template_page_empty(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://c.com/1", "NAV\n\nFOOT"),
+            ("https://c.com/2", "NAV\n\nFOOT"),
+        ],
+        "url string, text string",
+    )
+    got = {
+        r["url"]: (r["clean_text"], r["n_kept"])
+        for r in CUR.remove_boilerplate(pages, min_pct=100).collect()
+    }
+    assert got == {
+        "https://c.com/1": ("", 0),
+        "https://c.com/2": ("", 0),
+    }
