@@ -855,6 +855,76 @@ _SQL_BP_PLANTED = """(
   FROM documents) bp"""
 
 
+def _q_robots_rules(spark: SparkSession, sf: str) -> DataFrame:
+    # planted robots.txt per host: comment + Allow + EMPTY Disallow (an
+    # allow-all line: must not match — the pattern requires a '/' path)
+    # + two real Disallow lines with case/space variation
+    d = F.col("doc_id")
+    k = (d % 8).cast("string")
+    txt = F.concat(
+        F.lit("# robots for site"), k, F.lit("\nUser-agent: *\n"),
+        F.lit("Disallow: /private"), k, F.lit("\n"),
+        F.lit("Allow: /ok\nDisallow:\n"),
+        F.lit("  disallow:\t/tmp\n"),
+    )
+    hosts = _docs(spark, sf).where(d < 8).select(
+        F.concat(F.lit("site"), k, F.lit(".example.net")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return hosts.select(
+        "host",
+        F.explode(U.robots_disallows(F.col("robots_txt"))).alias(
+            "path_prefix"
+        ),
+    )
+
+
+def _sql_robots_rules() -> str:
+    txt = (
+        "'# robots for site' || CAST(doc_id % 8 AS VARCHAR)"
+        " || chr(10) || 'User-agent: *' || chr(10)"
+        " || 'Disallow: /private' || CAST(doc_id % 8 AS VARCHAR) || chr(10)"
+        " || 'Allow: /ok' || chr(10) || 'Disallow:' || chr(10)"
+        " || '  disallow:' || chr(9) || '/tmp' || chr(10)"
+    )
+    return f"""SELECT host, unnest({U.sql_robots_disallows('robots_txt')})
+         AS path_prefix
+FROM (SELECT 'site' || CAST(doc_id % 8 AS VARCHAR) || '.example.net' AS host,
+             {txt} AS robots_txt
+      FROM documents WHERE doc_id < 8) r"""
+
+
+def _q_sitemap_urls(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://s'),
+        (d % 8).cast("string"),
+        F.lit(".net/a/"),
+        d.cast("string"),
+        F.lit("</loc></url><url><loc>https://s"),
+        (d % 8).cast("string"),
+        F.lit(".net/b</loc></url><url><loc>/relative</loc></url></urlset>"),
+    )
+    return _docs(spark, sf).select(
+        "doc_id", F.explode(U.sitemap_locs(xml)).alias("url")
+    )
+
+
+def _sql_sitemap_urls() -> str:
+    xml = (
+        "'<?xml version=\"1.0\"?><urlset><url><loc> https://s'"
+        " || CAST(doc_id % 8 AS VARCHAR) || '.net/a/'"
+        " || CAST(doc_id AS VARCHAR)"
+        " || '</loc></url><url><loc>https://s'"
+        " || CAST(doc_id % 8 AS VARCHAR)"
+        " || '.net/b</loc></url><url><loc>/relative</loc></url></urlset>'"
+    )
+    return (
+        f"SELECT doc_id, unnest({U.sql_sitemap_locs(xml)}) AS url"
+        " FROM documents"
+    )
+
+
 def _bp_planted(spark: SparkSession, sf: str) -> DataFrame:
     d = F.col("doc_id")
     k = (d % 8).cast("string")
@@ -1337,6 +1407,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "mutual_links": _q_mutual_links,  # reciprocal-pair (link-ring) signal
     "boilerplate": _q_boilerplate,  # per-host template-paragraph detection
     "clean_pages": _q_clean_pages,  # main-content extraction (apply half)
+    "robots_rules": _q_robots_rules,  # robots.txt -> disallow rules
+    "sitemap_urls": _q_sitemap_urls,  # sitemap XML -> frontier urls
 }
 
 
@@ -1591,6 +1663,8 @@ FROM events e JOIN sess s
         ),
         "boilerplate": CUR.sql_boilerplate_paras(_SQL_BP_PLANTED, 50),
         "clean_pages": CUR.sql_remove_boilerplate(_SQL_BP_PLANTED, 50),
+        "robots_rules": _sql_robots_rules(),
+        "sitemap_urls": _sql_sitemap_urls(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -164,3 +164,40 @@ def sql_surt_key(canon_expr: str) -> str:
         f" CASE WHEN {port} = '' THEN '' ELSE ':' || {port} END"
         f" || ')' || {rest} END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fetch-layer parsers: robots.txt and sitemap XML
+# ---------------------------------------------------------------------------
+
+#: Disallow path of a robots.txt line, case-insensitive, one per line.
+#: Documented subset of the robots exclusion protocol: every Disallow
+#: is honored regardless of its User-agent block (the conservative
+#: crawler-side reading); Allow overrides and wildcards are out of
+#: scope. Java ∩ RE2 dialect (inline (?im), no backreferences).
+ROBOTS_DISALLOW_RE = r"(?im)^[ \t]*disallow:[ \t]*(/[^ \t\r\n#]*)"
+
+#: <loc> element body of a sitemap XML document
+SITEMAP_LOC_RE = r"(?is)<loc>\s*(https?://[^<\s]+)\s*</loc>"
+
+
+def robots_disallows(robots_txt: Column) -> Column:
+    """Array of Disallow path prefixes of a robots.txt body (the
+    conservative all-agents subset — see :data:`ROBOTS_DISALLOW_RE`).
+    Explode + pair with the fetch host to feed
+    ``curation.robots_filter``'s rules relation."""
+    return F.regexp_extract_all(robots_txt, F.lit(ROBOTS_DISALLOW_RE), 1)
+
+
+def sql_robots_disallows(txt_expr: str) -> str:
+    return f"regexp_extract_all({txt_expr}, '{ROBOTS_DISALLOW_RE}', 1)"
+
+
+def sitemap_locs(xml: Column) -> Column:
+    """Array of absolute URLs in a sitemap XML body (``<loc>`` elements)
+    — the push-side twin of the crawl frontier's link discovery."""
+    return F.regexp_extract_all(xml, F.lit(SITEMAP_LOC_RE), 1)
+
+
+def sql_sitemap_locs(xml_expr: str) -> str:
+    return f"regexp_extract_all({xml_expr}, '{SITEMAP_LOC_RE}', 1)"

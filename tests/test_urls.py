@@ -174,3 +174,59 @@ def test_surt_composes_with_canonicalize(spark):
         U.surt_key(U.url_canonicalize(F.col("url"))).alias("surt")
     )
     assert df.collect()[0]["surt"] == "com,example)/a"
+
+
+# ---------------------------------------------------------------------------
+# robots.txt / sitemap parsing
+# ---------------------------------------------------------------------------
+
+def test_robots_disallows_subset_semantics(spark):
+    txt = (
+        "# comment\n"
+        "User-agent: *\n"
+        "Disallow: /a\n"
+        "Allow: /a/ok\n"          # Allow ignored (conservative subset)
+        "Disallow:\n"             # empty = allow-all line: no match
+        "DISALLOW:   /B/c#frag\n"  # case-insensitive; fragment cut
+        "disallow: noslash\n"      # not a path: no match
+        "User-agent: badbot\n"
+        "Disallow: /bot-only\n"    # matched too (all-agents reading)
+    )
+    df = spark.createDataFrame([(txt,)], "t string").select(
+        U.robots_disallows(F.col("t")).alias("d")
+    )
+    assert df.collect()[0]["d"] == ["/a", "/B/c", "/bot-only"]
+
+
+def test_sitemap_locs_absolute_only_and_trimmed(spark):
+    xml = (
+        "<urlset><url><loc>  https://x.net/1 </loc></url>"
+        "<url><LOC>https://x.net/upper</LOC></url>"
+        "<url><loc>/relative</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "x string").select(
+        U.sitemap_locs(F.col("x")).alias("l")
+    )
+    assert df.collect()[0]["l"] == ["https://x.net/1", "https://x.net/upper"]
+
+
+def test_robots_rules_feed_robots_filter(spark):
+    # end-to-end: parse robots text -> rules relation -> filter pages
+    from fileverification_spark.operators import curation as CUR
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /en\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots.select(
+        "host",
+        F.explode(U.robots_disallows(F.col("robots_txt"))).alias(
+            "path_prefix"
+        ),
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/en/x"), (2, "https://a.com/de/x")],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in CUR.robots_filter(pages, rules).collect()}
+    assert kept == {2}
