@@ -855,6 +855,86 @@ _SQL_BP_PLANTED = """(
   FROM documents) bp"""
 
 
+def _q_cdx_records(spark: SparkSession, sf: str) -> DataFrame:
+    # CDX index records: SURT key + the 14-digit CDX timestamp +
+    # content digest, the (key, ts, hash) triple a capture index stores
+    # — composition of surt_key, the pages derive, and the manifest
+    # hash rule (uppercase sha256)
+    p = P.pages_with_derived(spark, sf)
+    return p.select(
+        U.surt_key(U.url_canonicalize(F.col("url"))).alias("surt"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("cdx_ts"),
+        F.col("text_sha256").alias("digest"),
+    )
+
+
+def _sql_cdx_records() -> str:
+    canon = U.sql_canonical_select("pages", "url", "doc_id")
+    return (
+        _with(f"canon AS ({canon})")
+        + f"""
+SELECT {U.sql_surt_key('c.canonical_url')} AS surt,
+       strftime(p.warc_ts, '%Y%m%d%H%M%S') AS cdx_ts,
+       p.text_sha256 AS digest
+FROM pages p JOIN canon c ON p.doc_id = c.doc_id"""
+    )
+
+
+def _q_latest_capture(spark: SparkSession, sf: str) -> DataFrame:
+    # CDX 'latest capture per URL key': max-(ts, doc_id) keeper on the
+    # canonical key over the messy planted corpus + a planted recrawl
+    # (every doc_id%4==0 page has a twin captured one day later)
+    base = _url_planted(spark, sf).select(
+        "doc_id",
+        "url",
+        F.expr(
+            "timestampadd(SECOND, CAST(doc_id * 137 AS INT),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+    recrawl = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "url",
+        F.expr("timestampadd(DAY, 1, ts)").alias("ts"),
+    )
+    caps = base.unionByName(recrawl)
+    canon = caps.select(
+        "doc_id", "ts", U.url_canonicalize(F.col("url")).alias("curl")
+    )
+    best = canon.groupBy("curl").agg(
+        F.max(F.struct("ts", "doc_id")).alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+    )
+    return best.select(
+        "curl",
+        F.col("b.doc_id").alias("doc_id"),
+        F.unix_timestamp("b.ts").alias("ts_epoch"),
+        "n_captures",
+    )
+
+
+def _sql_latest_capture() -> str:
+    canon = U.sql_canonical_select(_SQL_URL_PLANTED)
+    return f"""WITH base AS (
+  SELECT c.doc_id, c.canonical_url AS curl,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + INTERVAL (CAST(c.doc_id * 137 AS INT)) SECOND AS ts
+  FROM ({canon}) c
+),
+caps AS (
+  SELECT doc_id, curl, ts FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, curl, ts + INTERVAL 1 DAY
+  FROM base WHERE doc_id % 4 = 0
+)
+SELECT curl, doc_id, ts_epoch, n_captures FROM (
+  SELECT curl, doc_id, CAST(epoch(ts) AS BIGINT) AS ts_epoch,
+         CAST(count(*) OVER (PARTITION BY curl) AS BIGINT) AS n_captures,
+         row_number() OVER (PARTITION BY curl
+                            ORDER BY ts DESC, doc_id DESC) AS rn
+  FROM caps) WHERE rn = 1"""
+
+
 def _q_robots_rules(spark: SparkSession, sf: str) -> DataFrame:
     # planted robots.txt per host: comment + Allow + EMPTY Disallow (an
     # allow-all line: must not match — the pattern requires a '/' path)
@@ -1409,6 +1489,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "clean_pages": _q_clean_pages,  # main-content extraction (apply half)
     "robots_rules": _q_robots_rules,  # robots.txt -> disallow rules
     "sitemap_urls": _q_sitemap_urls,  # sitemap XML -> frontier urls
+    "cdx_records": _q_cdx_records,  # CDX capture-index records
+    "latest_capture": _q_latest_capture,  # max-(ts,id) keeper per key
 }
 
 
@@ -1665,6 +1747,8 @@ FROM events e JOIN sess s
         "clean_pages": CUR.sql_remove_boilerplate(_SQL_BP_PLANTED, 50),
         "robots_rules": _sql_robots_rules(),
         "sitemap_urls": _sql_sitemap_urls(),
+        "cdx_records": _sql_cdx_records(),
+        "latest_capture": _sql_latest_capture(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"
