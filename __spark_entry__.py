@@ -855,6 +855,39 @@ _SQL_BP_PLANTED = """(
   FROM documents) bp"""
 
 
+def _q_authority_pages(spark: SparkSession, sf: str) -> DataFrame:
+    # the graph signal feeding curation: per-host page counts for hosts
+    # whose PageRank ended ABOVE the uniform initial mass (authorities
+    # gained rank; spam-ish sinks lost it) — rank relation is tiny
+    # (hosts), so the join back to pages is a broadcast
+    pages = _link_planted(spark, sf)
+    ranks = GR.pagerank(GR.host_edges(pages), iters=_PAGERANK_ITERS)
+    auth = ranks.where(F.col("rank") >= GR.RANK_SCALE)
+    host = GR.host_of(F.col("url"))
+    return (
+        pages.select(host.alias("host"))
+        .join(F.broadcast(auth), F.col("host") == F.col("node"))
+        .groupBy("host", "rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )
+
+
+def _sql_authority_pages() -> str:
+    parts = [f"edges AS ({_sql_host_edges(_SQL_LINK_PLANTED)})"]
+    parts += GR.sql_pagerank_parts("edges", iters=_PAGERANK_ITERS)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT h.host, r.rank, CAST(count(*) AS BIGINT) AS n_pages
+FROM (SELECT {GR.sql_host_of('url')} AS host
+      FROM {_SQL_LINK_PLANTED}) h
+JOIN r{_PAGERANK_ITERS} r ON h.host = r.node
+WHERE r.rank >= {GR.RANK_SCALE}
+GROUP BY h.host, r.rank"""
+    )
+
+
 def _q_cdx_records(spark: SparkSession, sf: str) -> DataFrame:
     # CDX index records: SURT key + the 14-digit CDX timestamp +
     # content digest, the (key, ts, hash) triple a capture index stores
@@ -1491,6 +1524,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "sitemap_urls": _q_sitemap_urls,  # sitemap XML -> frontier urls
     "cdx_records": _q_cdx_records,  # CDX capture-index records
     "latest_capture": _q_latest_capture,  # max-(ts,id) keeper per key
+    "authority_pages": _q_authority_pages,  # rank signal -> curation
 }
 
 
@@ -1749,6 +1783,7 @@ FROM events e JOIN sess s
         "sitemap_urls": _sql_sitemap_urls(),
         "cdx_records": _sql_cdx_records(),
         "latest_capture": _sql_latest_capture(),
+        "authority_pages": _sql_authority_pages(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

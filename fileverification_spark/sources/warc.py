@@ -84,3 +84,40 @@ def sql_warc_records(pages_rel: str, html_expr: str = "html") -> str:
          || {crlf} || {crlf}
          || {html_expr} || {crlf} || {crlf} AS record
 FROM {pages_rel}"""
+
+
+# ---------------------------------------------------------------------------
+# WARC read side — parse records back into rows
+# ---------------------------------------------------------------------------
+
+#: header field patterns over the record string (Java ∩ RE2: multiline
+#: anchors, no backreferences)
+_URI_RE = r"(?m)^WARC-Target-URI: (.*)$"
+_LEN_RE = r"(?m)^Content-Length: ([0-9]+)$"
+_DATE_RE = r"(?m)^WARC-Date: (.*)Z$"
+#: payload = everything between the header's blank line and the
+#: record-terminating CRLFCRLF
+_PAYLOAD_RE = r"(?s)\r\n\r\n(.*)\r\n\r\n$"
+
+
+def parse_warc_records(records: DataFrame, col: str = "record") -> DataFrame:
+    """Parse WARC response records (the :func:`warc_records` framing)
+    back into ``(url, warc_ts, content_length, payload)`` — the read
+    side of the archive format, so a corpus can round-trip through its
+    WARC export (pytest pins parse(frame(pages)) == pages).
+
+    Codegen'd regexp extraction over the record string; carriage-return
+    header terminators make every field single-line extractable. At
+    scale the sink/source pair is one text write + one text read with
+    this projection on top — no UDF anywhere."""
+    r = F.col(col)
+    return records.select(
+        F.regexp_extract(r, _URI_RE, 1).alias("url"),
+        F.to_timestamp(
+            F.regexp_extract(r, _DATE_RE, 1), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("warc_ts"),
+        F.regexp_extract(r, _LEN_RE, 1).cast("bigint").alias(
+            "content_length"
+        ),
+        F.regexp_extract(r, _PAYLOAD_RE, 1).alias("payload"),
+    )

@@ -44,3 +44,20 @@ def test_warc_content_length_is_octets_not_chars(spark):
     ).collect()[0]
     assert rec["content_length"] == 2
     assert "Content-Length: 2" in rec["record"]
+
+
+def test_warc_roundtrip_parse_equals_source(spark):
+    from fileverification_spark.sources import pages as P
+
+    src = P.pages(spark, "/root/testdata/sf0.001", with_html=True)
+    framed = W.warc_records(src)
+    back = W.parse_warc_records(framed)
+    joined = src.alias("s").join(back.alias("b"), "url", "inner")
+    n = src.count()
+    assert back.count() == n
+    same = joined.where(
+        (F.col("s.warc_ts") == F.col("b.warc_ts"))
+        & (F.decode(F.col("s.html"), "UTF-8") == F.col("b.payload"))
+        & (F.length(F.col("s.html")) == F.col("b.content_length"))
+    ).count()
+    assert same == n
