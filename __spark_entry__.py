@@ -797,14 +797,13 @@ def _q_host_graph(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_host_edges(planted_rel: str) -> str:
     """Bare SELECT (no WITH — contract helper rule) rebuilding
-    graph.host_edges over the planted corpus."""
-    return f"""SELECT src, {GR.sql_host_of('link')} AS dst,
-       CAST(count(*) AS BIGINT) AS w
+    graph.host_edges over the planted corpus (single direct-host
+    regexp pass, mirroring HOST_LINK_RE)."""
+    return f"""SELECT src, dst, CAST(count(*) AS BIGINT) AS w
 FROM (SELECT {GR.sql_host_of('url')} AS src,
-             unnest({HT.sql_extract_links('html')}) AS link
+             unnest(regexp_extract_all(html, '{GR.HOST_LINK_RE}', 1)) AS dst
       FROM {planted_rel}) raw
-WHERE regexp_matches(link, '{HT.ABS_RE}')
-  AND src != {GR.sql_host_of('link')}
+WHERE src != dst
 GROUP BY 1, 2"""
 
 

@@ -57,6 +57,15 @@ HOST_RE = "^https?://([^/?#]+)"
 #: fixed-point scale of integer ranks: rank 1.0 == 10^9
 RANK_SCALE = 10**9
 
+#: host of each absolute double-quoted href, captured DIRECTLY — one
+#: regexp pass instead of extract-all + per-link abs-filter + per-link
+#: host extraction (7 regexp ops/page -> 2 at 3 links/page; measured on
+#: the 64M-page linkgraph scaling job). Scoped (?i:) keeps the
+#: attribute name case-insensitive while the scheme stays
+#: case-sensitive — identical accept set to the composed form
+#: (extract_links + ABS_RE + host_of).
+HOST_LINK_RE = r'(?i:href)\s*=\s*"https?://([^/"?#]+)'
+
 
 def host_of(url: Column) -> Column:
     """Host of an absolute http(s) URL ('' for relative links)."""
@@ -71,21 +80,25 @@ def host_edges(pages: DataFrame) -> DataFrame:
     """Weighted host-level link graph ``(src, dst, w)`` from the pages
     table's html column.
 
-    Pipeline: decode html -> :func:`html.extract_links` (codegen'd
-    regexp_extract_all) -> explode -> keep absolute http(s) links ->
-    host extraction both sides -> drop self-loops -> ONE hash-groupBy
-    on (src, dst). Everything before the groupBy is a narrow map over
-    the scan (only url + html are read; column pruning keeps the scan
-    2-wide), so shuffle volume is distinct host pairs, not links.
+    Pipeline: decode html -> ONE :data:`HOST_LINK_RE` pass capturing the
+    host of every absolute href directly -> explode -> drop self-loops
+    -> ONE hash-groupBy on (src, dst). Everything before the groupBy is
+    a narrow map over the scan (only url + html are read; column
+    pruning keeps the scan 2-wide), so shuffle volume is distinct host
+    pairs, not links. The single-pattern form halves-and-more the
+    per-page regexp work vs composing extract_links + filter + host_of
+    (the accept sets are identical — see HOST_LINK_RE).
     """
     links = pages.select(
         host_of(F.col("url")).alias("src"),
-        F.explode(HT.extract_links(F.col("html"))).alias("link"),
+        F.explode(
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "UTF-8"), F.lit(HOST_LINK_RE), 1
+            )
+        ).alias("dst"),
     )
     return (
-        links.where(F.col("link").rlike(HT.ABS_RE))
-        .select("src", host_of(F.col("link")).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
+        links.where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
