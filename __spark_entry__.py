@@ -854,6 +854,23 @@ _SQL_BP_PLANTED = """(
   FROM documents) bp"""
 
 
+def _q_length_hist(spark: SparkSession, sf: str) -> DataFrame:
+    # log2-bucketed doc-length histogram (corpus shape diagnostic):
+    # bucket = bit length of n_chars — exact integers, no log2 floats
+    b = F.length(F.bin(F.col("n_chars"))).cast("bigint")
+    return (
+        _docs(spark, sf)
+        .groupBy(b.alias("log2_bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def _sql_length_hist() -> str:
+    return """SELECT CAST(length(bin(n_chars)) AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1"""
+
+
 def _q_authority_pages(spark: SparkSession, sf: str) -> DataFrame:
     # the graph signal feeding curation: per-host page counts for hosts
     # whose PageRank ended ABOVE the uniform initial mass (authorities
@@ -1524,6 +1541,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "cdx_records": _q_cdx_records,  # CDX capture-index records
     "latest_capture": _q_latest_capture,  # max-(ts,id) keeper per key
     "authority_pages": _q_authority_pages,  # rank signal -> curation
+    "length_hist": _q_length_hist,  # log2-bucketed corpus shape
 }
 
 
@@ -1783,6 +1801,7 @@ FROM events e JOIN sess s
         "cdx_records": _sql_cdx_records(),
         "latest_capture": _sql_latest_capture(),
         "authority_pages": _sql_authority_pages(),
+        "length_hist": _sql_length_hist(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"
