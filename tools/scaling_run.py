@@ -204,6 +204,36 @@ def job():
         for h in handles:
             h.unpersist(blocking=True)
 """,
+    # the data-proportional HALF of linkgraph: extraction + edge
+    # aggregation only, no iteration ladder — no caches, so no
+    # cross-run cache-reuse guard needed. Separating the two isolates
+    # the Amdahl split: at the sandbox's 4096-host graph the PageRank
+    # ladder is pure width-independent latency (~10 s of tiny-relation
+    # stage barriers + scalar broadcasts), while on a real 1e8-host
+    # graph the ladder is data-proportional work
+    "hostgraph": r"""
+from fileverification_spark.operators import graph as GR
+from pyspark.sql import functions as F
+
+_H = 4096
+
+def _links():
+    d = F.abs(F.hash("url")).cast("bigint")
+    def site(expr):
+        return F.concat(F.lit('<a href="https://site'),
+                        (expr % _H).cast("string"),
+                        F.lit('.example.net/p">fast join</a>'))
+    html = F.concat(site(d * 3 + 1), site(d * 5 + 2), site(d * 7))
+    return live.select(
+        F.concat(F.lit("https://site"), (d % _H).cast("string"),
+                 F.lit(".example.net/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+
+def job():
+    edges = GR.host_edges(_links())
+    return {"n_edges": edges.count()}
+""",
 }
 
 JOB_DESCS = {
@@ -236,6 +266,10 @@ JOB_DESCS = {
         "Link-graph job: WAT outlink extraction (3 anchor regexps/page) "
         "-> host\nedge aggregation (4096 hosts) -> 3 exact-integer "
         "PageRank iterations"
+    ),
+    "hostgraph": (
+        "Host-edge aggregation only (the data-proportional half of "
+        "linkgraph):\nWAT host extraction -> (src, dst, w) hash-agg"
     ),
 }
 
