@@ -281,3 +281,38 @@ def test_mutual_links_requires_both_directions(spark):
         for r in GR.mutual_links(edges).collect()
     ]
     assert got == [("a", "b", 3, 1)]
+
+
+def test_host_link_re_equals_composed_form(spark):
+    # the single-pass HOST_LINK_RE must accept exactly what the composed
+    # form (extract_links -> ABS_RE filter -> host_of) accepts
+    html = (
+        '<a href="https://keep.net/x">a</a>'
+        '<A HREF = "http://port.net:8080/y">b</A>'
+        '<a href="HTTPS://upper-scheme.net/z">c</a>'  # excluded: scheme cs
+        '<a href="https://bare.net">d</a>'
+        '<a href="/rel">e</a>'
+        '<a href="ftp://other.net/f">f</a>'
+    )
+    df = spark.createDataFrame([(html,)], "h string").select(
+        F.encode("h", "UTF-8").alias("html")
+    )
+    direct = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.decode("html", "UTF-8"), F.lit(GR.HOST_LINK_RE), 1
+                )
+            ).alias("host")
+        ).collect()
+    )
+    composed = (
+        df.select(F.explode(HT.extract_links(F.col("html"))).alias("l"))
+        .where(F.col("l").rlike(HT.ABS_RE))
+        .select(GR.host_of(F.col("l")).alias("host"))
+        .collect()
+    )
+    assert [r["host"] for r in direct] == [r["host"] for r in composed]
+    assert [r["host"] for r in direct] == [
+        "keep.net", "port.net:8080", "bare.net"
+    ]
