@@ -854,6 +854,35 @@ _SQL_BP_PLANTED = """(
   FROM documents) bp"""
 
 
+_SUBTREE_PREFIX = "com,example"  # the messy planted corpus all lands here
+
+
+def _q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    return CUR.collocations_topk(_docs(spark, sf), k=20, min_count=5)
+
+
+def _q_domain_subtree(spark: SparkSession, sf: str) -> DataFrame:
+    # the CDX range-scan property as a query: a registered domain and
+    # ALL its subdomains are one SURT prefix range (the URL-space
+    # z-order) — select the planted corpus rows inside it. At scale
+    # this predicate is a min/max-stats file skip on a SURT-sorted
+    # layout, exactly like bbox_query over zorder_key.
+    surt = U.surt_key(U.url_canonicalize(F.col("url")))
+    return (
+        _url_planted(spark, sf)
+        .select("doc_id", surt.alias("surt"))
+        .where(F.col("surt").startswith(_SUBTREE_PREFIX))
+    )
+
+
+def _sql_domain_subtree() -> str:
+    canon = U.sql_canonical_select(_SQL_URL_PLANTED)
+    surt = U.sql_surt_key("canonical_url")
+    return f"""SELECT doc_id, surt FROM (
+  SELECT doc_id, {surt} AS surt FROM ({canon}) c)
+WHERE starts_with(surt, '{_SUBTREE_PREFIX}')"""
+
+
 def _q_length_hist(spark: SparkSession, sf: str) -> DataFrame:
     # log2-bucketed doc-length histogram (corpus shape diagnostic):
     # bucket = bit length of n_chars — exact integers, no log2 floats
@@ -1542,6 +1571,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "latest_capture": _q_latest_capture,  # max-(ts,id) keeper per key
     "authority_pages": _q_authority_pages,  # rank signal -> curation
     "length_hist": _q_length_hist,  # log2-bucketed corpus shape
+    "domain_subtree": _q_domain_subtree,  # SURT prefix-range scan
+    "collocations": _q_collocations,  # PMI adjacent-bigram top-k
 }
 
 
@@ -1802,6 +1833,8 @@ FROM events e JOIN sess s
         "latest_capture": _sql_latest_capture(),
         "authority_pages": _sql_authority_pages(),
         "length_hist": _sql_length_hist(),
+        "domain_subtree": _sql_domain_subtree(),
+        "collocations": CUR.sql_collocations_topk("documents", 20, 5),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

@@ -535,3 +535,110 @@ SELECT b.url,
 FROM (SELECT DISTINCT url FROM {pages_rel}) b
 LEFT JOIN n_all a ON b.url = a.url
 LEFT JOIN n_kept k ON b.url = k.url"""
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction (PMI over adjacent bigrams)
+# ---------------------------------------------------------------------------
+
+def collocations_topk(
+    docs: DataFrame, k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by PMI:
+    ``(a, b, n_ab, score, rank)`` with
+    ``score = round(ln(P(ab) / (P(a)·P(b))), 4)``.
+
+    Float canon (BENCH/BASELINE.md discipline): the PMI expression is
+    spelled with the IDENTICAL operand order in both engines (IEEE ops
+    are deterministic given an order), rounded to 4 dp, and ranked on
+    the ROUNDED value with an (a, b) tie-break — so Spark and DuckDB
+    produce the same rows in the same rank order.
+
+    Scale shape: bigrams come from a plan-time slice+zip over the token
+    array (no self-join); bigram and unigram counts are two
+    partial-aggregatable hash-aggs; the corpus scalars (T tokens,
+    B bigrams) are 1-row broadcasts; ``min_count`` prunes the long tail
+    before the single-partition top-k window (collocation candidates
+    above a count floor are vocabulary-sized, not corpus-sized)."""
+    tk = docs.select(TX.tokens(F.col("text")).alias("tk"))
+    bigrams = tk.select(
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk)-1, 0)),"
+                " (x, i) -> struct(x AS a, tk[i+1] AS b))"
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    unigrams = tk.select(F.explode("tk").alias("t"))
+    n_ab = bigrams.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    n_t = unigrams.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    # tot_* names: Spark resolves identifiers case-insensitively, so a
+    # column named "B" would collide with the bigram token column "b"
+    totals = (
+        unigrams.agg(F.count(F.lit(1)).cast("long").alias("tot_t"))
+        .crossJoin(
+            bigrams.agg(F.count(F.lit(1)).cast("long").alias("tot_b"))
+        )
+    )
+    na = n_t.select(F.col("t").alias("ta"), F.col("n_t").alias("n_a"))
+    nb = n_t.select(F.col("t").alias("tb"), F.col("n_t").alias("n_b"))
+    cand = (
+        n_ab.where(F.col("n_ab") >= min_count)
+        .join(na, F.col("a") == F.col("ta"))
+        .join(nb, F.col("b") == F.col("tb"))
+        .crossJoin(F.broadcast(totals))
+    )
+    score = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("tot_t") * F.col("tot_t"))
+            / (F.col("tot_b").cast("double") * F.col("n_a") * F.col("n_b"))
+        ),
+        4,
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+    return (
+        cand.select("a", "b", "n_ab", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sql_collocations_topk(
+    docs_rel: str = "documents", k: int = 20, min_count: int = 5
+) -> str:
+    """DuckDB mirror: parallel lockstep unnest of the two slice views
+    builds the bigrams; identical PMI operand order (standalone WITH)."""
+    toks = TX.sql_tokens("text")
+    return f"""WITH tk AS (SELECT {toks} AS tk FROM {docs_rel}),
+bigrams AS (
+  SELECT unnest(tk[1:len(tk)-1]) AS a, unnest(tk[2:len(tk)]) AS b
+  FROM tk WHERE len(tk) >= 2
+),
+unigrams AS (SELECT unnest(tk) AS t FROM tk),
+n_ab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+         FROM bigrams GROUP BY a, b),
+n_t AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t
+        FROM unigrams GROUP BY t),
+totals AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM unigrams) AS tot_t,
+                  (SELECT CAST(count(*) AS BIGINT) FROM bigrams) AS tot_b),
+cand AS (
+  SELECT c.a, c.b, c.n_ab,
+         round(ln((CAST(c.n_ab AS DOUBLE) * t.tot_t * t.tot_t)
+                  / (CAST(t.tot_b AS DOUBLE) * na.n_t * nb.n_t)), 4) AS score
+  FROM n_ab c
+  JOIN n_t na ON na.t = c.a
+  JOIN n_t nb ON nb.t = c.b
+  CROSS JOIN totals t
+  WHERE c.n_ab >= {min_count}
+)
+SELECT a, b, n_ab, score, rank FROM (
+  SELECT *, CAST(row_number() OVER
+       (ORDER BY score DESC, a ASC, b ASC) AS BIGINT) AS rank
+  FROM cand)
+WHERE rank <= {k}"""

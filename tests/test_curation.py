@@ -222,3 +222,40 @@ def test_remove_boilerplate_all_template_page_empty(spark):
         "https://c.com/1": ("", 0),
         "https://c.com/2": ("", 0),
     }
+
+
+def test_collocations_hand_corpus(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york new york"),
+            (2, "york minster and new ideas"),
+            (3, "brand new day in york"),
+        ],
+        "doc_id long, text string",
+    )
+    got = CUR.collocations_topk(docs, k=3, min_count=2).collect()
+    # replay: bigram/unigram counts by hand
+    toks = [
+        ["new", "york", "new", "york", "new", "york"],
+        ["york", "minster", "and", "new", "ideas"],
+        ["brand", "new", "day", "in", "york"],
+    ]
+    uni, bi = {}, {}
+    T = B = 0
+    for ts in toks:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+            T += 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            B += 1
+    want = []
+    for (a, b), n in bi.items():
+        if n >= 2:
+            s = round(math.log((n * T * T) / (B * uni[a] * uni[b])), 4)
+            want.append((a, b, n, s))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert [(r["a"], r["b"], r["n_ab"], r["score"]) for r in got] == want[:3]
+    assert got[0]["a"] == "new" and got[0]["b"] == "york"
