@@ -316,3 +316,14 @@ def test_host_link_re_equals_composed_form(spark):
     assert [r["host"] for r in direct] == [
         "keep.net", "port.net:8080", "bare.net"
     ]
+
+
+def test_host_edges_single_shuffle_plan(spark):
+    pages = spark.createDataFrame(
+        [("https://a.com/p", '<a href="https://b.net/x">l</a>')],
+        "url string, html_s string",
+    ).select("url", F.encode("html_s", "UTF-8").alias("html"))
+    plan = GR.host_edges(pages)._jdf.queryExecution().executedPlan().toString()
+    # everything before the (src, dst) groupBy is map-side: exactly one
+    # exchange in the plan
+    assert plan.count("Exchange") == 1
