@@ -1161,6 +1161,13 @@ def _q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
     return GR.crawl_frontier(_link_planted(spark, sf))
 
 
+def _q_anchor_index(spark: SparkSession, sf: str) -> DataFrame:
+    # URL-level anchor index: the planted next-page links (anchor
+    # 'next {lang}') target REAL planted urls, so the fetched-set join
+    # keeps exactly those
+    return GR.anchor_index(_link_planted(spark, sf))
+
+
 _GEOHASH_P = 4
 
 
@@ -1573,6 +1580,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "length_hist": _q_length_hist,  # log2-bucketed corpus shape
     "domain_subtree": _q_domain_subtree,  # SURT prefix-range scan
     "collocations": _q_collocations,  # PMI adjacent-bigram top-k
+    "anchor_index": _q_anchor_index,  # URL-level anchor-text index
 }
 
 
@@ -1835,6 +1843,7 @@ FROM events e JOIN sess s
         "length_hist": _sql_length_hist(),
         "domain_subtree": _sql_domain_subtree(),
         "collocations": CUR.sql_collocations_topk("documents", 20, 5),
+        "anchor_index": GR.sql_anchor_index(_SQL_LINK_PLANTED),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"

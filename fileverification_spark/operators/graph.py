@@ -567,3 +567,42 @@ FROM (SELECT src AS host_a, dst AS host_b, w AS w_ab
 JOIN (SELECT dst AS host_a, src AS host_b, w AS w_ba
       FROM ({edges_rel}) e2 WHERE dst < src) b
   USING (host_a, host_b)"""
+
+
+def anchor_index(pages: DataFrame) -> DataFrame:
+    """URL-level anchor index: for every FETCHED page, the terms other
+    pages use in anchors pointing at it — ``(url, term, n)``. This is
+    the retrieval-side materialisation of anchor text (web search
+    indexes a page under the words used to link to it, which often
+    describe it better than its own text — the signal anchor_terms
+    aggregates at host level, here resolved to the exact target page
+    via a semi-ish join against the fetched set).
+
+    Scale shape: anchor extraction is map-side; the join keys on the
+    full URL (uniform; both sides hash-partitioned), then one
+    (url, term) hash-agg with map-side partials."""
+    from fileverification_spark.functions import text as TX
+
+    pairs = anchor_pairs(pages)
+    fetched = pages.select("url")
+    return (
+        pairs.select(F.col("link").alias("url"), "anchor")
+        .join(fetched, "url")
+        .select("url", F.explode(TX.tokens(F.col("anchor"))).alias("term"))
+        .groupBy("url", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def sql_anchor_index(pages_rel: str) -> str:
+    """DuckDB mirror (bare SELECT; lockstep double unnest)."""
+    from fileverification_spark.functions import text as TX
+
+    return f"""SELECT url, term, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT a.link AS url, unnest({TX.sql_tokens('a.anchor')}) AS term
+  FROM (SELECT unnest(regexp_extract_all(html, '{ANCHOR_RE}', 1)) AS link,
+               unnest(regexp_extract_all(html, '{ANCHOR_RE}', 2)) AS anchor
+        FROM {pages_rel}) a
+  WHERE a.link IN (SELECT url FROM (SELECT url FROM {pages_rel}) f))
+GROUP BY url, term"""

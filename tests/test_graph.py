@@ -327,3 +327,25 @@ def test_host_edges_single_shuffle_plan(spark):
     # everything before the (src, dst) groupBy is map-side: exactly one
     # exchange in the plan
     assert plan.count("Exchange") == 1
+
+
+def test_anchor_index_resolves_to_fetched_targets(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", '<a href="https://a.com/2">great Docs</a>'
+                                '<a href="https://gone.com/x">dead link</a>'),
+            ("https://a.com/2", '<a href="https://a.com/1">home docs</a>'),
+        ],
+        "url string, html_s string",
+    ).select("url", F.encode("html_s", "UTF-8").alias("html"))
+    got = {
+        (r["url"], r["term"]): r["n"]
+        for r in GR.anchor_index(pages).collect()
+    }
+    # only fetched targets appear; anchors tokenized/lowercased
+    assert got == {
+        ("https://a.com/2", "great"): 1,
+        ("https://a.com/2", "docs"): 1,
+        ("https://a.com/1", "home"): 1,
+        ("https://a.com/1", "docs"): 1,
+    }
