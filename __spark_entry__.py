@@ -883,6 +883,43 @@ def _sql_domain_subtree() -> str:
 WHERE starts_with(surt, '{_SUBTREE_PREFIX}')"""
 
 
+def _q_cell_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    # geo-semantic raster: per-(cell, dim) exact embedding sums — the
+    # mergeable state behind a regional-centroid layer (mean = s/n at
+    # the consumer). Float canon: round each float to 6 dp, sum as
+    # fixed-scale DECIMAL (order-independent, cross-engine exact).
+    pg = P.pages_with_derived(spark, sf).select("doc_id", "cell")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    j = pg.join(emb, pg["doc_id"] == emb["vec_id"])
+    ex = j.select(
+        "cell", F.posexplode("embedding").alias("dim", "val")
+    )
+    s = F.sum(
+        F.round(F.col("val").cast("double"), 6).cast("decimal(24,6)")
+    )
+    return ex.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        s.cast("string").alias("s"),
+    )
+
+
+def _sql_cell_embeddings() -> str:
+    return (
+        _with()
+        + """
+SELECT cell, dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(24,6)))
+            AS VARCHAR) AS s
+FROM (
+  SELECT p.cell,
+         CAST(unnest(generate_series(0, len(e.embedding) - 1)) AS INT)
+           AS dim,
+         unnest(e.embedding) AS val
+  FROM pages p JOIN embeddings e ON p.doc_id = e.vec_id)
+GROUP BY cell, dim"""
+    )
+
+
 def _q_length_hist(spark: SparkSession, sf: str) -> DataFrame:
     # log2-bucketed doc-length histogram (corpus shape diagnostic):
     # bucket = bit length of n_chars — exact integers, no log2 floats
@@ -1581,6 +1618,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "domain_subtree": _q_domain_subtree,  # SURT prefix-range scan
     "collocations": _q_collocations,  # PMI adjacent-bigram top-k
     "anchor_index": _q_anchor_index,  # URL-level anchor-text index
+    "cell_embeddings": _q_cell_embeddings,  # geo-semantic raster sums
 }
 
 
@@ -1844,6 +1882,7 @@ FROM events e JOIN sess s
         "domain_subtree": _sql_domain_subtree(),
         "collocations": CUR.sql_collocations_topk("documents", 20, 5),
         "anchor_index": GR.sql_anchor_index(_SQL_LINK_PLANTED),
+        "cell_embeddings": _sql_cell_embeddings(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"
