@@ -883,6 +883,41 @@ def _sql_domain_subtree() -> str:
 WHERE starts_with(surt, '{_SUBTREE_PREFIX}')"""
 
 
+_FRONTIER_SHARDS = 16
+
+
+def _q_frontier_shards(spark: SparkSession, sf: str) -> DataFrame:
+    # crawl-politeness partitioning: every frontier URL's host maps to
+    # ONE scheduler shard (so per-host rate limits serialize within a
+    # shard); shard = sha256-prefix of host mod N — the engine's
+    # cross-engine-deterministic hash (same discipline as
+    # sampling.hash_sample; never Spark's murmur hash, which DuckDB
+    # can't reproduce). Output: per-(shard, host) pending-URL counts.
+    f = GR.crawl_frontier(_link_planted(spark, sf))
+    host = GR.host_of(F.col("url"))
+    shard = (
+        F.conv(F.substring(F.sha2(host, 256), 1, 8), 16, 10)
+        .cast("bigint") % _FRONTIER_SHARDS
+    )
+    return (
+        f.select(shard.alias("shard"), host.alias("host"))
+        .groupBy("shard", "host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+
+
+def _sql_frontier_shards() -> str:
+    frontier = GR.sql_crawl_frontier(_SQL_LINK_PLANTED)
+    host = GR.sql_host_of("url")
+    return f"""SELECT
+  CAST(('0x' || substr(sha256({host}), 1, 8)) AS BIGINT)
+    % {_FRONTIER_SHARDS} AS shard,
+  {host} AS host,
+  CAST(count(*) AS BIGINT) AS n_urls
+FROM ({frontier}) f
+GROUP BY 1, 2"""
+
+
 def _q_cell_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     # geo-semantic raster: per-(cell, dim) exact embedding sums — the
     # mergeable state behind a regional-centroid layer (mean = s/n at
@@ -1619,6 +1654,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "collocations": _q_collocations,  # PMI adjacent-bigram top-k
     "anchor_index": _q_anchor_index,  # URL-level anchor-text index
     "cell_embeddings": _q_cell_embeddings,  # geo-semantic raster sums
+    "frontier_shards": _q_frontier_shards,  # crawl-politeness sharding
 }
 
 
@@ -1883,6 +1919,7 @@ FROM events e JOIN sess s
         "collocations": CUR.sql_collocations_topk("documents", 20, 5),
         "anchor_index": GR.sql_anchor_index(_SQL_LINK_PLANTED),
         "cell_embeddings": _sql_cell_embeddings(),
+        "frontier_shards": _sql_frontier_shards(),
         "simhash": D.sql_simhash_docs_query(),
         "simhash_buckets": (
             f"WITH sh AS ({D.sql_simhash_docs_query()})\n"
