@@ -866,12 +866,19 @@ def _q_domain_subtree(spark: SparkSession, sf: str) -> DataFrame:
     # ALL its subdomains are one SURT prefix range (the URL-space
     # z-order) — select the planted corpus rows inside it. At scale
     # this predicate is a min/max-stats file skip on a SURT-sorted
-    # layout, exactly like bbox_query over zorder_key.
+    # layout, exactly like bbox_query over zorder_key. The range is
+    # bounded by the SURT separators — prefix + ')' matches the apex
+    # host, prefix + ',' its subdomains — so a sibling domain whose
+    # name merely extends the string ('com,examplefoo)...') is OUT
+    # (ADVICE r3: an unterminated startswith would include it).
     surt = U.surt_key(U.url_canonicalize(F.col("url")))
     return (
         _url_planted(spark, sf)
         .select("doc_id", surt.alias("surt"))
-        .where(F.col("surt").startswith(_SUBTREE_PREFIX))
+        .where(
+            F.col("surt").startswith(_SUBTREE_PREFIX + ")")
+            | F.col("surt").startswith(_SUBTREE_PREFIX + ",")
+        )
     )
 
 
@@ -880,7 +887,8 @@ def _sql_domain_subtree() -> str:
     surt = U.sql_surt_key("canonical_url")
     return f"""SELECT doc_id, surt FROM (
   SELECT doc_id, {surt} AS surt FROM ({canon}) c)
-WHERE starts_with(surt, '{_SUBTREE_PREFIX}')"""
+WHERE starts_with(surt, '{_SUBTREE_PREFIX}' || ')')
+   OR starts_with(surt, '{_SUBTREE_PREFIX}' || ',')"""
 
 
 _FRONTIER_SHARDS = 16

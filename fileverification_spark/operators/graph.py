@@ -153,6 +153,26 @@ def pagerank(
         F.sum("w").cast("long").alias("total_w")
     )
     e2 = _p(edges.join(outw, "src"))
+    # Fail-loud overflow preflight (ADVICE r3): the module header's
+    # int64 bound was documented but never checked, and a wrap would
+    # produce silently-wrong ranks. One cheap agg over the (persisted)
+    # inputs; conservative bound 2*d_num*n*scale*max_w dominates both
+    # the per-edge product rank*w and the d_num*(contrib+dangling) term.
+    stats = (
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(e2.agg(F.max("w").cast("long").alias("mw")))
+        .collect()[0]
+    )
+    n_val, max_w = stats["n"] or 0, stats["mw"] or 1
+    worst = 2 * d_num * n_val * scale * max_w
+    if worst > 2**63 - 1:
+        safe = (2**63 - 1) // max(1, 2 * d_num * n_val * max_w)
+        raise ValueError(
+            f"pagerank int64 overflow: 2*d_num*n_nodes*scale*max_w = "
+            f"{worst} > 2^63-1 (n_nodes={n_val}, max_w={max_w}, "
+            f"scale={scale}); rerun with scale <= {safe} in BOTH the "
+            f"Spark call and its oracle"
+        )
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("rank")

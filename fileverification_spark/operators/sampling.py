@@ -45,14 +45,22 @@ def hash_sample(df: DataFrame, key, fraction: float) -> DataFrame:
     rows whose sha256(key) 8-hex-char prefix falls below the fraction
     threshold. A plain Column predicate — Catalyst pushes it to the
     scan; no shuffle, no RNG, same rows on every run and every cluster
-    layout."""
+    layout. ``fraction == 1.0`` is the identity (no filter at all):
+    the clamped threshold is ffffffff and the strict ``<`` would
+    otherwise drop the ~1/2^32 of rows whose prefix IS ffffffff
+    (ADVICE r3)."""
+    if fraction == 1.0:
+        return df
     thr = _hash_threshold(fraction)
     k = F.col(key) if isinstance(key, str) else key
     return df.where(F.substring(F.sha2(k, 256), 1, 8) < F.lit(thr))
 
 
 def sql_hash_sample(key: str, fraction: float, rel: str) -> str:
-    """DuckDB oracle twin — identical hash, identical threshold string."""
+    """DuckDB oracle twin — identical hash, identical threshold string,
+    identical fraction==1.0 identity."""
+    if fraction == 1.0:
+        return f"SELECT * FROM {rel}"
     thr = _hash_threshold(fraction)
     return f"SELECT * FROM {rel} WHERE substr(sha256({key}), 1, 8) < '{thr}'"
 

@@ -125,7 +125,18 @@ def commit(
     parent = current_snapshot_id(table)
     seq = 0 if parent is None else load_snapshot(table, parent).sequence + 1
 
+    # Staging dir must be unique PER ATTEMPT, not per sequence: a crash
+    # between the parquet write and the pointer swap — or a fresh commit
+    # after rollback() to an ancestor — re-derives the same seq, and a
+    # fixed name would fail on the leftover dir, contradicting the
+    # "orphaned data files are harmless" contract above. Probe for the
+    # first unused suffix (deterministic: a function of on-disk state
+    # only); abandoned dirs stay orphaned and invisible to readers.
     staging = os.path.join(table, "data", f"seq-{seq}")
+    attempt = 0
+    while os.path.exists(staging):
+        attempt += 1
+        staging = os.path.join(table, "data", f"seq-{seq}-r{attempt}")
     df.write.mode("errorifexists").parquet(staging)
     added = _list_parquet(staging)
 

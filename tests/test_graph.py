@@ -62,6 +62,15 @@ def test_pagerank_matches_python_replay(spark, hand_edges):
     assert got == want  # exact, no tolerance
 
 
+def test_pagerank_overflow_preflight_fails_loud(spark, hand_edges):
+    """A scale that would wrap int64 raises BEFORE iterating, naming a
+    safe scale — never silently-wrong ranks (ADVICE r3)."""
+    with pytest.raises(ValueError, match="int64 overflow.*scale <="):
+        GR.pagerank(hand_edges, iters=1, scale=2**60)
+    # default scale on this graph is comfortably inside the bound
+    assert GR.pagerank(hand_edges, iters=1).count() == 4
+
+
 def test_pagerank_dangling_mass_redistributed(spark, hand_edges):
     # With damping 1 (d_num == d_den) and no dangling leak handling the
     # total mass would shrink; the uniform redistribution keeps the

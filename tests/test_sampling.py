@@ -60,6 +60,13 @@ def test_hash_sample_bounds(spark, docs):
         SMP.hash_sample(docs, _key(), 1.5)
 
 
+def test_hash_sample_full_fraction_is_identity(spark, docs):
+    """fraction=1.0 is df itself, not a '< ffffffff' filter that would
+    drop ~1/2^32 of rows (ADVICE r3); SQL twin mirrors it."""
+    assert SMP.hash_sample(docs, _key(), 1.0) is docs
+    assert "WHERE" not in SMP.sql_hash_sample("url", 1.0, "documents")
+
+
 def test_hash_sample_pushed_to_scan(spark, docs):
     """The predicate is scan-side: no Exchange in the plan."""
     plan = SMP.hash_sample(

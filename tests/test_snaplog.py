@@ -92,6 +92,42 @@ def test_orphaned_files_invisible_to_readers(spark, tmp_path):
     assert S.read(spark, t).count() == a.count()
 
 
+def test_commit_is_reentrant_after_crash(spark, tmp_path, monkeypatch):
+    """A crash BETWEEN the parquet write and the pointer swap leaves a
+    staging dir at the sequence's default name; the retry must pick a
+    fresh staging dir and succeed (ADVICE r3: commit re-entrancy)."""
+    t = str(tmp_path / "t")
+    a = _pages(spark, 0, 30)
+    S.commit(a, t)
+    boom = RuntimeError("crash before pointer swap")
+    real_swap = S._swap_pointer
+    monkeypatch.setattr(S, "_swap_pointer",
+                        lambda *args: (_ for _ in ()).throw(boom))
+    b = _pages(spark, 30, 60)
+    with pytest.raises(RuntimeError):
+        S.commit(b, t)
+    monkeypatch.setattr(S, "_swap_pointer", real_swap)
+    # retry at the SAME sequence: leftover data/seq-1 must not block it
+    snap = S.commit(b, t)
+    assert snap.sequence == 1
+    assert S.read(spark, t).count() == a.count() + b.count()
+
+
+def test_commit_is_reentrant_after_rollback(spark, tmp_path):
+    """rollback() to an ancestor then commit() re-derives an already-used
+    sequence number; the new commit must not collide with the abandoned
+    branch's staging dir (ADVICE r3)."""
+    t = str(tmp_path / "t")
+    s1 = S.commit(_pages(spark, 0, 30), t)
+    S.commit(_pages(spark, 30, 60), t)          # seq 1, now abandoned
+    S.rollback(t, s1.snapshot_id)
+    c = _pages(spark, 60, 90)
+    snap = S.commit(c, t)                       # seq 1 again, new branch
+    assert snap.sequence == 1 and snap.parent_id == s1.snapshot_id
+    assert S.read(spark, t).count() == (
+        _pages(spark, 0, 30).count() + c.count())
+
+
 def test_incremental_scan_is_exactly_the_delta(spark, tmp_path):
     t = str(tmp_path / "t")
     a, b, c = (_pages(spark, 0, 30), _pages(spark, 30, 60),

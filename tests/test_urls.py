@@ -167,6 +167,29 @@ def test_surt_prefix_clusters_subdomains(spark):
     assert all(r["surt"].startswith("com,example") for r in df.collect())
 
 
+def test_surt_subtree_range_excludes_string_extension_siblings(spark):
+    """The domain-subtree range is prefix + ')' (apex) or prefix + ','
+    (subdomains) — NOT a bare startswith, which would also match a
+    sibling domain whose name merely extends the string (ADVICE r3:
+    examplefoo.com -> 'com,examplefoo)...')."""
+    df = spark.createDataFrame(
+        [
+            ("https://example.com/a",),        # apex: IN
+            ("https://www2.example.com/b",),   # subdomain: IN
+            ("https://examplefoo.com/c",),     # string-extension sibling: OUT
+            ("https://example.org/d",),        # other TLD: OUT
+        ],
+        "url string",
+    ).select(U.surt_key(F.col("url")).alias("surt"))
+    pfx = "com,example"
+    kept = [
+        r["surt"] for r in df.collect()
+        if r["surt"].startswith(pfx + ")") or r["surt"].startswith(pfx + ",")
+    ]
+    assert len(kept) == 2
+    assert not any("examplefoo" in s or "org" in s for s in kept)
+
+
 def test_surt_composes_with_canonicalize(spark):
     df = spark.createDataFrame(
         [("HTTPS://WWW.Example.COM:443/A/?utm_source=x",)], "url string"
