@@ -354,6 +354,16 @@ def _q_hotspots(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hotspots_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    # the SCALE path (VERDICT r3 #7): identical components via min-label
+    # propagation — no driver collect of the hot set (pinned by
+    # tests/test_spatial.py::test_hotspots_distributed_no_driver_collect);
+    # same recursive-CTE oracle as the driver-side union-find form
+    return S.hotspots_distributed(
+        P.pages_with_derived(spark, sf), _HOTSPOT_RES, _HOTSPOT_MIN
+    )
+
+
 def _q_top_lang_cell(spark: SparkSession, sf: str) -> DataFrame:
     # per-tile heavy hitter via WindowGroupLimit
     return S.top_lang_per_cell(P.pages_with_derived(spark, sf), _RASTER_RES)
@@ -1516,14 +1526,83 @@ def _q_lineage(spark: SparkSession, sf: str) -> DataFrame:
 # The driver executes at most ~50 contract queries per round (r01 ran
 # 47/47, r02 ran exactly 50/65 — VERDICT r02 "What's wrong" #1). The
 # contract is therefore capped at 50 entries, ordered so that queries
-# with the LEAST driver evidence run first: the 14 r02-unrun queries
-# (including all six r01 canon failures) lead, the 36 r02-driver-green
-# queries follow. Twin/variant queries (shared oracle or trivial
-# derivation of a kept query) live in _DEMOTED instead — still oracle-
-# checked every CI run by tests/test_demoted_contract.py through the
-# driver-mirror strict checker, just not spending driver-window slots.
+# with the LEAST driver evidence run first. Round-4 rotation (VERDICT r3
+# "Next round" #1): every query that was driver-green in r01-r03 except
+# two canaries (verify_report, pages_derive) is demoted, and the window
+# is filled with queries that have NEVER been driver-executed — the
+# whole r3 web-graph / retrieval / curation / sampling surface, plus
+# hotspots_distributed (the scale path, newly promoted per VERDICT #7).
+# Demoted queries stay under the same strict driver-mirror canon every
+# CI run via tests/test_demoted_contract.py (now at BOTH sf0.001 and
+# the driver's own sf0.01).
 _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
-    # -- never driver-green (r02 unrun; r01 canon failures among them) --
+    # -- never driver-run: training-data sampling / mixing --
+    "sample_hash": _q_sample_hash,
+    "sample_stratified": _q_sample_stratified,
+    "mixture_weights": _q_mixture_weights,
+    # -- never driver-run: corpus hygiene / curation --
+    "domain_stats": _q_domain_stats,
+    "repetition_stats": _q_repetition_stats,
+    "decontaminate": _q_decontaminate,
+    "vocab_topk": _q_vocab_topk,
+    "dup_clusters": _q_dup_clusters,
+    "pii_scrub": _q_pii_scrub,
+    "paragraph_dedup": _q_paragraph_dedup,
+    "url_families": _q_url_families,
+    "pack_chunks": _q_pack_chunks,
+    "trending_terms": _q_trending_terms,
+    "length_hist": _q_length_hist,
+    # -- never driver-run: retrieval / text analytics --
+    "tfidf_terms": _q_tfidf,
+    "bm25_topk": _q_bm25,
+    "inverted_index": _q_inverted_index,
+    "collocations": _q_collocations,
+    "html_text": _q_html_text,
+    "boilerplate": _q_boilerplate,
+    "clean_pages": _q_clean_pages,
+    # -- never driver-run: web link graph / fetch layer --
+    "extract_links": _q_extract_links,
+    "host_graph": _q_host_graph,
+    "pagerank_hosts": _q_pagerank_hosts,
+    "host_components": _q_host_components,
+    "host_degrees": _q_host_degrees,
+    "mutual_links": _q_mutual_links,
+    "anchor_terms": _q_anchor_terms,
+    "anchor_index": _q_anchor_index,
+    "authority_pages": _q_authority_pages,
+    "crawl_frontier": _q_crawl_frontier,
+    "frontier_shards": _q_frontier_shards,
+    "robots_rules": _q_robots_rules,
+    "robots_filter": _q_robots_filter,
+    "sitemap_urls": _q_sitemap_urls,
+    # -- never driver-run: web-archive interop --
+    "surt_keys": _q_surt_keys,
+    "cdx_records": _q_cdx_records,
+    "latest_capture": _q_latest_capture,
+    "warc_export": _q_warc_export,
+    "domain_subtree": _q_domain_subtree,
+    # -- never driver-run: geospatial / trajectory / sketch --
+    "hotspots_distributed": _q_hotspots_distributed,
+    "polygon_stats": _q_polygon_stats,
+    "track_length": _q_track_length,
+    "track_cells": _q_track_cells,
+    "poly_join": _q_poly_join,
+    "interval_join": _q_interval_join,
+    "kmv_cells": _q_kmv_cells,
+    "cell_embeddings": _q_cell_embeddings,
+    # -- canaries (driver-green r01-r03; regression sentinels) --
+    "pages_derive": _q_pages_derive,
+    "verify_report": _q_verify_report,
+}
+
+# Queries outside the driver window. Every entry here was either
+# driver-green in r01-r03 (the settled surface rotated out in r4) or is
+# a twin/variant subsumed by a promoted query. All of them run through
+# tools/check_oracle's strict canon each CI run at sf0.001 AND the
+# driver's sf0.01 (tests/test_demoted_contract.py), so demotion never
+# weakens correctness evidence — it only frees driver-window slots.
+_DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    # -- r4 rotation: driver-green in r01-r03, settled --
     "multimodal_features": _q_multimodal,
     "multimodal_frames": _q_multimodal_frames,
     "exclusion_filter": _q_exclusion_filter,
@@ -1538,9 +1617,6 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "incremental_verify": _q_incremental_verify,
     "lineage": _q_lineage,
     "ann_ivf_recall": _q_ann_ivf,
-    # -- r02 driver-green --
-    "pages_derive": _q_pages_derive,
-    "verify_report": _q_verify_report,
     "verify_counts": _q_verify_counts,
     "manifest_leaf": _q_manifest_leaf,
     "merkle_ladder": _q_merkle_ladder,
@@ -1559,7 +1635,7 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "zonal_stats": _q_zonal_stats,
     "top_lang_cell": _q_top_lang_cell,
     "raster_diff": _q_raster_diff,
-    "hotspots": _q_hotspots,
+    "hotspots": _q_hotspots,  # driver union-find form; scale path promoted
     "od_matrix": _q_od_matrix,
     "raster_users": _q_raster_users,
     "fence_dwells": _q_fence_dwells,
@@ -1575,13 +1651,7 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "ann_quantized_topk": _q_ann_quantized_topk,
     "emb_neardup": _q_emb_neardup,
     "ann_lsh_recall": _q_ann_lsh,
-}
-
-# Twin/variant queries, all r02-driver-green, demoted to keep the
-# contract <= 50. Each is subsumed by a kept query (shared oracle) or is
-# a trivial derivation; tests/test_demoted_contract.py runs every one
-# through tools/check_oracle's strict canon at sf0.001 each CI run.
-_DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    # -- twins/variants, driver-green r02, demoted since r3 --
     "cell_digests": _q_cell_digests,            # base level of merkle_ladder
     "cell_digests_salted": _q_cell_digests_salted,
     "cell_digests_mergeable": _q_cell_digests_mergeable,
@@ -1591,78 +1661,21 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "pip_pages_sql": _q_pip_pages_sql,          # JVM twin of pip_pages
     "pip_counts": _q_pip_counts,                # groupBy of pip_pages
     "knn_ring": _q_knn_ring,                    # same oracle as knn
-    "knn_geodesic": _q_knn_geodesic,            # haversine metric (new r3)
     "knn_adaptive": _q_knn_adaptive,            # same oracle as knn
     "raster_zoom": _q_raster_zoom,              # same oracle as raster_cells
-    "raster_pyramid": _q_raster_pyramid,        # multi-res rollup (new r3)
     "raster_vectorize": _q_raster_vectorize,    # WKT formatting of raster_cells
     "uncompact_roundtrip": _q_uncompact_roundtrip,  # inverse of compact_cells
     "simhash_buckets": _q_simhash_buckets,      # groupBy of simhash
     "events_dedup": _q_events_dedup,            # key-set projection; streaming
                                                 # twin pytest-pinned
-    # deterministic sampling / data-mixing primitives (new r3) — born
-    # demoted: the driver window stays at the 50 settled queries
-    "sample_hash": _q_sample_hash,
-    "sample_stratified": _q_sample_stratified,
-    "mixture_weights": _q_mixture_weights,
-    "domain_stats": _q_domain_stats,            # per-domain rollup (new r3)
-    # corpus hygiene (new r3): repetition gates + benchmark decontam —
-    # born demoted; driver window stays at the 50 settled queries
-    "repetition_stats": _q_repetition_stats,
-    "decontaminate": _q_decontaminate,
-    "vocab_topk": _q_vocab_topk,
-    "polygon_stats": _q_polygon_stats,
-    # corpus hygiene round 2 (new r3, late): near-dup CLUSTERS (pairwise
-    # -> connected components), PII scrubbing, paragraph-level dedup —
-    # born demoted; driver window stays at the 50 settled queries
-    "dup_clusters": _q_dup_clusters,
-    "pii_scrub": _q_pii_scrub,
-    "paragraph_dedup": _q_paragraph_dedup,
-    "track_length": _q_track_length,  # per-user geodesic trajectory length
-    "track_cells": _q_track_cells,  # line rasterization (corridor cells)
-    "poly_join": _q_poly_join,  # polygon-polygon mask-intersection join
-    # webtext pipeline round 3 (late): canonical-URL dedup families over
-    # a planted surface-variant corpus; GPT-style sequence packing via
-    # distributed two-phase prefix sum — born demoted
-    "url_families": _q_url_families,
-    "pack_chunks": _q_pack_chunks,
-    "tfidf_terms": _q_tfidf,  # per-doc top TF-IDF terms
-    "bm25_topk": _q_bm25,  # ranked retrieval for a free-text query
-    "raster_smooth": _q_raster_smooth,  # focal 3x3 stencil over the raster
-    "tile_counts": _q_tile_counts,  # Web-Mercator XYZ/quadkey interop
-    "trending_terms": _q_trending_terms,  # per-day top-k vocabulary
-    "interval_join": _q_interval_join,  # bucketed range join (ts in [s,e])
-    "kmv_cells": _q_kmv_cells,  # mergeable distinct-count sketch ladder
-    "html_text": _q_html_text,  # WARC->WET html-to-text extraction
-    # link-graph family (new r3, continuation): WAT-style outlink
-    # records -> host edge relation -> exact-integer PageRank — born
-    # demoted; driver window stays at the 50 settled queries
-    "extract_links": _q_extract_links,
-    "host_graph": _q_host_graph,
-    "pagerank_hosts": _q_pagerank_hosts,
-    "robots_filter": _q_robots_filter,  # per-host disallow-prefix rules
-    "inverted_index": _q_inverted_index,  # term -> df + tail postings
-    "geohash_counts": _q_geohash_counts,  # public geohash raster export
-    "anchor_terms": _q_anchor_terms,  # anchor-text relevance signal
-    "crawl_frontier": _q_crawl_frontier,  # discovered-not-fetched URLs
-    "surt_keys": _q_surt_keys,  # CDX-style SURT index keys
-    "warc_export": _q_warc_export,  # WARC response-record framing
-    "host_components": _q_host_components,  # link-graph components
-    "host_degrees": _q_host_degrees,  # first-order graph features
-    "mutual_links": _q_mutual_links,  # reciprocal-pair (link-ring) signal
-    "boilerplate": _q_boilerplate,  # per-host template-paragraph detection
-    "clean_pages": _q_clean_pages,  # main-content extraction (apply half)
-    "robots_rules": _q_robots_rules,  # robots.txt -> disallow rules
-    "sitemap_urls": _q_sitemap_urls,  # sitemap XML -> frontier urls
-    "cdx_records": _q_cdx_records,  # CDX capture-index records
-    "latest_capture": _q_latest_capture,  # max-(ts,id) keeper per key
-    "authority_pages": _q_authority_pages,  # rank signal -> curation
-    "length_hist": _q_length_hist,  # log2-bucketed corpus shape
-    "domain_subtree": _q_domain_subtree,  # SURT prefix-range scan
-    "collocations": _q_collocations,  # PMI adjacent-bigram top-k
-    "anchor_index": _q_anchor_index,  # URL-level anchor-text index
-    "cell_embeddings": _q_cell_embeddings,  # geo-semantic raster sums
-    "frontier_shards": _q_frontier_shards,  # crawl-politeness sharding
+    # -- never driver-run geospatial variants deferred to the r5 window
+    #    (twin-like: metric/rollup/stencil/interop variants of queries
+    #    with driver evidence) --
+    "knn_geodesic": _q_knn_geodesic,            # haversine metric of knn
+    "raster_pyramid": _q_raster_pyramid,        # multi-res rollup of raster
+    "raster_smooth": _q_raster_smooth,          # focal 3x3 stencil
+    "tile_counts": _q_tile_counts,              # XYZ/quadkey interop twin
+    "geohash_counts": _q_geohash_counts,        # geohash interop twin
 }
 
 
@@ -1834,6 +1847,12 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "top_lang_cell": _with() + "\n" + S.sql_top_lang_per_cell(_RASTER_RES),
         # RECURSIVE must sit on the single WITH covering all CTEs
         "hotspots": "WITH RECURSIVE "
+        + P.pages_cte(LEAF)
+        + ",\n"
+        + S.sql_hotspots(_HOTSPOT_RES, _HOTSPOT_MIN),
+        # identical output contract to hotspots — the scale path must
+        # reproduce the driver-side union-find's components exactly
+        "hotspots_distributed": "WITH RECURSIVE "
         + P.pages_cte(LEAF)
         + ",\n"
         + S.sql_hotspots(_HOTSPOT_RES, _HOTSPOT_MIN),

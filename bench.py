@@ -20,6 +20,15 @@ load — the r02 battery "regression" was pure host noise):
   capability); every sample is persisted under "samples" and the
   battery-level max spread under "spread_max_pct", so a cross-round
   comparison can check the floor was actually observed quietly.
+- **contention stamps** (r4, VERDICT r3 "What's wrong" #1 / "Next round"
+  #4): every timed run samples /proc/stat around itself — hypervisor
+  steal fraction and sibling-CPU busy fraction on the cores OUTSIDE this
+  process's affinity mask (a co-tenant there still depresses us through
+  the hypervisor cycle cap). Per-run samples persist under "steal"/
+  "sibling_busy"; the record is flagged "contaminated": true when
+  spread_max_pct exceeds BENCH_SPREAD_FLAG (default 150%) or the median
+  per-run steal exceeds 5%, so a noisy window can never silently stand
+  as the round's number-of-record.
 
 The flagship throughput number runs verify_tree over a deterministically
 replicated pages table (BENCH_REPLICATION x documents, default 80) so the
@@ -75,15 +84,46 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def _pin_cpus() -> None:
+def _pin_cpus() -> "set[int]":
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # optional base offset: lets a smoke run occupy cores N..N+K while a
     # timing run owns cores 0..N-1 on the same host
     base = int(os.environ.get("SPARK_GRAFT_CPU_BASE", "0"))
     try:
         os.sched_setaffinity(0, range(base, base + cpus))
+        return set(os.sched_getaffinity(0))
     except (AttributeError, OSError, ValueError):
-        pass  # non-Linux or cgroup-restricted: run unpinned
+        return set()  # non-Linux or cgroup-restricted: run unpinned
+
+
+def _cpu_stamp(mine: "set[int]"):
+    """One /proc/stat observation: (total_jiffies, steal_jiffies,
+    busy_jiffies_on_cores_outside_my_affinity). Differencing two stamps
+    around a timed run yields the steal fraction and the sibling-tenant
+    busy fraction DURING that run — contention as recorded evidence."""
+    total = steal = sib_busy = sib_total = 0
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if not line.startswith("cpu"):
+                    break
+                name, *parts = line.split()
+                vals = [int(x) for x in parts[:8]]
+                if name == "cpu":  # aggregate line
+                    total, steal = sum(vals), vals[7]
+                elif mine and int(name[3:]) not in mine:
+                    sib_total += sum(vals)
+                    sib_busy += sum(vals) - vals[3] - vals[4]  # - idle - iowait
+    except OSError:
+        pass
+    return total, steal, sib_busy, sib_total
+
+
+def _contention(before, after) -> "tuple[float, float]":
+    dt = max(after[0] - before[0], 1)
+    steal = (after[1] - before[1]) / dt
+    sib = (after[2] - before[2]) / max(after[3] - before[3], 1)
+    return round(steal, 4), round(sib, 4)
 
 
 def _nn_bench(live) -> int:
@@ -141,7 +181,7 @@ def _pagerank_bench(live) -> int:
 
 
 def main() -> None:
-    _pin_cpus()
+    my_cores = _pin_cpus()
     spark = get_spark("bench")
 
     # -- setup (untimed): inputs materialised / file listings warmed --
@@ -223,13 +263,20 @@ def main() -> None:
         ).count(),
     }
 
-    # -- interleaved timing passes --
+    # -- interleaved timing passes, contention-stamped per run --
     samples: dict[str, list[float]] = {name: [] for name in cases}
+    steal_s: dict[str, list[float]] = {name: [] for name in cases}
+    sib_s: dict[str, list[float]] = {name: [] for name in cases}
     for _ in range(RUNS):
         for name, fn in cases.items():
+            c0 = _cpu_stamp(my_cores)
             t0 = time.perf_counter()
             fn()
-            samples[name].append(round(time.perf_counter() - t0, 3))
+            dt = time.perf_counter() - t0
+            steal, sib = _contention(c0, _cpu_stamp(my_cores))
+            samples[name].append(round(dt, 3))
+            steal_s[name].append(steal)
+            sib_s[name].append(sib)
 
     results = {name: min(s) for name, s in samples.items()}
     spread_max_pct = max(
@@ -237,6 +284,10 @@ def main() -> None:
         for s in samples.values()
         if min(s) > 0
     )
+    all_steals = sorted(v for s in steal_s.values() for v in s)
+    median_steal = all_steals[len(all_steals) // 2] if all_steals else 0.0
+    spread_flag = float(os.environ.get("BENCH_SPREAD_FLAG", "150"))
+    contaminated = spread_max_pct > spread_flag or median_steal > 0.05
     n_report = V.verify_tree(live, stored).count()
     t_verify = results["verify_tree"]
     battery_r01 = round(sum(results[n] for n in R01_NAMES), 3)
@@ -250,9 +301,13 @@ def main() -> None:
                 "battery_r01_sec": battery_r01,
                 "queries": results,
                 "samples": samples,
+                "steal": steal_s,
+                "sibling_busy": sib_s,
+                "median_steal": median_steal,
                 "spread_max_pct": spread_max_pct,
+                "contaminated": contaminated,
                 "runs": RUNS,
-                "protocol": "pinned+interleaved, min-of-runs",
+                "protocol": "pinned+interleaved, min-of-runs, contention-stamped",
                 "sf": _sf_label(SF_DIR),
                 "pages_per_sec": round(n_pages / t_verify, 1),
                 "n_pages": n_pages,

@@ -5,9 +5,14 @@ variant queries were moved out of ``queries()`` into
 ``demoted_queries()`` (VERDICT r02 "Next round" #1). This test keeps
 every demoted query under the SAME strict driver-mirror canon
 (tools/check_oracle.py: toPandas vs duckdb .df(), name-sorted columns,
-all-column row sort, str()-exact value hash) at sf0.001, so demotion
-never weakens the correctness evidence — it only frees driver-window
-slots for queries that still need first-time driver runs.
+all-column row sort, str()-exact value hash), so demotion never weakens
+the correctness evidence — it only frees driver-window slots for
+queries that still need first-time driver runs.
+
+Round-4 hardening (VERDICT r3 "Next round" #2): the gate runs at BOTH
+sf0.001 (fast smoke) and sf0.01 — the driver's own scale factor — so a
+demoted query has exactly the evidence a contract query gets from the
+driver, at the same data scale.
 """
 
 from __future__ import annotations
@@ -17,16 +22,16 @@ import pytest
 import __spark_entry__ as entrymod
 from tools.check_oracle import check_one, make_oracle_con
 
-SF0001 = "/root/testdata/sf0.001"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 _DEMOTED = entrymod.demoted_queries()
 _ORACLES = entrymod.demoted_oracle_sql()
 
 
-@pytest.fixture(scope="module")
-def oracle_con():
-    con = make_oracle_con(SF0001)
-    yield con
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.001", "sf0.01"])
+def sf_oracle(request):
+    con = make_oracle_con(request.param)
+    yield request.param, con
     con.close()
 
 
@@ -38,8 +43,9 @@ def test_demoted_registry_disjoint_from_contract():
 
 
 @pytest.mark.parametrize("name", sorted(_DEMOTED))
-def test_demoted_query_matches_oracle(spark, oracle_con, name):
+def test_demoted_query_matches_oracle(spark, sf_oracle, name):
+    sf_dir, oracle_con = sf_oracle
     err = check_one(
-        spark, oracle_con, SF0001, name, _DEMOTED[name], _ORACLES.get(name)
+        spark, oracle_con, sf_dir, name, _DEMOTED[name], _ORACLES.get(name)
     )
     assert err is None, f"{name}: {err}"
