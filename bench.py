@@ -127,9 +127,12 @@ def _contention(before, after) -> "tuple[float, float]":
 
 
 def _nn_bench(live) -> int:
+    # no explicit ladder: the density probe picks the level (res 8 at
+    # this density — the same level r3 hand-tuned), so the bench leg
+    # times the production path probe included
     src = live.select("url", "lat", "lon").persist()
     try:
-        return S.nn_join(src, src, resolutions=(8,)).count()
+        return S.nn_join(src, src).count()
     finally:
         src.unpersist()
 

@@ -1436,6 +1436,83 @@ def _argmin_pair(cand: DataFrame) -> DataFrame:
     ).select("url", F.col("b.nn_url").alias("nn_url"), F.col("b.dist2").alias("dist2"))
 
 
+def nn_probe_res(
+    right: DataFrame,
+    target: float = 2.0,
+    fraction: float = 1.0 / 64.0,
+    key: str = "url",
+    finest: int = 9,
+) -> int:
+    """Density-adaptive finest resolution for nn_join's ladder (VERDICT
+    r3 "Next round" #5): the finest res whose estimated mean occupancy
+    of OCCUPIED cells is >= ``target`` rows/cell — cheap to join (a 3x3
+    disk carries ~9*target candidates) yet dense enough that the ring
+    guarantee certifies almost every row at the first level
+    (P(uncertified) ~ e^(-3*lambda) under the uniform model).
+
+    Cost: ONE deterministic hash_sample scan of (key, lat, lon) + one
+    groupBy at ``finest`` over the sampled rows + one tiny rollup agg —
+    no driver iteration over data. The per-res occupied-cell counts are
+    derived from the finest grouping via cell_parent (pure bit
+    arithmetic), so the rollup's multi-distinct Expand runs over the
+    <=|sample| aggregated relation, never the corpus.
+
+    The sample thins each cell's count Binomial(fraction); the observed
+    mean occupancy of cells *seen in the sample* therefore overestimates
+    nothing but UNDERCOUNTS cells (a cell is invisible iff all its rows
+    were dropped). Under a Poisson(lambda*fraction) occupancy model the
+    observed mean is m/(1-e^(-m)) with m = lambda*fraction — inverted
+    driver-side (scalar bisection) to de-bias lambda. Exact for the
+    synthetic sha256-uniform geocode; an approximation on clustered
+    corpora (documented, and the explicit res0/resolutions overrides
+    remain).
+    """
+    from fileverification_spark.operators.sampling import hash_sample
+
+    grid._check_res(finest)
+    sample = hash_sample(right.select(key, "lat", "lon"), key, fraction)
+    per_cell = sample.groupBy(
+        grid.cell_encode(F.col("lat"), F.col("lon"), finest).alias("c")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    aggs = [F.sum("n").alias("n_s")] + [
+        F.countDistinct(
+            grid.cell_parent(F.col("c"), finest, r)
+        ).alias(f"d{r}")
+        for r in range(1, finest + 1)
+    ]
+    row = per_cell.agg(*aggs).collect()[0]
+    n_s = row["n_s"] or 0
+    if n_s < 256 and fraction < 1.0:
+        # sample too thin to estimate occupancy (tiny right side):
+        # re-probe unsampled — the relation is small, so the full
+        # scan costs less than the mis-picked ladder would
+        return nn_probe_res(
+            right, target=target, fraction=1.0, key=key, finest=finest
+        )
+    if n_s == 0:
+        return 5  # empty/degenerate right side: the historical default
+
+    def _invert(occ: float) -> float:
+        # solve occ = m / (1 - e^(-m)) for m (monotone, occ >= 1)
+        if occ <= 1.0 + 1e-9:
+            return max(2.0 * (occ - 1.0), 1e-12)  # Taylor: occ ~ 1 + m/2
+        lo, hi = 1e-12, occ + 60.0  # g(m) ~ m for large m
+        for _ in range(80):
+            mid = (lo + hi) / 2.0
+            if mid / (1.0 - math.exp(-mid)) < occ:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2.0
+
+    for r in range(finest, 0, -1):
+        occ_s = n_s / row[f"d{r}"]
+        lam = _invert(occ_s) / fraction
+        if lam >= target:
+            return r
+    return 1
+
+
 def nn_join_with_tail(
     left: DataFrame,
     right: DataFrame,
@@ -1489,10 +1566,28 @@ def nn_join_with_tail(
     Choose the finest level so mean cell occupancy is O(1..100) rows
     (res ~ log2(sqrt(area/n_right)) finer side); the coarser levels exist
     only to certify sparse regions.
+
+    Ladder selection (r4, VERDICT r3 "Next round" #5):
+
+    - ``resolutions`` given → used verbatim (full control).
+    - ``res0`` given → the documented 3-level (res0, res0-2, res0-4)
+      ladder (explicit override, unchanged semantics).
+    - neither → **density-adaptive**: ``nn_probe_res(right)`` picks the
+      finest res with estimated occupancy >= ~2 rows/cell, and the
+      ladder is that SINGLE level + the k=4 wide-disk escalation —
+      measured fastest at bench density (every extra level re-keys and
+      re-scans the right side even when its input is empty; the k
+      escalation covers sparse regions the way coarser levels did).
+      The old density-blind default was (5, 3, 1) regardless of the
+      right side.
     """
     if resolutions is None:
-        r0 = 5 if res0 is None else res0
-        resolutions = tuple(dict.fromkeys(max(1, r0 - 2 * i) for i in range(3)))
+        if res0 is None:
+            resolutions = (nn_probe_res(right),)
+        else:
+            resolutions = tuple(
+                dict.fromkeys(max(1, res0 - 2 * i) for i in range(3))
+            )
     if not resolutions or any(r < 1 for r in resolutions):
         raise ValueError("resolutions must be >= 1")
     # escalation levels: widen the disk at the coarsest res before the

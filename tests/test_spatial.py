@@ -371,6 +371,32 @@ def test_top_lang_per_cell_semantics_and_plan(spark, pages_small):
     assert "WindowGroupLimit" in formatted_plan(top)
 
 
+def test_nn_probe_res_tracks_density(spark, pages_small):
+    """The density-adaptive ladder pick (VERDICT r3 #5): finer res for
+    denser right sides, pinned on two uniform densities plus the tiny
+    fixture (which exercises the thin-sample full-reprobe fallback)."""
+    from pyspark.sql import functions as F
+
+    def uniform_points(n):
+        u = F.col("id").cast("string")
+        h1 = F.abs(F.hash(u)).cast("bigint") % 1000000
+        h2 = F.abs(F.hash(F.concat(u, F.lit("x")))).cast("bigint") % 1000000
+        return spark.range(n).select(
+            u.alias("url"),
+            (h1 / 1000000.0 * 180.0 - 90.0).alias("lat"),
+            (h2 / 1000000.0 * 360.0 - 180.0).alias("lon"),
+        )
+
+    # 100k uniform points: res 8 intensity ~0.76 < 2, res 7 ~3.05 -> 7
+    assert S.nn_probe_res(uniform_points(100_000)) == 7
+    # 400k (the bench density): res 8 intensity ~3.05 >= 2 -> 8, the
+    # level the r3 bench measured fastest by hand
+    assert S.nn_probe_res(uniform_points(400_000)) == 8
+    # 500-row fixture: the 1/64 sample is too thin (<256 rows), so the
+    # probe re-runs unsampled and picks a coarse level
+    assert S.nn_probe_res(pages_small) == 3
+
+
 def test_nn_join_matches_bruteforce(spark, pages_small):
     """Ring-escalation NN join == exact window-over-cross-join, including
     when forced through several escalation levels (coarse start res)."""

@@ -168,22 +168,36 @@ def job():
     # link-graph job: WAT extraction (3 anchor regexps per page) ->
     # host edge aggregation -> 3 exact-integer PageRank iterations.
     # Edges persisted inside the timed region (one extraction pass per
-    # run; the iteration ladder then works on the 4096-host relation)
+    # run; the iteration ladder then works on the host relation).
+    #
+    # The host count scales WITH the corpus (n/256 hosts, floor 4096),
+    # and each host fans out to <=48 distinct targets (3 anchors x 16
+    # spread values from high hash bits), so the aggregated edge
+    # relation is ~0.19n rows and the ladder's per-iteration shuffles
+    # are data-proportional in the measurement. The r3 form pinned
+    # _H=4096 regardless of corpus size, which made the ladder pure
+    # width-independent stage-barrier latency and dragged raw 4->16
+    # efficiency to 0.71-0.75 (VERDICT r3 "Next round" #3) — that shape
+    # measured the sandbox's scheduler, not the operator.
     "linkgraph": r"""
 from fileverification_spark.operators import graph as GR
 from pyspark.sql import functions as F
 
-_H = 4096
+_H = max(4096, n // 256)
 
 def _links():
     d = F.abs(F.hash("url")).cast("bigint")
+    src = d % _H
+    sp = F.shiftright(d, 18) % 16
     def site(expr):
         return F.concat(F.lit('<a href="https://site'),
                         (expr % _H).cast("string"),
                         F.lit('.example.net/p">fast join</a>'))
-    html = F.concat(site(d * 3 + 1), site(d * 5 + 2), site(d * 7))
+    html = F.concat(site(src * 3 + 1 + sp * 5),
+                    site(src * 5 + 2 + sp * 11),
+                    site(src * 7 + sp * 17))
     return live.select(
-        F.concat(F.lit("https://site"), (d % _H).cast("string"),
+        F.concat(F.lit("https://site"), src.cast("string"),
                  F.lit(".example.net/p/"),
                  F.col("doc_id").cast("string")).alias("url"),
         F.encode(html, "UTF-8").alias("html"))
@@ -204,28 +218,29 @@ def job():
         for h in handles:
             h.unpersist(blocking=True)
 """,
-    # the data-proportional HALF of linkgraph: extraction + edge
-    # aggregation only, no iteration ladder — no caches, so no
-    # cross-run cache-reuse guard needed. Separating the two isolates
-    # the Amdahl split: at the sandbox's 4096-host graph the PageRank
-    # ladder is pure width-independent latency (~10 s of tiny-relation
-    # stage barriers + scalar broadcasts), while on a real 1e8-host
-    # graph the ladder is data-proportional work
+    # the extraction + edge-aggregation half of linkgraph, no iteration
+    # ladder — no caches, so no cross-run cache-reuse guard needed.
+    # Same corpus-proportional host count as linkgraph (n/256 hosts,
+    # <=48 out-edges each), so the aggregation output is ~0.19n rows.
     "hostgraph": r"""
 from fileverification_spark.operators import graph as GR
 from pyspark.sql import functions as F
 
-_H = 4096
+_H = max(4096, n // 256)
 
 def _links():
     d = F.abs(F.hash("url")).cast("bigint")
+    src = d % _H
+    sp = F.shiftright(d, 18) % 16
     def site(expr):
         return F.concat(F.lit('<a href="https://site'),
                         (expr % _H).cast("string"),
                         F.lit('.example.net/p">fast join</a>'))
-    html = F.concat(site(d * 3 + 1), site(d * 5 + 2), site(d * 7))
+    html = F.concat(site(src * 3 + 1 + sp * 5),
+                    site(src * 5 + 2 + sp * 11),
+                    site(src * 7 + sp * 17))
     return live.select(
-        F.concat(F.lit("https://site"), (d % _H).cast("string"),
+        F.concat(F.lit("https://site"), src.cast("string"),
                  F.lit(".example.net/p/"),
                  F.col("doc_id").cast("string")).alias("url"),
         F.encode(html, "UTF-8").alias("html"))
@@ -264,12 +279,14 @@ JOB_DESCS = {
     ),
     "linkgraph": (
         "Link-graph job: WAT outlink extraction (3 anchor regexps/page) "
-        "-> host\nedge aggregation (4096 hosts) -> 3 exact-integer "
-        "PageRank iterations"
+        "-> host\nedge aggregation (n/256 hosts, <=48 out-edges each -> "
+        "~0.19n edge rows)\n-> 3 exact-integer PageRank iterations "
+        "(data-proportional ladder)"
     ),
     "hostgraph": (
-        "Host-edge aggregation only (the data-proportional half of "
-        "linkgraph):\nWAT host extraction -> (src, dst, w) hash-agg"
+        "Host-edge aggregation only (extraction half of linkgraph): WAT "
+        "host\nextraction -> (src, dst, w) hash-agg over n/256 hosts "
+        "(~0.19n edge rows)"
     ),
 }
 
