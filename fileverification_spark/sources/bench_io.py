@@ -46,6 +46,59 @@ def materialise(
     return pages_path, man_path
 
 
+def materialise_links(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    n_files: int = 64,
+) -> str:
+    """Write a deterministic (url, html:binary) link corpus next to the
+    materialised pages table; returns its path. Production link jobs
+    extract from STORED pages (Common-Crawl WARC/WAT on disk), so the
+    scaling benchmark must time scan -> extract -> aggregate, not an
+    in-DAG synthetic generator whose concat/encode churn is data
+    *generation*, not the operator under test.
+
+    Host universe scales with the corpus (``max(4096, n // 256)`` hosts,
+    <=48 distinct out-targets per host from 3 anchors x 16 hash-spread
+    values), so downstream per-iteration shuffles stay data-proportional.
+    Idempotent per pages table (``_DONE_LINKS`` marker).
+    """
+    links_path = os.path.join(out_dir, "links")
+    done = os.path.join(out_dir, "_DONE_LINKS")
+    if os.path.exists(done):
+        return links_path
+    raw = spark.read.parquet(pages_path)
+    n = raw.count()
+    n_hosts = max(4096, n // 256)
+    d = F.abs(F.hash("url")).cast("bigint")
+    src = d % n_hosts
+    sp = F.shiftright(d, 18) % 16
+
+    def site(expr):
+        return F.concat(
+            F.lit('<a href="https://site'),
+            (expr % n_hosts).cast("string"),
+            F.lit('.example.net/p">fast join</a>'),
+        )
+
+    html = F.concat(
+        site(src * 3 + 1 + sp * 5),
+        site(src * 5 + 2 + sp * 11),
+        site(src * 7 + sp * 17),
+    )
+    links = raw.select(
+        F.concat(
+            F.lit("https://site"), src.cast("string"),
+            F.lit(".example.net/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    links.repartition(n_files, "url").write.mode("overwrite").parquet(links_path)
+    open(done, "w").write("ok")
+    return links_path
+
+
 def read_live(spark: SparkSession, pages_path: str, res: int = P.LEAF_RES) -> DataFrame:
     return P.with_derived(spark.read.parquet(pages_path), res=res)
 

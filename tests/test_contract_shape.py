@@ -27,12 +27,20 @@ def test_no_name_collisions():
     assert not both, both
 
 
-def test_never_driver_green_queries_lead():
-    """The six r01 canon failures + first-time runs must stay inside the
-    window (they were ordered first in r3 precisely so the driver
-    finally executes them)."""
-    order = list(E.queries())
-    for name in ("multimodal_features", "windowed_counts", "sessionize",
-                 "tpch_pricing", "orders_by_nation", "lineage",
-                 "ann_ivf_recall", "geofence_alerts"):
-        assert name in order[:20], (name, order.index(name))
+def test_window_carries_never_driver_run_queries():
+    """Round-4 rotation (VERDICT r03 "Next round" #1): the 50-query window
+    must be spent on queries that have never been driver-executed. Anything
+    that already earned a green CORRECTNESS_r03 row belongs in the demoted
+    registry — except the two regression canaries kept on purpose."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
+    r03 = json.load(open(path))
+    r03_green = {name for name, row in r03.items()
+                 if row.get("rows_match") and row.get("hash_match")}
+    canaries = {"pages_derive", "verify_report"}
+    stale = (set(E.queries()) & r03_green) - canaries
+    assert not stale, (
+        "driver-green-in-r03 queries occupying the rotation window", stale)
+    assert canaries <= set(E.queries())
