@@ -559,6 +559,25 @@ def _q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return D.paragraph_dedup(_para_docs(spark, sf))
 
 
+def _q_domain_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    # exact per-domain length order statistics (two-phase: agg on
+    # (domain, len) first, window over DISTINCT lens only)
+    return CUR.domain_quantiles(P.pages(spark, sf))
+
+
+def _q_shingle_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # exact-substring duplicate shingles (Lee et al. ExactSubstr,
+    # strided) over the RAW documents table — the synthetic corpus
+    # contains real shared 32-char prefixes across docs
+    return D.shingle_duplicates(_docs(spark, sf))
+
+
+def _q_cocite_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    # co-citation over the planted link graph: hosts linked by the
+    # SAME citing host (capped top-16 out-edges per citer)
+    return GR.cocitation(GR.host_edges(_link_planted(spark, sf)))
+
+
 # planted-URL corpus: deterministic surface-variant URLs keyed on doc_id
 # residues — scheme/host case, www., default AND non-default ports,
 # trailing slash, tracking params, fragments — so every canonicalization
@@ -1676,6 +1695,12 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "raster_smooth": _q_raster_smooth,          # focal 3x3 stencil
     "tile_counts": _q_tile_counts,              # XYZ/quadkey interop twin
     "geohash_counts": _q_geohash_counts,        # geohash interop twin
+    # -- new in r4 (never driver-run: first in line for the r5 window) --
+    "domain_quantiles": _q_domain_quantiles,    # exact per-domain length
+                                                # order statistics
+    "shingle_dups": _q_shingle_dups,            # ExactSubstr-style strided
+                                                # duplicate shingles
+    "cocite_hosts": _q_cocite_hosts,            # capped co-citation pairs
 }
 
 
@@ -1898,6 +1923,11 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "dup_clusters": D.sql_duplicate_clusters_query(),
         "pii_scrub": SCRUB.sql_pii_scrub_query(_SQL_PII_PLANTED),
         "paragraph_dedup": D.sql_paragraph_dedup_query(_SQL_PARA_DOCS),
+        "domain_quantiles": _with() + "\n" + CUR.sql_domain_quantiles(),
+        "shingle_dups": D.sql_shingle_duplicates_query(),
+        "cocite_hosts": GR.sql_cocitation(
+            _sql_host_edges(_SQL_LINK_PLANTED)
+        ),
         "url_families": f"""
 SELECT canonical_url, MIN(doc_id) AS keeper_id,
        COUNT(*) AS n_variants

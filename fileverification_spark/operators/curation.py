@@ -154,6 +154,76 @@ def domain_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+def domain_quantiles(pages: DataFrame) -> DataFrame:
+    """Per-domain EXACT doc-length order statistics
+    ``(domain, n_pages, p50_len, p90_len, p99_len, max_len)`` — the
+    distribution shape a per-domain quality/sampling policy reads (the
+    reference's closest analogue is the per-folder rollup,
+    FV/PathInfo.cs:459; quantiles are the webtext upgrade of counts).
+
+    Exact, not approx: percentile_approx would not hash-match an oracle
+    and its error is unbounded on adversarial distributions. The trick
+    that keeps EXACT affordable at 100 TB is aggregating BEFORE sorting:
+    phase 1 is a hash-groupBy on (domain, len) — so the per-domain
+    window in phase 2 sorts DISTINCT lengths (bounded by the length
+    range, thousands), never the domain's raw rows (possibly billions
+    for a giant host). The quantile index is pure integer arithmetic
+    (``(n-1)*q_num div q_den + 1`` — the 1-based lower-discrete rank),
+    so both engines pick the identical element; no float rounding.
+    """
+    from pyspark.sql.window import Window
+
+    g = (
+        pages.select(
+            F.regexp_extract(F.col("url"), DOMAIN_RE, 1).alias("domain"),
+            F.length("text").cast("bigint").alias("len"),
+        )
+        .groupBy("domain", "len")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = F.sum("cnt").over(Window.partitionBy("domain").orderBy("len"))
+    n = F.sum("cnt").over(Window.partitionBy("domain"))
+    c = g.select("domain", "len", cum.alias("cum"), n.alias("n"))
+
+    def pick(q_num: int, q_den: int) -> F.Column:
+        k = F.expr(f"(n - 1) * {q_num} div {q_den}") + 1
+        return F.min(F.when(F.col("cum") >= k, F.col("len")))
+
+    return c.groupBy("domain").agg(
+        F.max("n").cast("bigint").alias("n_pages"),
+        pick(1, 2).alias("p50_len"),
+        pick(9, 10).alias("p90_len"),
+        pick(99, 100).alias("p99_len"),
+        F.max("len").alias("max_len"),
+    )
+
+
+def sql_domain_quantiles(pages_rel: str = "pages") -> str:
+    """Oracle: identical two-phase rank arithmetic (integer div)."""
+
+    def pick(q_num: int, q_den: int, alias: str) -> str:
+        return (
+            f"min(CASE WHEN cum >= (n - 1) * {q_num} // {q_den} + 1 "
+            f"THEN len END) AS {alias}"
+        )
+
+    return f"""SELECT domain,
+       CAST(max(n) AS BIGINT) AS n_pages,
+       {pick(1, 2, 'p50_len')},
+       {pick(9, 10, 'p90_len')},
+       {pick(99, 100, 'p99_len')},
+       max(len) AS max_len
+FROM (
+  SELECT domain, len,
+         sum(cnt) OVER (PARTITION BY domain ORDER BY len) AS cum,
+         sum(cnt) OVER (PARTITION BY domain) AS n
+  FROM (SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
+               CAST(length(text) AS BIGINT) AS len,
+               count(*) AS cnt
+        FROM {pages_rel} GROUP BY 1, 2) g) c
+GROUP BY domain"""
+
+
 def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     """Corpus vocabulary heavy hitters — the statistic a tokenizer-
     training / vocab-estimation pass needs: for the top-``k`` tokens by

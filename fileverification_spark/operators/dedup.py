@@ -562,6 +562,88 @@ def paragraph_dedup(
     )
 
 
+#: exact-substring dedup window / stride (chars). 32/16 overlaps every
+#: 16-char phase, so any shared run >= window+stride-1 = 47 chars that
+#: starts at equal offsets mod stride is guaranteed to collide.
+DUP_WINDOW = 32
+DUP_STRIDE = 16
+
+
+def shingle_duplicates(
+    docs: DataFrame,
+    window: int = DUP_WINDOW,
+    stride: int = DUP_STRIDE,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate report à la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): every
+    stride-aligned ``window``-char substring is content-hashed; a
+    shingle present in >= ``min_docs`` DISTINCT docs is a verbatim
+    cross-document copy (licence blocks, templated headers, mirrored
+    articles) — the signal ExactSubstr dedup cuts at.
+
+    Returns (shingle_sha, n_docs, n_occs, first_doc). This is the
+    strided approximation of the paper's suffix-array pass: a suffix
+    array is inherently sequential; the strided form is ONE
+    narrow map (sequence -> transform -> sha2, all codegen'd, ~len/stride
+    rows per doc) + ONE hash-groupBy on a uniform 256-bit key — the
+    same shuffle shape as dedup_exact, so it pipelines with the scan at
+    100 TB. Detection guarantee: shared runs >= window+stride-1 chars at
+    equal offsets mod stride always collide; unaligned copies are caught
+    probabilistically (window/stride=2 phases). first_doc/min are
+    order-independent aggregates (partial-aggregatable, engine-stable).
+    """
+    t = F.col("text")
+    positions = F.sequence(
+        F.lit(1), F.length(t) - window + 1, F.lit(stride)
+    )
+    ex = docs.where(F.length(t) >= window).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                positions,
+                lambda p: F.upper(F.sha2(t.substr(p, F.lit(window)), 256)),
+            )
+        ).alias("shingle_sha"),
+    )
+    return (
+        ex.groupBy("shingle_sha")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def sql_shingle_duplicates_query(
+    docs_rel: str = "documents",
+    window: int = DUP_WINDOW,
+    stride: int = DUP_STRIDE,
+    min_docs: int = 2,
+) -> str:
+    """Oracle: identical positions via generate_series (inclusive, like
+    Spark sequence) + substr + sha256, HAVING on the distinct-doc count."""
+    return f"""
+WITH shingles AS (
+  SELECT doc_id,
+         upper(sha256(substr(text, CAST(p AS BIGINT), {window})))
+           AS shingle_sha
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {window} + 1,
+                                  {stride})) AS p
+    FROM {docs_rel} WHERE length(text) >= {window})
+)
+SELECT shingle_sha,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occs,
+       min(doc_id) AS first_doc
+FROM shingles
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}"""
+
+
 def sql_paragraph_dedup_query(
     docs_rel: str = "documents", sep: str = "\n\n", text_expr: str = "text"
 ) -> str:

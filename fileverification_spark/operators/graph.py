@@ -589,6 +589,73 @@ JOIN (SELECT dst AS host_a, src AS host_b, w AS w_ba
   USING (host_a, host_b)"""
 
 
+#: co-citation out-neighbour cap: each citing host contributes only its
+#: top-N strongest out-edges to pair generation, bounding fan-out per
+#: citer at N*(N-1)/2 regardless of hub out-degree.
+COCITE_CAP = 16
+
+
+def cocitation(
+    edges: DataFrame, cap: int = COCITE_CAP, min_common: int = 2
+) -> DataFrame:
+    """Host co-citation similarity (Small 1973): hosts ``(h1, h2)`` with
+    ``h1 < h2`` are related when the SAME source host links to both;
+    ``n_common`` counts such co-citing sources. The classic related-site
+    / topic-cluster signal over the crawl link graph (complements
+    :func:`mutual_links`, which needs a direct reciprocal edge).
+
+    The naive self-join on ``src`` is quadratic in out-degree — a
+    directory hub with 1e5 out-links alone yields 5e9 pairs. Candidate
+    generation is therefore capped: a per-src window keeps only the
+    ``cap`` strongest out-edges (weight desc, dst asc — deterministic
+    under ties), so every citer contributes <= cap*(cap-1)/2 pairs and
+    total pair volume is linear in hosts. Both the window and the
+    self-join hash-partition on ``src`` — one shuffle, the join is
+    co-partitioned — and the final pair count is a partial-aggregatable
+    hash-agg on (h1, h2).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    top = (
+        edges.select("src", "dst", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.dst").alias("h1"), F.col("b.dst").alias("h2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
+def sql_cocitation(
+    edges_rel: str, cap: int = COCITE_CAP, min_common: int = 2
+) -> str:
+    """Oracle: identical window cap + self-join + HAVING."""
+    return f"""SELECT a.dst AS h1, b.dst AS h2,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM (SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM ({edges_rel}) e) r WHERE rn <= {cap}) a
+JOIN (SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM ({edges_rel}) e) r WHERE rn <= {cap}) b
+  ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2 HAVING count(*) >= {min_common}"""
+
+
 def anchor_index(pages: DataFrame) -> DataFrame:
     """URL-level anchor index: for every FETCHED page, the terms other
     pages use in anchors pointing at it — ``(url, term, n)``. This is
