@@ -1306,6 +1306,21 @@ def _q_pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
     return GR.pagerank(edges, iters=_PAGERANK_ITERS)
 
 
+def _q_hits_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    # exact-integer HITS hubs/authorities over the planted link graph
+    return GR.hits(GR.host_edges(_link_planted(spark, sf)), iters=3)
+
+
+def _sql_hits_hosts() -> str:
+    parts = [f"edges AS ({_sql_host_edges(_SQL_LINK_PLANTED)})"]
+    parts += GR.sql_hits_parts("edges", iters=3)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT node, hub, auth FROM hits3"
+    )
+
+
 def _sql_pagerank_hosts() -> str:
     parts = [f"edges AS ({_sql_host_edges(_SQL_LINK_PLANTED)})"]
     parts += GR.sql_pagerank_parts("edges", iters=_PAGERANK_ITERS)
@@ -1701,6 +1716,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "shingle_dups": _q_shingle_dups,            # ExactSubstr-style strided
                                                 # duplicate shingles
     "cocite_hosts": _q_cocite_hosts,            # capped co-citation pairs
+    "hits_hosts": _q_hits_hosts,                # exact-int64 HITS ladder
 }
 
 
@@ -1950,6 +1966,7 @@ FROM events e JOIN sess s
         "extract_links": _sql_extract_links(),
         "host_graph": _sql_host_edges(_SQL_LINK_PLANTED),
         "pagerank_hosts": _sql_pagerank_hosts(),
+        "hits_hosts": _sql_hits_hosts(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

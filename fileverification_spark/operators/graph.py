@@ -306,6 +306,161 @@ def pagerank_resumable(
 # DuckDB oracle mirror — CTE parts for the contract's _with() assembler
 # ---------------------------------------------------------------------------
 
+#: HITS fixed-point scale. Smaller than RANK_SCALE because the
+#: normalization multiplies two scaled values before dividing: the
+#: preflight bound is scale^2 * max_weighted_degree < 2^63.
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = HITS_SCALE,
+    persist: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1998, JACM 46(5)) over
+    ``(src, dst, w)`` in exact int64 arithmetic: returns
+    ``(node, hub, auth)`` after ``iters`` synchronous rounds, each value
+    in ``[0, scale]`` with the round's best hub/authority pinned at
+    exactly ``scale`` (max-normalization — the integer-friendly variant:
+    one multiply + one truncating divide per node, no square roots).
+
+    Update rule (all terms non-negative, division truncates, so Spark
+    ``div`` == DuckDB ``//`` exactly):
+
+        a_raw(v) = Σ_{(u,v,w)} hub(u) * w
+        auth(v)  = (a_raw(v) * scale) div max(1, max_v a_raw(v))
+        h_raw(u) = Σ_{(u,v,w)} auth(v) * w
+        hub(u)   = (h_raw(u) * scale) div max(1, max_u h_raw(u))
+
+    Same distribution discipline as :func:`pagerank`: the per-iteration
+    shuffles are the two edge-keyed joins + two node aggs (never the
+    pages relation), the 1-row max relations are broadcast, and the
+    whole ladder persists per iteration (pass ``handles`` to unpersist
+    between timed runs — see pagerank's cache-reuse warning).
+
+    Fail-loud overflow preflight: the normalization product is bounded
+    by ``scale^2 * max(weighted in-degree, weighted out-degree)``; if
+    that exceeds int64 the call raises with the largest safe ``scale``
+    instead of wrapping silently (same contract as pagerank's).
+    """
+
+    def _p(df: DataFrame) -> DataFrame:
+        if persist:
+            df = df.persist()
+            if handles is not None:
+                handles.append(df)
+        return df
+
+    e = _p(edges.select("src", "dst", "w"))
+    deg = (
+        e.groupBy("dst").agg(F.sum("w").cast("long").alias("d"))
+        .select("d")
+        .union(e.groupBy("src").agg(F.sum("w").cast("long").alias("d"))
+               .select("d"))
+        .agg(F.max("d").alias("md"))
+        .collect()[0]
+    )
+    max_deg = deg["md"] or 1
+    if scale * scale * max_deg > 2**63 - 1:
+        import math
+
+        safe = math.isqrt((2**63 - 1) // max_deg)
+        raise ValueError(
+            f"hits int64 overflow: scale^2 * max_weighted_degree = "
+            f"{scale * scale * max_deg} > 2^63-1 (max_degree={max_deg}); "
+            f"rerun with scale <= {safe} in BOTH the Spark call and its "
+            f"oracle"
+        )
+    nodes = _p(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(
+            F.greatest(F.lit(1).cast("long"),
+                       F.coalesce(F.max("raw"), F.lit(0)).cast("long"))
+            .alias("mx")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((coalesce(raw, CAST(0 AS BIGINT)) * {scale})"
+                    f" div mx AS BIGINT)"
+                ).alias(col),
+            )
+        )
+
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .select(F.col("dst").alias("node"),
+                    F.expr("hub * w").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("raw"))
+        )
+        auth = _p(_norm(a_raw, "auth"))
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(F.col("src").alias("node"),
+                    F.expr("auth * w").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("raw"))
+        )
+        hub = _p(_norm(h_raw, "hub"))
+    out = hub.join(auth, "node")
+    if persist and handles is not None:
+        handles.append(out)
+    return out
+
+
+def sql_hits_parts(
+    edges_cte: str, iters: int = 3, scale: int = HITS_SCALE
+) -> list[str]:
+    """CTE definitions (no WITH — the contract's ``_with()`` opens the
+    clause) replaying :func:`hits`; final (node, hub, auth) in CTE
+    ``hits{iters}``. Same DuckDB notes as sql_pagerank_parts: every SUM
+    cast back from HUGEINT, ``//`` == Spark ``div`` on non-negatives."""
+    parts = [
+        f"hnodes AS (SELECT src AS node FROM {edges_cte} "
+        f"UNION SELECT dst FROM {edges_cte})",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM hnodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"ar{i} AS (SELECT e.dst AS node, CAST(SUM(h.hub * e.w) AS"
+            f" BIGINT) AS raw FROM {edges_cte} e"
+            f" JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst)",
+            f"am{i} AS (SELECT GREATEST(CAST(1 AS BIGINT),"
+            f" CAST(COALESCE(MAX(raw), 0) AS BIGINT)) AS mx FROM ar{i})",
+            f"a{i} AS (SELECT n.node, CAST((COALESCE(r.raw, CAST(0 AS"
+            f" BIGINT)) * {scale}) // m.mx AS BIGINT) AS auth"
+            f" FROM hnodes n LEFT JOIN ar{i} r ON n.node = r.node,"
+            f" am{i} m)",
+            f"hr{i} AS (SELECT e.src AS node, CAST(SUM(a.auth * e.w) AS"
+            f" BIGINT) AS raw FROM {edges_cte} e"
+            f" JOIN a{i} a ON a.node = e.dst GROUP BY e.src)",
+            f"hm{i} AS (SELECT GREATEST(CAST(1 AS BIGINT),"
+            f" CAST(COALESCE(MAX(raw), 0) AS BIGINT)) AS mx FROM hr{i})",
+            f"h{i} AS (SELECT n.node, CAST((COALESCE(r.raw, CAST(0 AS"
+            f" BIGINT)) * {scale}) // m.mx AS BIGINT) AS hub"
+            f" FROM hnodes n LEFT JOIN hr{i} r ON n.node = r.node,"
+            f" hm{i} m)",
+        ]
+    parts.append(
+        f"hits{iters} AS (SELECT h.node, h.hub, a.auth"
+        f" FROM h{iters} h JOIN a{iters} a ON h.node = a.node)"
+    )
+    return parts
+
+
 def sql_pagerank_parts(
     edges_cte: str,
     iters: int = 5,

@@ -127,3 +127,47 @@ def test_cocitation_tie_break_deterministic(spark):
     e = _edges(spark, [("s", d, 1) for d in ("d4", "d1", "d3", "d2")])
     out = GR.cocitation(e, cap=2, min_common=1).collect()
     assert {(r["h1"], r["h2"]) for r in out} == {("d1", "d2")}
+
+
+# ---------------------------------------------------------------------------
+# hits (exact-integer hubs & authorities)
+# ---------------------------------------------------------------------------
+
+def _hits_py(edges, iters, scale):
+    """Pure-Python replay of graph.hits' exact max-normalized update."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        a_raw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            a_raw[d] += hub[s] * w
+        mx = max(1, max(a_raw.values(), default=0))
+        auth = {n: (a_raw[n] * scale) // mx for n in nodes}
+        h_raw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            h_raw[s] += auth[d] * w
+        mx = max(1, max(h_raw.values(), default=0))
+        hub = {n: (h_raw[n] * scale) // mx for n in nodes}
+    return hub, auth
+
+
+def test_hits_matches_python_replay_bit_for_bit(spark):
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 3),
+             ("d", "c", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in GR.hits(df, iters=3, scale=10**6).collect()}
+    hub, auth = _hits_py(edges, 3, 10**6)
+    assert got == {n: (hub[n], auth[n]) for n in hub}
+    # c collects every edge but d's: it must be the top authority
+    assert got["c"][1] == 10**6
+
+
+def test_hits_overflow_preflight_fail_loud(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 10**9)], "src string, dst string, w long"
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError, match="hits int64 overflow"):
+        GR.hits(df, iters=1, scale=10**9)
