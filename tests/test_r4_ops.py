@@ -171,3 +171,55 @@ def test_hits_overflow_preflight_fail_loud(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="hits int64 overflow"):
         GR.hits(df, iters=1, scale=10**9)
+
+
+# ---------------------------------------------------------------------------
+# plan pins (100 TB shape, same discipline as tests/test_plans.py)
+# ---------------------------------------------------------------------------
+
+def test_domain_quantiles_plan_shape(spark):
+    """Two shuffles total — the (domain, len) pre-agg and the
+    domain-partitioned window the final agg then reuses; both windows
+    share ONE exchange; no Expand (no multi-distinct rewrite)."""
+    from fileverification_spark.plans import explain as X
+    from fileverification_spark.sources import pages as P
+
+    q = CUR.domain_quantiles(P.pages(spark, "/root/testdata/sf0.001"))
+    assert X.shuffle_exchange_count(q) == 2
+    assert X.has_partial_aggregate(q)
+    assert "Expand" not in X.formatted_plan(q)
+
+
+def test_shingle_duplicates_plan_shape(spark):
+    """Exactly the two-phase exact-distinct shape and zero Python: the
+    shingle expansion is codegen'd sequence/transform; the exact n_docs
+    costs one extra hash-agg shuffle on (shingle_sha, doc_id) — both
+    shuffles keyed on uniform 256-bit digests, both partial-aggregated,
+    and no Expand (single distinct column, no multi-distinct rewrite)."""
+    from fileverification_spark.plans import explain as X
+    from fileverification_spark.sources import pages as P
+
+    q = D.shingle_duplicates(P.load_documents(spark, "/root/testdata/sf0.001"))
+    plan = X.formatted_plan(q)
+    assert X.shuffle_exchange_count(q) == 2
+    assert X.has_partial_aggregate(q)
+    assert "Expand" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_cocitation_cap_uses_window_group_limit(spark):
+    """The rn <= cap filter must plan as WindowGroupLimit: each src
+    group keeps a running top-`cap` heap instead of fully sorting its
+    out-edges — on a 1e5-out-degree hub that's the difference between
+    O(deg log cap) and O(deg log deg) + materializing the sort. The
+    self-join keys on src (both exchanges hash on src — co-partitioned,
+    deduped to a ReusedExchange by AQE at runtime), never a cartesian."""
+    from fileverification_spark.plans import explain as X
+
+    e = _edges(spark, [("s%d" % (i % 7), "d%d" % (i % 13), i + 1)
+                       for i in range(60)])
+    q = GR.cocitation(e, cap=4, min_common=1)
+    plan = X.formatted_plan(q)
+    assert "WindowGroupLimit" in plan
+    assert "Cartesian" not in plan
+    assert X.shuffle_exchange_count(q) <= 3
