@@ -127,8 +127,10 @@ def pagerank(
 
     Dangling mass is redistributed uniformly (the standard fix — nodes
     that only ever appear as link *targets* have no out-edges). The
-    1-row dangling/n_nodes relations are broadcast, never collected, so
-    the whole ladder is one lazy plan.
+    1-row dangling relation is broadcast per iteration; the invariant
+    n_nodes rides along from the overflow preflight as a plan-time
+    literal (one fewer broadcast exchange per iteration), so the ladder
+    after the preflight is one lazy plan.
 
     ``handles``: pass a list to receive every internally-persisted
     DataFrame (including the returned ranks). Benchmarks that time
@@ -173,14 +175,17 @@ def pagerank(
             f"scale={scale}); rerun with scale <= {safe} in BOTH the "
             f"Spark call and its oracle"
         )
-    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    # n_nodes is iteration-invariant and the preflight already paid the
+    # count job, so the update rule gets it as a plan-time literal — one
+    # fewer 1-row broadcast exchange per iteration (at 1e8 hosts the
+    # ladder's per-iteration latency is stage barriers, not data).
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("rank")
     )
     for _ in range(iters):
         ranks = _p(
             _pagerank_step(
-                nodes, e2, outw, n_nodes, ranks, scale, d_num, d_den
+                nodes, e2, outw, max(n_val, 1), ranks, scale, d_num, d_den
             )
         )
     return ranks
@@ -190,7 +195,7 @@ def _pagerank_step(
     nodes: DataFrame,
     e2: DataFrame,
     outw: DataFrame,
-    n_nodes: DataFrame,
+    n_nodes: int,
     ranks: DataFrame,
     scale: int,
     d_num: int,
@@ -217,13 +222,13 @@ def _pagerank_step(
     return (
         nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
         .crossJoin(F.broadcast(dang))
-        .crossJoin(F.broadcast(n_nodes))
         .select(
             "node",
             F.expr(
                 f"CAST((({d_den - d_num} * CAST({scale} AS BIGINT))"
                 f" + {d_num} * (coalesce(isum, CAST(0 AS BIGINT))"
-                f" + (dsum div n_nodes))) div {d_den} AS BIGINT)"
+                f" + (dsum div CAST({int(n_nodes)} AS BIGINT))))"
+                f" div {d_den} AS BIGINT)"
             ).alias("rank"),
         )
     )
@@ -280,7 +285,11 @@ def pagerank_resumable(
         F.sum("w").cast("long").alias("total_w")
     )
     e2 = edges.join(outw, "src").persist()
-    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    # one count job up front (each iteration commits a snapshot anyway,
+    # so the ladder is a sequence of actions — the count is noise) and
+    # the invariant n_nodes becomes a plan-time literal, matching
+    # :func:`pagerank` bit-for-bit.
+    n_nodes = max(nodes.count(), 1)
 
     if done == 0:
         ranks = nodes.select(
