@@ -358,3 +358,28 @@ def test_anchor_index_resolves_to_fetched_targets(spark):
         ("https://a.com/1", "home"): 1,
         ("https://a.com/1", "docs"): 1,
     }
+
+
+def test_pagerank_step_embeds_n_nodes_literal(spark, hand_edges):
+    """The iteration-invariant n_nodes rides into the update rule as a
+    plan-time literal (one fewer 1-row broadcast exchange per
+    iteration) — the dangling-mass relation is the ONLY per-iteration
+    1-row broadcast left."""
+    nodes = (
+        hand_edges.select(F.col("src").alias("node"))
+        .union(hand_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = hand_edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("total_w")
+    )
+    e2 = hand_edges.join(outw, "src")
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    step = GR._pagerank_step(nodes, e2, outw, 4, ranks, SCALE, 85, 100)
+    logical = step._jdf.queryExecution().optimizedPlan().toString()
+    # the divisor is the embedded literal, not a joined n_nodes column
+    assert "n_nodes" not in logical
+    assert "4" in logical
+    # exactly one broadcast hint survives: the dangling 1-row relation
+    analyzed = step._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
