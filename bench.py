@@ -19,7 +19,10 @@ load — the r02 battery "regression" was pure host noise):
 - **min + dispersion**: per-query headline is min-of-passes (uncontended
   capability); every sample is persisted under "samples" and the
   battery-level max spread under "spread_max_pct", so a cross-round
-  comparison can check the floor was actually observed quietly.
+  comparison can check the floor was actually observed quietly. The
+  first pass is each query's whole-stage-codegen JIT warm-up (2-7x
+  steady state even on an idle host), so the spread stat covers passes
+  1.. only; "spread_incl_warmup_pct" keeps the inclusive number.
 - **contention stamps** (r4, VERDICT r3 "What's wrong" #1 / "Next round"
   #4): every timed run samples /proc/stat around itself — hypervisor
   steal fraction and sibling-CPU busy fraction on the cores OUTSIDE this
@@ -301,11 +304,23 @@ def main() -> None:
             sib_s[name].append(sib)
 
     results = {name: min(s) for name, s in samples.items()}
-    spread_max_pct = max(
-        round(100.0 * (max(s) - min(s)) / min(s), 1)
-        for s in samples.values()
-        if min(s) > 0
-    )
+    # The FIRST interleaved pass compiles each query's generated code
+    # (whole-stage codegen JIT): its samples run 2-7x the steady state
+    # with zero steal and idle siblings — warm-up, not window
+    # contamination. min-of-runs already ignores it; the contamination
+    # flag must too, or every clean record self-flags. All samples stay
+    # persisted (samples[name][0] IS the warm-up observation) and the
+    # warm-up-inclusive spread is recorded alongside for transparency.
+    def _spread(vals):
+        return max(
+            round(100.0 * (max(s) - min(s)) / min(s), 1)
+            for s in vals
+            if min(s) > 0
+        )
+
+    steady = [s[1:] if len(s) >= 3 else s for s in samples.values()]
+    spread_max_pct = _spread(steady)
+    spread_incl_warmup_pct = _spread(list(samples.values()))
     all_steals = sorted(v for s in steal_s.values() for v in s)
     median_steal = all_steals[len(all_steals) // 2] if all_steals else 0.0
     spread_flag = float(os.environ.get("BENCH_SPREAD_FLAG", "150"))
@@ -327,6 +342,7 @@ def main() -> None:
                 "sibling_busy": sib_s,
                 "median_steal": median_steal,
                 "spread_max_pct": spread_max_pct,
+                "spread_incl_warmup_pct": spread_incl_warmup_pct,
                 "contaminated": contaminated,
                 "runs": RUNS,
                 "protocol": "pinned+interleaved, min-of-runs, contention-stamped",
