@@ -37,6 +37,7 @@ from fileverification_spark.operators import spatial as S
 from fileverification_spark.operators import trajectory as TJ
 from fileverification_spark.operators import verify as V
 from fileverification_spark.functions import hashing as H
+from fileverification_spark.functions import mime as MIME
 from fileverification_spark.sources import manifest_io as MIO
 from fileverification_spark.sources import pages as P
 from fileverification_spark.sources import warc as WARC
@@ -677,6 +678,114 @@ def _sql_html_text() -> str:
     return (
         f"SELECT doc_id, {HT.sql_html_to_text(html)} AS wet_text"
         " FROM documents"
+    )
+
+
+# planted head-metadata corpus for html_meta: title + meta description
+# built from doc_id in BOTH engines; every 7th page has no <head> at all
+# (exercises the ''-on-absent path)
+_META_PRE = "<html><head><title> Doc "
+_META_MID = (
+    ' : a (test)  page </title><meta name="description" content="Summary'
+    " for doc "
+)
+_META_POST = ' with  doubled  spaces"></head><body>x</body></html>'
+_META_BARE = "<html><body>bare page, no head</body></html>"
+
+
+def _meta_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    html = F.when(d % 7 == 0, F.lit(_META_BARE)).otherwise(
+        F.concat(
+            F.lit(_META_PRE), d.cast("string"),
+            F.lit(_META_MID), d.cast("string"), F.lit(_META_POST),
+        )
+    )
+    return _docs(spark, sf).select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    )
+
+
+def _q_html_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Title + meta-description extraction (functions/html.py) — the
+    retrieval display fields of the WET step."""
+    src = _meta_planted(spark, sf)
+    return src.select(
+        "doc_id",
+        HT.html_title(F.col("html")).alias("title"),
+        HT.meta_description(F.col("html")).alias("meta_desc"),
+    )
+
+
+def _sql_html_meta() -> str:
+    html = (
+        f"CASE WHEN doc_id % 7 = 0 THEN '{_META_BARE}' ELSE "
+        f"'{_META_PRE}' || CAST(doc_id AS VARCHAR) || "
+        f"'{_META_MID}' || CAST(doc_id AS VARCHAR) || '{_META_POST}' END"
+    )
+    return (
+        f"SELECT doc_id, {HT.sql_html_title('html')} AS title,"
+        f" {HT.sql_meta_description('html')} AS meta_desc"
+        f" FROM (SELECT doc_id, {html} AS html FROM documents) planted"
+    )
+
+
+# planted binary corpus for mime_kinds: doc_id % 10 picks one of the 9
+# distinct magic prefixes (slot 9 = no magic -> octet-stream fallback);
+# payload tail is the hex of the doc_id digits so every value is a
+# distinct real BLOB, not a shared constant
+_MIME_SLOTS = [p for p, _ in MIME.MAGIC[:9]]
+
+
+def _q_mime_kinds(spark: SparkSession, sf: str) -> DataFrame:
+    """Magic-number MIME sniff (functions/mime.py) over a planted
+    binary column, rolled up to per-type counts."""
+    d = F.col("doc_id")
+    prefix = F.lit("")
+    for i, p in enumerate(_MIME_SLOTS):
+        prefix = F.when(d % 10 == i, F.lit(p)).otherwise(prefix)
+    content = F.unhex(
+        F.concat(prefix, F.hex(F.encode(d.cast("string"), "UTF-8")))
+    )
+    return (
+        _docs(spark, sf)
+        .select(MIME.mime_sniff(content).alias("mime"))
+        .groupBy("mime")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _sql_mime_kinds() -> str:
+    whens = "".join(
+        f" WHEN doc_id % 10 = {i} THEN '{p}'"
+        for i, p in enumerate(_MIME_SLOTS)
+    )
+    content = (
+        f"unhex((CASE{whens} ELSE '' END) ||"
+        " hex(encode(CAST(doc_id AS VARCHAR))))"
+    )
+    return (
+        f"SELECT {MIME.sql_mime_sniff(content)} AS mime,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1"
+    )
+
+
+def _q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer Flesch reading ease + band (functions/text.py) per
+    document — the dictionary-free quality-gate signal."""
+    ease = TX.reading_ease_milli(F.col("text"))
+    return _docs(spark, sf).select(
+        "doc_id",
+        ease.alias("ease_milli"),
+        TX.ease_grade(ease).alias("grade"),
+    )
+
+
+def _sql_readability() -> str:
+    ease = TX.sql_reading_ease_milli("text")
+    return (
+        f"SELECT doc_id, {ease} AS ease_milli,"
+        f" {TX.sql_ease_grade(ease)} AS grade FROM documents"
     )
 
 
@@ -1717,6 +1826,11 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # duplicate shingles
     "cocite_hosts": _q_cocite_hosts,            # capped co-citation pairs
     "hits_hosts": _q_hits_hosts,                # exact-int64 HITS ladder
+    "html_meta": _q_html_meta,                  # title/meta-description
+                                                # extraction (WET display)
+    "mime_kinds": _q_mime_kinds,                # magic-number MIME sniff
+                                                # over binary payloads
+    "readability": _q_readability,              # exact-int Flesch bands
 }
 
 
@@ -1967,6 +2081,9 @@ FROM events e JOIN sess s
         "host_graph": _sql_host_edges(_SQL_LINK_PLANTED),
         "pagerank_hosts": _sql_pagerank_hosts(),
         "hits_hosts": _sql_hits_hosts(),
+        "html_meta": _sql_html_meta(),
+        "mime_kinds": _sql_mime_kinds(),
+        "readability": _sql_readability(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -98,3 +98,60 @@ def extract_links(html: Column) -> Column:
 def sql_extract_links(html_expr: str) -> str:
     """DuckDB mirror: LIST of href values over a VARCHAR html expression."""
     return f"regexp_extract_all({html_expr}, '{HREF_RE}', 1)"
+
+
+# ---------------------------------------------------------------------------
+# Page metadata — title + meta description (the retrieval display fields)
+# ---------------------------------------------------------------------------
+
+#: first <title> element body. Java ∩ RE2: lazy quantifier yes,
+#: backreference no (close tag is a literal).
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+
+#: content attribute of <meta name="description" ...>. Attribute order is
+#: pinned (name before content) — the crawl-hygiene fidelity bar: real
+#: head tags emitted by CMSes overwhelmingly use this order, and the
+#: order-free form needs backreferences RE2 lacks.
+META_DESC_RE = r'(?is)<meta\s+name\s*=\s*"description"\s+content\s*=\s*"([^"]*)"'
+
+
+def _clean_ws(s: Column) -> Column:
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_title(html: Column) -> Column:
+    """First ``<title>`` body of an ``html BINARY`` column (UTF-8),
+    whitespace-collapsed; '' when the page has none. Codegen'd
+    ``regexp_extract`` — zero shuffle, scan-speed like
+    :func:`html_to_text`."""
+    return _clean_ws(
+        F.regexp_extract(F.decode(html, "UTF-8"), TITLE_RE, 1)
+    )
+
+
+def meta_description(html: Column) -> Column:
+    """``content`` of the page's ``<meta name="description">`` ('' when
+    absent), whitespace-collapsed."""
+    return _clean_ws(
+        F.regexp_extract(F.decode(html, "UTF-8"), META_DESC_RE, 1)
+    )
+
+
+def _sql_clean_ws(expr: str) -> str:
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+def sql_html_title(html_expr: str) -> str:
+    """DuckDB mirror of :func:`html_title` over a VARCHAR expression.
+    DuckDB's regexp_extract returns '' on no match like Spark's, but
+    COALESCE guards NULL inputs identically in both engines."""
+    return _sql_clean_ws(
+        f"COALESCE(regexp_extract({html_expr}, '{TITLE_RE}', 1), '')"
+    )
+
+
+def sql_meta_description(html_expr: str) -> str:
+    pat = META_DESC_RE.replace("'", "''")
+    return _sql_clean_ws(
+        f"COALESCE(regexp_extract({html_expr}, '{pat}', 1), '')"
+    )

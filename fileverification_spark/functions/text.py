@@ -209,3 +209,84 @@ def sql_lang_id(text_expr: str = "text") -> str:
         best_expr = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_expr} END)"
         best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
     return f"(CASE WHEN {best_score} > 0 THEN {best_expr} ELSE 'und' END)"
+
+
+# ---------------------------------------------------------------------------
+# Readability — exact-integer Flesch reading ease (quality-gate signal)
+# ---------------------------------------------------------------------------
+
+#: Java ∩ RE2 regexes (same dialect bar as scrub.py): letter-run words,
+#: terminal-punctuation sentence breaks, vowel-group syllable proxy
+#: (the standard dictionary-free approximation).
+WORD_RE = "[A-Za-z]+"
+SENT_RE = "[.!?]+"
+VOWEL_RE = "[aeiouyAEIOUY]+"
+
+#: Flesch (1948) coefficients scaled x1000 so the whole score is exact
+#: int64 arithmetic: ease_milli = 206835 - 1015*W/S - 84600*V/W with
+#: truncating division (all terms non-negative, so Spark div == DuckDB
+#: // bit-for-bit — same discipline as the PageRank ladder).
+_BASE, _WPS, _SPW = 206835, 1015, 84600
+
+#: (lower bound in milli-points, grade) — standard Flesch bands.
+EASE_BANDS = [
+    (90000, "very_easy"),
+    (70000, "easy"),
+    (50000, "medium"),
+    (30000, "hard"),
+]
+EASE_FLOOR = "very_hard"
+
+
+def _count(text: Column, pat: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+
+
+def _tdiv(a: Column, b: Column) -> Column:
+    """Exact truncating integer division for NON-NEGATIVE int64 columns
+    without leaving codegen: (a - a%%b)/b is exact in double for
+    a < 2^53 (all readability terms are), and equals Spark's `div` /
+    DuckDB's `//` bit-for-bit on non-negatives."""
+    return ((a - a % b) / b).cast("long")
+
+
+def reading_ease_milli(text: Column) -> Column:
+    """Flesch reading ease x1000 as exact int64 (vowel-group syllable
+    proxy; W and S floored at 1 so empty/degenerate docs score the
+    all-base value instead of dividing by zero). One codegen'd
+    projection — zero shuffle."""
+    w = F.greatest(_count(text, WORD_RE), F.lit(1))
+    s = F.greatest(_count(text, SENT_RE), F.lit(1))
+    v = _count(text, VOWEL_RE)
+    return (
+        F.lit(_BASE).cast("long")
+        - _tdiv(F.lit(_WPS).cast("long") * w, s)
+        - _tdiv(F.lit(_SPW).cast("long") * v, w)
+    )
+
+
+def ease_grade(ease_milli: Column) -> Column:
+    """Flesch band label for an exact milli-point score."""
+    out = F.lit(EASE_FLOOR)
+    for bound, grade in reversed(EASE_BANDS):
+        out = F.when(ease_milli >= bound, F.lit(grade)).otherwise(out)
+    return out
+
+
+def sql_reading_ease_milli(text_expr: str = "text") -> str:
+    """DuckDB mirror (`//` truncates toward zero on the same
+    non-negative terms)."""
+    w = f"GREATEST(CAST(len(regexp_extract_all({text_expr}, '{WORD_RE}')) AS BIGINT), 1)"
+    s = f"GREATEST(CAST(len(regexp_extract_all({text_expr}, '{SENT_RE}')) AS BIGINT), 1)"
+    v = f"CAST(len(regexp_extract_all({text_expr}, '{VOWEL_RE}')) AS BIGINT)"
+    return (
+        f"(CAST({_BASE} AS BIGINT) - (CAST({_WPS} AS BIGINT) * {w}) // {s}"
+        f" - (CAST({_SPW} AS BIGINT) * {v}) // {w})"
+    )
+
+
+def sql_ease_grade(ease_expr: str) -> str:
+    whens = "".join(
+        f" WHEN {ease_expr} >= {b} THEN '{g}'" for b, g in EASE_BANDS
+    )
+    return f"(CASE{whens} ELSE '{EASE_FLOOR}' END)"

@@ -61,3 +61,58 @@ def test_wet_roundtrip(spark):
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("b"),
     ).where(F.col("a") != F.col("b"))
     assert bad.count() == 0
+
+
+META_CASES = [
+    # (html, want_title, want_desc)
+    (
+        '<html><head><title> My  Page\n Title </title>'
+        '<meta name="description" content="A desc  here"></head></html>',
+        "My Page Title",
+        "A desc here",
+    ),
+    ("<HTML><TITLE>caps</TITLE></HTML>", "caps", ""),
+    ("<p>no head at all</p>", "", ""),
+    # lazy match: first title wins; attributes on the tag allowed
+    (
+        '<title id="t">first</title><title>second</title>',
+        "first",
+        "",
+    ),
+    # meta with single-quoted/reordered attributes is out of scope
+    ("<meta content='x' name='description'>", "", ""),
+]
+
+
+def test_html_title_and_meta_description(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(META_CASES)],
+        "i long, h string",
+    ).select(
+        "i",
+        HT.html_title(F.encode("h", "UTF-8")).alias("t"),
+        HT.meta_description(F.encode("h", "UTF-8")).alias("d"),
+    )
+    got = {r["i"]: (r["t"], r["d"]) for r in df.collect()}
+    assert got == {
+        i: (t, d) for i, (_, t, d) in enumerate(META_CASES)
+    }
+
+
+def test_html_meta_sql_mirror_matches():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, '%s')" % (i, h.replace("'", "''"))
+            for i, (h, _, _) in enumerate(META_CASES)
+        )
+        + ") v(i, h)"
+    )
+    rows = con.execute(
+        f"SELECT {HT.sql_html_title('h')}, {HT.sql_meta_description('h')}"
+        " FROM t ORDER BY i"
+    ).fetchall()
+    assert [tuple(r) for r in rows] == [
+        (t, d) for _, t, d in META_CASES
+    ]

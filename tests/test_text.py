@@ -57,3 +57,51 @@ def test_quality_scores_shape(spark):
     assert 0 < row["punct_ratio"] < 0.2
     assert 0 < row["stop_ratio"] <= 0.2
     assert 0 <= row["quality_score"] <= 1
+
+
+def _ease_py(text: str) -> int:
+    """Pure-Python replay of the exact-integer Flesch rule."""
+    import re
+
+    w = max(len(re.findall(r"[A-Za-z]+", text)), 1)
+    s = max(len(re.findall(r"[.!?]+", text)), 1)
+    v = len(re.findall(r"[aeiouyAEIOUY]+", text))
+    return 206835 - (1015 * w) // s - (84600 * v) // w
+
+
+def test_reading_ease_matches_python_replay(spark):
+    texts = [
+        "The cat sat. It was fat!",
+        "a",
+        "",
+        "Incomprehensibility notwithstanding, perspicacious readers"
+        " persevere; unyielding complexity occasionally overwhelms.",
+        "No terminal punctuation here",
+        "Three?! sentences... right here. ok",
+    ]
+    ease = TX.reading_ease_milli(F.col("text"))
+    df = spark.createDataFrame([(t,) for t in texts], ["text"]).select(
+        "text", ease.alias("e"), TX.ease_grade(ease).alias("g")
+    )
+    for r in df.collect():
+        want = _ease_py(r["text"])
+        assert r["e"] == want  # exact, no tolerance
+        bands = [(90000, "very_easy"), (70000, "easy"), (50000, "medium"),
+                 (30000, "hard")]
+        wg = next((g for b, g in bands if want >= b), "very_hard")
+        assert r["g"] == wg
+
+
+def test_reading_ease_sql_mirror_matches(spark):
+    import duckdb
+
+    texts = ["The cat sat. It was fat!", "", "why? because. so!"]
+    con = duckdb.connect()
+    for t in texts:
+        got = con.execute(
+            f"SELECT {TX.sql_reading_ease_milli('text')},"
+            f" {TX.sql_ease_grade(TX.sql_reading_ease_milli('text'))}"
+            " FROM (SELECT ? AS text)",
+            [t],
+        ).fetchone()
+        assert got[0] == _ease_py(t)
