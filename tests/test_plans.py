@@ -192,3 +192,28 @@ def test_paragraph_dedup_keeper_is_partial_agg(spark):
     plan = X.formatted_plan(df)
     assert X.has_partial_aggregate(df)
     assert "Window" not in plan
+
+
+def test_html_meta_and_readability_zero_shuffle(spark):
+    """Title/meta extraction and the Flesch score are narrow per-row
+    projections — no Exchange, no Python eval node; they pipeline with
+    the scan at 100 TB."""
+    import __spark_entry__ as E
+
+    for q in ("html_meta", "readability"):
+        df = E.demoted_queries()[q](spark, SF)
+        plan = X.formatted_plan(df)
+        assert "Exchange" not in plan, q
+        assert "EvalPython" not in plan, q
+
+
+def test_mime_kinds_single_partial_agg_shuffle(spark):
+    """MIME sniff rolls up to per-type counts: the sniff itself is
+    map-side; exactly ONE shuffle (the mime groupBy) with partial
+    aggregation before it."""
+    import __spark_entry__ as E
+
+    df = E.demoted_queries()["mime_kinds"](spark, SF)
+    assert X.shuffle_exchange_count(df) == 1
+    assert X.has_partial_aggregate(df)
+    assert "EvalPython" not in X.formatted_plan(df)
