@@ -1371,6 +1371,32 @@ def _sql_warc_export() -> str:
     return _with() + "\n" + WARC.sql_warc_records(rel)
 
 
+def _q_wet_export(spark: SparkSession, sf: str) -> DataFrame:
+    """WET conversion records (sources/warc.py) — the extracted-text
+    sibling of warc_export, WARC-Refers-To linking the two."""
+    return WARC.wet_records(P.pages(spark, sf, with_html=True))
+
+
+def _sql_wet_export() -> str:
+    rel = (
+        "(SELECT url, warc_ts,"
+        " '<html><body>' || text || '</body></html>' AS html"
+        " FROM pages) ph"
+    )
+    return _with() + "\n" + WARC.sql_wet_records(rel)
+
+
+def _q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness-complete crawl schedule (operators/graph.py) over the
+    planted frontier: per-host fetch-queue slots + scheduler shards."""
+    return GR.fetch_schedule(GR.crawl_frontier(_link_planted(spark, sf)))
+
+
+def _sql_fetch_schedule() -> str:
+    frontier = GR.sql_crawl_frontier(_SQL_LINK_PLANTED)
+    return GR.sql_fetch_schedule(f"({frontier})")
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -1831,6 +1857,9 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "mime_kinds": _q_mime_kinds,                # magic-number MIME sniff
                                                 # over binary payloads
     "readability": _q_readability,              # exact-int Flesch bands
+    "wet_export": _q_wet_export,                # WET conversion records
+    "fetch_schedule": _q_fetch_schedule,        # per-host politeness
+                                                # slots + scheduler shards
 }
 
 
@@ -2084,6 +2113,8 @@ FROM events e JOIN sess s
         "html_meta": _sql_html_meta(),
         "mime_kinds": _sql_mime_kinds(),
         "readability": _sql_readability(),
+        "wet_export": _sql_wet_export(),
+        "fetch_schedule": _sql_fetch_schedule(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

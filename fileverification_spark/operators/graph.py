@@ -866,3 +866,47 @@ FROM (
         FROM {pages_rel}) a
   WHERE a.link IN (SELECT url FROM (SELECT url FROM {pages_rel}) f))
 GROUP BY url, term"""
+
+
+def fetch_schedule(frontier: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Politeness-complete crawl schedule ``(url, host, shard, slot)``
+    over a frontier of pending URLs: ``shard`` is the deterministic
+    sha256-prefix host shard (per-host rate limits serialize inside ONE
+    scheduler — same hash discipline as the frontier_shards rollup,
+    never Spark's murmur hash, which the oracle can't reproduce) and
+    ``slot`` is the URL's 0-based position in its host's url-sorted
+    fetch queue — with a one-fetch-per-politeness-tick crawler, slot IS
+    the tick index, so max(slot) per host is that host's drain time.
+
+    One shuffle on host; the row_number window runs per host partition
+    (bounded by per-host frontier size, the quantity politeness caps
+    anyway), so the plan never sorts the global frontier. The reference
+    serializes per-directory work the same way its crawl loop walks one
+    directory at a time (FV/FileSystemCrawlerLib: per-folder worker
+    queues); this is that serialization contract as a relation.
+    """
+    from pyspark.sql.window import Window
+
+    host = host_of(F.col("url"))
+    shard = (
+        F.conv(F.substring(F.sha2(host, 256), 1, 8), 16, 10)
+        .cast("bigint") % n_shards
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        frontier.select("url", host.alias("host"), shard.alias("shard"))
+        .withColumn(
+            "slot", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+    )
+
+
+def sql_fetch_schedule(frontier_rel: str, n_shards: int = 64) -> str:
+    """DuckDB mirror (bare SELECT over a frontier relation with url)."""
+    host = sql_host_of("url")
+    return f"""SELECT url, {host} AS host,
+  CAST(('0x' || substr(sha256({host}), 1, 8)) AS BIGINT)
+    % {n_shards} AS shard,
+  CAST(row_number() OVER (PARTITION BY {host} ORDER BY url) - 1
+       AS BIGINT) AS slot
+FROM {frontier_rel} f"""

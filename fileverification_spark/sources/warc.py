@@ -121,3 +121,64 @@ def parse_warc_records(records: DataFrame, col: str = "record") -> DataFrame:
         ),
         F.regexp_extract(r, _PAYLOAD_RE, 1).alias("payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WET conversion records — the extracted-text sibling of warc_records
+# ---------------------------------------------------------------------------
+
+
+def wet_records(pages: DataFrame) -> DataFrame:
+    """``(url, content_length, record)`` WET conversion records: the
+    WARC/1.0 ``conversion`` record Common Crawl ships extracted text
+    in, with ``WARC-Refers-To`` naming the response record it was
+    converted from (same urn:sha256 id scheme as :func:`warc_header`)
+    and Content-Length the OCTET length of the UTF-8 text. One narrow
+    codegen'd projection chaining functions/html.html_to_text — the
+    full WARC->WET conversion is scan + this select + a text writer."""
+    from fileverification_spark.functions import html as HT
+
+    text = HT.html_to_text(F.col("html"))
+    payload = F.encode(text, "UTF-8")
+    rid = F.lower(F.sha2(F.col("html"), 256))
+    header = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: conversion" + CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(F.col("warc_ts"), _TS_FMT),
+        F.lit(CRLF),
+        F.lit("WARC-Refers-To: <urn:sha256:"), rid, F.lit(">" + CRLF),
+        F.lit("Content-Type: text/plain" + CRLF),
+        F.lit("Content-Length: "),
+        F.length(payload).cast("string"),
+        F.lit(CRLF + CRLF),
+    )
+    return pages.select(
+        "url",
+        F.length(payload).cast("bigint").alias("content_length"),
+        F.concat(header, text, F.lit(CRLF + CRLF)).alias("record"),
+    )
+
+
+def sql_wet_records(pages_rel: str, html_expr: str = "html") -> str:
+    """DuckDB mirror over a VARCHAR html expression (bare SELECT)."""
+    from fileverification_spark.functions import html as HT
+
+    text = HT.sql_html_to_text(html_expr)
+    length = f"octet_length(encode({text}))"
+    rid = f"lower(sha256({html_expr}))"
+    ts = "strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ')"
+    crlf = "chr(13) || chr(10)"
+    return f"""SELECT url,
+       CAST({length} AS BIGINT) AS content_length,
+       'WARC/1.0' || {crlf}
+         || 'WARC-Type: conversion' || {crlf}
+         || 'WARC-Target-URI: ' || url || {crlf}
+         || 'WARC-Date: ' || {ts} || {crlf}
+         || 'WARC-Refers-To: <urn:sha256:' || {rid} || '>' || {crlf}
+         || 'Content-Type: text/plain' || {crlf}
+         || 'Content-Length: ' || CAST({length} AS VARCHAR)
+         || {crlf} || {crlf}
+         || {text} || {crlf} || {crlf} AS record
+FROM {pages_rel}"""

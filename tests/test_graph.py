@@ -383,3 +383,29 @@ def test_pagerank_step_embeds_n_nodes_literal(spark, hand_edges):
     # exactly one broadcast hint survives: the dangling 1-row relation
     analyzed = step._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1
+
+
+def test_fetch_schedule_slots_and_shards(spark):
+    """Per-host url-sorted 0-based slots; shard is the sha256 host
+    shard shared with frontier_shards (deterministic, oracle-safe)."""
+    import hashlib
+
+    urls = [
+        "https://a.com/2", "https://a.com/1", "https://a.com/3",
+        "https://b.net/only",
+    ]
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: (r["host"], r["shard"], r["slot"])
+        for r in GR.fetch_schedule(frontier, n_shards=8).collect()
+    }
+
+    def shard(host):
+        return int(hashlib.sha256(host.encode()).hexdigest()[:8], 16) % 8
+
+    assert got == {
+        "https://a.com/1": ("a.com", shard("a.com"), 0),
+        "https://a.com/2": ("a.com", shard("a.com"), 1),
+        "https://a.com/3": ("a.com", shard("a.com"), 2),
+        "https://b.net/only": ("b.net", shard("b.net"), 0),
+    }

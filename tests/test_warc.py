@@ -61,3 +61,27 @@ def test_warc_roundtrip_parse_equals_source(spark):
         & (F.length(F.col("s.html")) == F.col("b.content_length"))
     ).count()
     assert same == n
+
+
+def test_wet_record_is_conversion_of_extracted_text(spark):
+    rec = W.wet_records(
+        _page(
+            spark, "https://a.com/x", "2024-03-01 12:00:05",
+            "<html><body><p>hi  there</p></body></html>",
+        )
+    ).collect()[0]
+    # payload is the WET text, not the html; length counts text octets
+    assert rec["content_length"] == len("hi there".encode())
+    lines = rec["record"].split("\r\n")
+    assert lines[0] == "WARC/1.0"
+    assert "WARC-Type: conversion" in lines
+    assert "Content-Type: text/plain" in lines
+    # Refers-To carries the RESPONSE record's id: sha256 of the raw html
+    import hashlib
+
+    want = hashlib.sha256(
+        "<html><body><p>hi  there</p></body></html>".encode()
+    ).hexdigest()
+    assert f"WARC-Refers-To: <urn:sha256:{want}>" in lines
+    # text payload sits between the blank line and the terminator
+    assert "hi there" in rec["record"].split("\r\n\r\n")[1]
