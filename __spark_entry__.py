@@ -1397,6 +1397,65 @@ def _sql_fetch_schedule() -> str:
     return GR.sql_fetch_schedule(f"({frontier})")
 
 
+# planted per-host Crawl-delay registry for politeness_schedule: hosts
+# site0..7 declare delays 1..8 s; every other frontier host has no
+# robots (delay 0 -> floored to the 1 s default)
+def _delay_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    k = d % 8
+    txt = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "),
+        (k + 1).cast("string"),
+        F.lit("\nDisallow: /x\n"),
+    )
+    return _docs(spark, sf).where(d < 8).select(
+        F.concat(F.lit("site"), k.cast("string"), F.lit(".example.net"))
+        .alias("host"),
+        U.robots_crawl_delay(txt).alias("delay_s"),
+    )
+
+
+_SQL_DELAY_TXT = (
+    "'User-agent: *' || chr(10) || 'Crawl-delay: '"
+    " || CAST(doc_id % 8 + 1 AS VARCHAR) || chr(10)"
+    " || 'Disallow: /x' || chr(10)"
+)
+
+
+def _q_politeness_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """fetch_schedule composed with parsed robots Crawl-delay: each
+    URL's earliest polite fetch offset is slot * max(delay, 1 s). The
+    delay registry joins BROADCAST on host (hosts-sized at any corpus
+    scale), so the frontier never reshuffles for it."""
+    sched = GR.fetch_schedule(GR.crawl_frontier(_link_planted(spark, sf)))
+    delays = _delay_planted(spark, sf)
+    return sched.join(F.broadcast(delays), "host", "left").select(
+        "url",
+        "host",
+        "shard",
+        "slot",
+        (
+            F.col("slot")
+            * F.greatest(F.coalesce(F.col("delay_s"), F.lit(0)), F.lit(1))
+        ).cast("long").alias("fetch_offset_s"),
+    )
+
+
+def _sql_politeness_schedule() -> str:
+    frontier = GR.sql_crawl_frontier(_SQL_LINK_PLANTED)
+    sched = GR.sql_fetch_schedule(f"({frontier})")
+    delay = U.sql_robots_crawl_delay(_SQL_DELAY_TXT)
+    return f"""SELECT s.url, s.host, s.shard, s.slot,
+  CAST(s.slot * GREATEST(COALESCE(r.delay_s, 0), 1) AS BIGINT)
+    AS fetch_offset_s
+FROM ({sched}) s
+LEFT JOIN (SELECT 'site' || CAST(doc_id % 8 AS VARCHAR)
+                    || '.example.net' AS host,
+                  {delay} AS delay_s
+           FROM documents WHERE doc_id < 8) r
+  ON s.host = r.host"""
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -1860,6 +1919,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "wet_export": _q_wet_export,                # WET conversion records
     "fetch_schedule": _q_fetch_schedule,        # per-host politeness
                                                 # slots + scheduler shards
+    "politeness_schedule": _q_politeness_schedule,  # slots x parsed
+                                                # robots Crawl-delay
 }
 
 
@@ -2115,6 +2176,7 @@ FROM events e JOIN sess s
         "readability": _sql_readability(),
         "wet_export": _sql_wet_export(),
         "fetch_schedule": _sql_fetch_schedule(),
+        "politeness_schedule": _sql_politeness_schedule(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

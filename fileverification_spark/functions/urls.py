@@ -201,3 +201,27 @@ def sitemap_locs(xml: Column) -> Column:
 
 def sql_sitemap_locs(xml_expr: str) -> str:
     return f"regexp_extract_all({xml_expr}, '{SITEMAP_LOC_RE}', 1)"
+
+
+#: Crawl-delay seconds (first occurrence wins; integer-seconds subset —
+#: fractional delays round down in real crawlers anyway). Same
+#: conservative all-agents reading as ROBOTS_DISALLOW_RE.
+CRAWL_DELAY_RE = r"(?im)^[ \t]*crawl-delay:[ \t]*([0-9]+)"
+
+
+def robots_crawl_delay(robots_txt: Column) -> Column:
+    """First Crawl-delay of a robots.txt body as BIGINT seconds (0 when
+    the directive is absent)."""
+    return F.coalesce(
+        # try_cast: no-match extracts '' and ANSI cast('') would throw
+        F.regexp_extract(robots_txt, CRAWL_DELAY_RE, 1).try_cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
+def sql_robots_crawl_delay(txt_expr: str) -> str:
+    """DuckDB mirror ('' extract -> NULL cast -> 0, same as Spark)."""
+    return (
+        f"COALESCE(TRY_CAST(regexp_extract({txt_expr},"
+        f" '{CRAWL_DELAY_RE}', 1) AS BIGINT), 0)"
+    )

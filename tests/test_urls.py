@@ -253,3 +253,31 @@ def test_robots_rules_feed_robots_filter(spark):
     )
     kept = {r["doc_id"] for r in CUR.robots_filter(pages, rules).collect()}
     assert kept == {2}
+
+
+def test_robots_crawl_delay(spark):
+    from pyspark.sql import functions as F
+
+    from fileverification_spark.functions import urls as U
+
+    cases = [
+        ("User-agent: *\nCrawl-delay: 7\nDisallow: /x\n", 7),
+        ("  crawl-delay:\t12\n", 12),           # case/space variants
+        ("Crawl-delay: 3\nCrawl-delay: 9\n", 3),  # first wins
+        ("User-agent: *\nDisallow: /\n", 0),     # absent -> 0
+        ("", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    ).select("i", U.robots_crawl_delay(F.col("t")).alias("d"))
+    got = {r["i"]: r["d"] for r in df.collect()}
+    assert got == {i: d for i, (_, d) in enumerate(cases)}
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t, want in cases:
+        assert con.execute(
+            f"SELECT {U.sql_robots_crawl_delay('t')} FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()[0] == want
