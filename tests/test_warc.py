@@ -85,3 +85,20 @@ def test_wet_record_is_conversion_of_extracted_text(spark):
     assert f"WARC-Refers-To: <urn:sha256:{want}>" in lines
     # text payload sits between the blank line and the terminator
     assert "hi there" in rec["record"].split("\r\n\r\n")[1]
+
+
+def test_wet_record_parses_with_the_warc_reader(spark):
+    """The read side is format-level, not type-level: a conversion
+    record parses with the same parse_warc_records projection (url,
+    date, octet length, text payload)."""
+    pg = _page(
+        spark, "https://a.com/x", "2024-03-01 12:00:05",
+        "<html><body><p>hi  there</p></body></html>",
+    )
+    got = W.parse_warc_records(
+        W.wet_records(pg).select("record")
+    ).collect()[0]
+    assert got["url"] == "https://a.com/x"
+    assert str(got["warc_ts"]) == "2024-03-01 12:00:05"
+    assert got["payload"] == "hi there"
+    assert got["content_length"] == len("hi there".encode())
