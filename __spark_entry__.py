@@ -1456,6 +1456,18 @@ LEFT JOIN (SELECT 'site' || CAST(doc_id % 8 AS VARCHAR)
   ON s.host = r.host"""
 
 
+def _q_host_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-oriented triangle enumeration (operators/graph.py) over
+    the planted host graph; oracle is the lexical 3-join."""
+    return GR.host_triangles(GR.host_edges(_link_planted(spark, sf)))
+
+
+def _sql_host_triangles() -> str:
+    return GR.sql_host_triangles(
+        f"({_sql_host_edges(_SQL_LINK_PLANTED)})"
+    )
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -1921,6 +1933,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # slots + scheduler shards
     "politeness_schedule": _q_politeness_schedule,  # slots x parsed
                                                 # robots Crawl-delay
+    "host_triangles": _q_host_triangles,        # degree-oriented
+                                                # triangle enumeration
 }
 
 
@@ -2177,6 +2191,7 @@ FROM events e JOIN sess s
         "wet_export": _sql_wet_export(),
         "fetch_schedule": _sql_fetch_schedule(),
         "politeness_schedule": _sql_politeness_schedule(),
+        "host_triangles": _sql_host_triangles(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

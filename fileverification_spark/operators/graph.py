@@ -910,3 +910,97 @@ def sql_fetch_schedule(frontier_rel: str, n_shards: int = 64) -> str:
   CAST(row_number() OVER (PARTITION BY {host} ORDER BY url) - 1
        AS BIGINT) AS slot
 FROM {frontier_rel} f"""
+
+
+def undirected_host_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected host pairs ``(a, b)`` with ``a < b`` of the
+    directed ``(src, dst, w)`` relation (self-loops dropped)."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def host_triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle of the undirected host graph as ``(a, b, c)``
+    with ``a < b < c`` (lexical), enumerated with DEGREE-ORDERED
+    orientation (Schank & Wagner 2005's forward algorithm, the
+    standard distributed-triangle discipline):
+
+    - orient each undirected edge from its lower-(degree, name)
+      endpoint to the higher one;
+    - wedges are pairs of out-edges of the SAME low vertex — so a
+      degree-d hub contributes wedges only through edges where it is
+      the HIGHER endpoint, bounding wedge fan-out by the (much
+      smaller) oriented out-degrees instead of d^2 on raw hubs;
+    - a wedge (u; v, w) closes iff the oriented edge v->w exists.
+
+    Two self-join shuffles on the oriented relation + one closing
+    equi-join — never a cartesian, and the orientation is what keeps a
+    1e8-host graph with directory-hub skew joinable (the lexical
+    a<b<c 3-join the DuckDB oracle runs is result-identical but
+    quadratic on hubs whose names sort low). Output is the lexically
+    sorted triple, so orientation never leaks into results.
+    """
+    u = undirected_host_edges(edges)
+    deg = (
+        u.select(F.col("a").alias("node"))
+        .union(u.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ud = (
+        u.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.withColumnRenamed("node", "b").withColumnRenamed(
+                "deg", "db"
+            ),
+            "b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ud.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(y, F.col("x.lo") == F.col("y.lo")).where(
+        (F.col("x.dhi") < F.col("y.dhi"))
+        | (
+            (F.col("x.dhi") == F.col("y.dhi"))
+            & (F.col("x.hi") < F.col("y.hi"))
+        )
+    ).select(
+        F.col("x.lo").alias("apex"),
+        F.col("x.hi").alias("v"),
+        F.col("y.hi").alias("w"),
+    )
+    closed = wedges.join(
+        o.select(F.col("lo").alias("v"), F.col("hi").alias("w")),
+        ["v", "w"],
+    )
+    tri = F.array_sort(F.array("apex", "v", "w"))
+    return closed.select(
+        tri[0].alias("a"), tri[1].alias("b"), tri[2].alias("c")
+    )
+
+
+def sql_host_triangles(edges_rel: str) -> str:
+    """Oracle: the lexical a<b<c 3-join (result-identical to the
+    degree-oriented enumeration; bare SELECT over an edge relation)."""
+    return f"""SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM {edges_rel} WHERE src <> dst) e1
+JOIN (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM {edges_rel} WHERE src <> dst) e2 ON e1.b = e2.a
+JOIN (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM {edges_rel} WHERE src <> dst) e3
+  ON e3.a = e1.a AND e3.b = e2.b"""

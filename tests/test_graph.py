@@ -409,3 +409,38 @@ def test_fetch_schedule_slots_and_shards(spark):
         "https://a.com/3": ("a.com", shard("a.com"), 2),
         "https://b.net/only": ("b.net", shard("b.net"), 0),
     }
+
+
+def test_host_triangles_hand_graph(spark):
+    """K4 on a-d (4 triangles) + a pendant edge + a directed-both-ways
+    pair (must not duplicate the undirected edge)."""
+    edges = []
+    K4 = ["a.com", "b.com", "c.com", "d.com"]
+    for i, s in enumerate(K4):
+        for t in K4[i + 1:]:
+            edges.append((s, t, 1))
+    edges += [("d.com", "e.net", 1), ("e.net", "d.com", 3)]  # both ways
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = sorted(
+        (r["a"], r["b"], r["c"]) for r in GR.host_triangles(df).collect()
+    )
+    assert got == [
+        ("a.com", "b.com", "c.com"),
+        ("a.com", "b.com", "d.com"),
+        ("a.com", "c.com", "d.com"),
+        ("b.com", "c.com", "d.com"),
+    ]
+
+
+def test_host_triangles_hub_star_has_none_and_no_cartesian(spark):
+    """A pure hub (star) has zero triangles; the plan must close wedges
+    with equi-joins — no BroadcastNestedLoopJoin / CartesianProduct."""
+    star = spark.createDataFrame(
+        [("hub.com", f"leaf{i}.net", 1) for i in range(12)],
+        "src string, dst string, w long",
+    )
+    out = GR.host_triangles(star)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 0
