@@ -1468,6 +1468,18 @@ def _sql_host_triangles() -> str:
     )
 
 
+def _q_host_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer local clustering coefficients over the planted
+    host graph (triangles x degrees, milli-scale truncating div)."""
+    return GR.host_clustering(GR.host_edges(_link_planted(spark, sf)))
+
+
+def _sql_host_clustering() -> str:
+    return GR.sql_host_clustering(
+        f"({_sql_host_edges(_SQL_LINK_PLANTED)})"
+    )
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -1935,6 +1947,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # robots Crawl-delay
     "host_triangles": _q_host_triangles,        # degree-oriented
                                                 # triangle enumeration
+    "host_clustering": _q_host_clustering,      # exact-int clustering
+                                                # coefficients (milli)
 }
 
 
@@ -2192,6 +2206,7 @@ FROM events e JOIN sess s
         "fetch_schedule": _sql_fetch_schedule(),
         "politeness_schedule": _sql_politeness_schedule(),
         "host_triangles": _sql_host_triangles(),
+        "host_clustering": _sql_host_clustering(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

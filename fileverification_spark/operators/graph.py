@@ -1004,3 +1004,67 @@ JOIN (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
 JOIN (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM {edges_rel} WHERE src <> dst) e3
   ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+def host_clustering(edges: DataFrame) -> DataFrame:
+    """Per-host local clustering as exact integers:
+    ``(node, deg, tri, clust_milli)`` with
+    ``clust_milli = (2000 * tri) div (deg * (deg - 1))`` — the local
+    clustering coefficient x1000 under truncating division (all terms
+    non-negative, Spark div == DuckDB //), deg >= 2 rows only (the
+    coefficient is undefined below that).
+
+    tri(v) comes from :func:`host_triangles` exploded back onto its
+    three corners (triangle relation is tiny next to the edge
+    relation); deg from the undirected edge set. One extra shuffle on
+    node over the triangle relation — the expensive part is the
+    enumeration, already degree-oriented.
+    """
+    u = undirected_host_edges(edges)
+    deg = (
+        u.select(F.col("a").alias("node"))
+        .union(u.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = (
+        host_triangles(edges)
+        .select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            F.expr(
+                "CAST((2000 * coalesce(tri, CAST(0 AS BIGINT)))"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("clust_milli"),
+        )
+    )
+
+
+def sql_host_clustering(edges_rel: str) -> str:
+    """Oracle (bare SELECT): lexical triangle 3-join exploded to
+    corners + undirected degrees."""
+    tri = sql_host_triangles(edges_rel)
+    return f"""SELECT node, deg, tri,
+  CAST((2000 * tri) // (deg * (deg - 1)) AS BIGINT) AS clust_milli
+FROM (
+  SELECT d.node, d.deg,
+         COALESCE(t.tri, CAST(0 AS BIGINT)) AS tri
+  FROM (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM {edges_rel} WHERE src <> dst GROUP BY 1, 2) u,
+             LATERAL (SELECT unnest([u.a, u.b]) AS node) n
+        GROUP BY node) d
+  LEFT JOIN (SELECT node, CAST(count(*) AS BIGINT) AS tri
+             FROM (SELECT unnest([a, b, c]) AS node FROM ({tri}) tt) x
+             GROUP BY node) t ON d.node = t.node
+  WHERE d.deg >= 2) z"""

@@ -444,3 +444,26 @@ def test_host_triangles_hub_star_has_none_and_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert out.count() == 0
+
+
+def test_host_clustering_k4_and_pendant(spark):
+    """K4 corners: deg 3, tri 3 -> 2000*3 // 6 = 1000 (fully clustered);
+    d.com with the pendant: deg 4, tri 3 -> 6000 // 12 = 500; e.net is
+    deg-1 and must be excluded."""
+    edges = []
+    K4 = ["a.com", "b.com", "c.com", "d.com"]
+    for i, s in enumerate(K4):
+        for t in K4[i + 1:]:
+            edges.append((s, t, 1))
+    edges.append(("d.com", "e.net", 1))
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: (r["deg"], r["tri"], r["clust_milli"])
+        for r in GR.host_clustering(df).collect()
+    }
+    assert got == {
+        "a.com": (3, 3, 1000),
+        "b.com": (3, 3, 1000),
+        "c.com": (3, 3, 1000),
+        "d.com": (4, 3, 500),
+    }
