@@ -24,6 +24,7 @@ from fileverification_spark.streaming import windows as SW
 from fileverification_spark.operators import asof as AS
 from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
+from fileverification_spark.operators import funnel as FN
 from fileverification_spark.operators import graph as GR
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import multimodal as MM
@@ -793,6 +794,12 @@ def _q_kmv_cells(spark: SparkSession, sf: str) -> DataFrame:
     return SK.kmv_estimate(
         SK.kmv_cells(P.pages_with_derived(spark, sf), _RASTER_RES)
     )
+
+
+def _q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered view->click->purchase funnel (operators/funnel.py):
+    per-user strictly-later milestone times in exact epoch micros."""
+    return FN.funnel(SW.read_events(spark, sf))
 
 
 def _q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -1949,6 +1956,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # triangle enumeration
     "host_clustering": _q_host_clustering,      # exact-int clustering
                                                 # coefficients (milli)
+    "funnel": _q_funnel,                        # ordered milestone
+                                                # conversion (epoch-us)
 }
 
 
@@ -2207,6 +2216,7 @@ FROM events e JOIN sess s
         "politeness_schedule": _sql_politeness_schedule(),
         "host_triangles": _sql_host_triangles(),
         "host_clustering": _sql_host_clustering(),
+        "funnel": FN.sql_funnel(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -1,0 +1,121 @@
+"""Ordered-funnel conversion over an event log.
+
+The classic product-analytics question — of the users who did stage 1,
+how many went on to stage 2 strictly later, then stage 3 — expressed
+as K-1 (filter -> equi-join -> re-aggregate) rounds on the user key:
+
+    t1(u) = min ts of stage-1 events
+    tk(u) = min ts of stage-k events with ts > t(k-1)(u)
+
+Every round filters the event scan to ONE stage's rows BEFORE joining
+(the join input is |stage-k events|, not the log), joins on the user
+key, and partial-aggregates the min — so all K-1 rounds shuffle on the
+same user_id key and AQE reuses the partitioning. No window over the
+log, no per-user event collection: at 10^12 events the plan is K
+filtered scans + K user-sized shuffles.
+
+The reference's analogue is the verify pipeline's staged statuses (a
+file must exist before it can hash-match — FV/PathInfo.cs:427-537
+ordered checks); this is that ordered-milestone shape on an event log.
+
+Timestamps surface as epoch MICROseconds (``unix_micros`` /
+DuckDB ``epoch_us``) — parquet stores micros, so the conversion is
+exact int64 and the oracle hash-matches without a float canon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STAGES = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    stages: "tuple[str, ...]" = DEFAULT_STAGES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel times ``(user_id, t1_us, ..., tK_us,
+    stages_reached)`` — ``tk_us`` is NULL once the chain breaks;
+    ``stages_reached`` counts the non-NULL prefix. Users who never did
+    stage 1 are absent (they are not IN the funnel)."""
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    cur = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.unix_micros(F.min(ts_col)).alias("t1_us"))
+    )
+    for k, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == stage)
+            .select(user_col, F.unix_micros(F.col(ts_col)).alias("_us"))
+            .join(cur.select(user_col, f"t{k - 1}_us"), user_col)
+            .where(F.col("_us") > F.col(f"t{k - 1}_us"))
+            .groupBy(user_col)
+            .agg(F.min("_us").alias(f"t{k}_us"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    reached = sum(
+        (
+            F.when(F.col(f"t{k}_us").isNotNull(), 1).otherwise(0)
+            for k in range(2, len(stages) + 1)
+        ),
+        F.lit(1),
+    )
+    return cur.select(
+        user_col,
+        *[f"t{k}_us" for k in range(1, len(stages) + 1)],
+        reached.cast("long").alias("stages_reached"),
+    )
+
+
+def sql_funnel(
+    events_rel: str = "events",
+    stages: "tuple[str, ...]" = DEFAULT_STAGES,
+) -> str:
+    """DuckDB mirror (bare SELECT, nested subqueries — the contract's
+    WITH-helper owns the outer WITH)."""
+    # join chain: f1 LEFT JOIN f2 ... LEFT JOIN fK, where fk's times
+    # come from the recursively nested strictly-later chain
+    joins = [f"({_stage_times(events_rel, stages, 1)}) f1"]
+    for k in range(2, len(stages) + 1):
+        joins.append(
+            f"LEFT JOIN ({_stage_times(events_rel, stages, k)}) f{k}"
+            f" ON f1.user_id = f{k}.user_id"
+        )
+    cols = ", ".join(f"f{k}.t{k}_us" for k in range(1, len(stages) + 1))
+    reached = " + ".join(
+        f"(CASE WHEN f{k}.t{k}_us IS NOT NULL THEN 1 ELSE 0 END)"
+        for k in range(2, len(stages) + 1)
+    )
+    return (
+        f"SELECT f1.user_id, {cols},"
+        f" CAST(1 + {reached} AS BIGINT) AS stages_reached\n"
+        f"FROM " + "\n".join(joins)
+    )
+
+
+def _stage_times(
+    events_rel: str, stages: "tuple[str, ...]", upto: int
+) -> str:
+    """Times of stage ``upto`` (1-based) as (user_id, t{upto}_us) —
+    recursively nested chain, each level min-over strictly-later
+    events of its stage."""
+    if upto == 1:
+        return (
+            f"SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS t1_us"
+            f" FROM {events_rel} WHERE event_type = '{stages[0]}'"
+            f" GROUP BY user_id"
+        )
+    inner = _stage_times(events_rel, stages, upto - 1)
+    return (
+        f"SELECT e.user_id,"
+        f" CAST(min(epoch_us(e.ts)) AS BIGINT) AS t{upto}_us"
+        f" FROM {events_rel} e JOIN ({inner}) p ON e.user_id = p.user_id"
+        f" WHERE e.event_type = '{stages[upto - 1]}'"
+        f" AND epoch_us(e.ts) > p.t{upto - 1}_us GROUP BY e.user_id"
+    )
