@@ -802,6 +802,12 @@ def _q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return FN.funnel(SW.read_events(spark, sf))
 
 
+def _q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle (operators/funnel.py): signup-day
+    cohorts x activity-day offsets, day-granular distinct."""
+    return FN.retention(SW.read_events(spark, sf))
+
+
 def _q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     # every event lands back in exactly its own session (gap sessions
     # partition the timeline per user), so the refine predicate and the
@@ -1958,6 +1964,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # coefficients (milli)
     "funnel": _q_funnel,                        # ordered milestone
                                                 # conversion (epoch-us)
+    "retention": _q_retention,                  # signup-cohort x
+                                                # activity-day offsets
 }
 
 
@@ -2217,6 +2225,7 @@ FROM events e JOIN sess s
         "host_triangles": _sql_host_triangles(),
         "host_clustering": _sql_host_clustering(),
         "funnel": FN.sql_funnel(),
+        "retention": FN.sql_retention(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

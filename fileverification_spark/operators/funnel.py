@@ -119,3 +119,61 @@ def _stage_times(
         f" WHERE e.event_type = '{stages[upto - 1]}'"
         f" AND epoch_us(e.ts) > p.t{upto - 1}_us GROUP BY e.user_id"
     )
+
+
+def retention(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention triangle ``(cohort_day, offset_days, n_users)``:
+    users are cohorted by the DAY of their first ``cohort_type`` event;
+    for every later day a user had ANY event, the (cohort, day-offset)
+    cell counts them once. Day 0 is the signup day itself.
+
+    Shape: one user-keyed min-agg (cohort), one distinct over
+    (user, day) — day-granular, so the distinct's input is bounded by
+    users x days, not events — then a user-key join and the final
+    (cohort, offset) count. ``cohort_day`` surfaces as 'yyyy-MM-dd'
+    STRING so the oracle canon never sees engine-specific date
+    formatting. Pre-signup activity is excluded (negative offsets are
+    not retention).
+    """
+    first = (
+        events.where(F.col(type_col) == cohort_type)
+        .groupBy(user_col)
+        .agg(F.min(F.to_date(ts_col)).alias("_cohort"))
+    )
+    active = events.select(
+        user_col, F.to_date(ts_col).alias("_day")
+    ).distinct()
+    return (
+        active.join(first, user_col)
+        .where(F.col("_day") >= F.col("_cohort"))
+        .select(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("_day", "_cohort").cast("long").alias(
+                "offset_days"
+            ),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def sql_retention(
+    events_rel: str = "events", cohort_type: str = "signup"
+) -> str:
+    """DuckDB mirror (bare SELECT)."""
+    return f"""SELECT strftime(f._cohort, '%Y-%m-%d') AS cohort_day,
+  CAST(date_diff('day', f._cohort, a._day) AS BIGINT) AS offset_days,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS _day
+      FROM {events_rel}) a
+JOIN (SELECT user_id, min(CAST(ts AS DATE)) AS _cohort
+      FROM {events_rel} WHERE event_type = '{cohort_type}'
+      GROUP BY user_id) f ON a.user_id = f.user_id
+WHERE a._day >= f._cohort
+GROUP BY 1, 2"""

@@ -67,3 +67,30 @@ def test_funnel_chain_and_breaks(spark):
 def test_funnel_requires_two_stages(spark):
     with pytest.raises(ValueError, match="at least 2"):
         FN.funnel(_events(spark, []), stages=("view",))
+
+
+def test_retention_cohort_triangle(spark):
+    rows = [
+        # u1 signs up Jan 1, active Jan 1 (twice) + Jan 3
+        (1, "2024-01-01 10:00:00", "signup"),
+        (1, "2024-01-01 12:00:00", "view"),
+        (1, "2024-01-03 09:00:00", "click"),
+        # u2 signs up Jan 1 too, active only that day
+        (2, "2024-01-01 08:00:00", "signup"),
+        # u3 signs up Jan 2; has PRE-signup activity (excluded)
+        (3, "2024-01-01 23:00:00", "view"),
+        (3, "2024-01-02 10:00:00", "signup"),
+        (3, "2024-01-04 10:00:00", "purchase"),
+        # u4 never signs up -> absent
+        (4, "2024-01-01 11:00:00", "view"),
+    ]
+    got = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in FN.retention(_events(spark, rows)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # u1 + u2 on signup day
+        ("2024-01-01", 2): 1,  # u1 on Jan 3
+        ("2024-01-02", 0): 1,  # u3 signup day
+        ("2024-01-02", 2): 1,  # u3 on Jan 4
+    }
