@@ -1493,6 +1493,18 @@ def _sql_host_clustering() -> str:
     )
 
 
+def _q_mirror_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Mirror-host candidates (operators/graph.py): capped outlink-set
+    overlap with exact-integer Jaccard."""
+    return GR.mirror_hosts(GR.host_edges(_link_planted(spark, sf)))
+
+
+def _sql_mirror_hosts() -> str:
+    return GR.sql_mirror_hosts(
+        f"({_sql_host_edges(_SQL_LINK_PLANTED)})"
+    )
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -1966,6 +1978,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # conversion (epoch-us)
     "retention": _q_retention,                  # signup-cohort x
                                                 # activity-day offsets
+    "mirror_hosts": _q_mirror_hosts,            # capped outlink-set
+                                                # Jaccard (mirror sites)
 }
 
 
@@ -2226,6 +2240,7 @@ FROM events e JOIN sess s
         "host_clustering": _sql_host_clustering(),
         "funnel": FN.sql_funnel(),
         "retention": FN.sql_retention(),
+        "mirror_hosts": _sql_mirror_hosts(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -1068,3 +1068,96 @@ FROM (
              FROM (SELECT unnest([a, b, c]) AS node FROM ({tri}) tt) x
              GROUP BY node) t ON d.node = t.node
   WHERE d.deg >= 2) z"""
+
+
+def mirror_hosts(
+    edges: DataFrame,
+    cap: int = COCITE_CAP,
+    min_jaccard_milli: int = 200,
+) -> DataFrame:
+    """Mirror / near-duplicate host candidates ``(h1, h2, n_shared,
+    jaccard_milli)`` with ``h1 < h2``: hosts whose (capped) OUT-link
+    sets overlap — the transpose of :func:`cocitation` (shared targets
+    instead of shared citers), the classic mirror-site signal: a site
+    and its mirror link to the same places.
+
+    Same skew discipline as cocitation: each host's out-links are
+    capped to its ``cap`` strongest (weight desc, dst asc), so a
+    popular TARGET host contributes pairs only through the capped
+    lists that retained it, and the dst-keyed self-join is
+    co-partitioned after one shuffle. ``jaccard_milli`` is exact
+    integer: ``(1000 * shared) div (|A| + |B| - shared)`` over the
+    capped sets (truncating division, Spark div == DuckDB //).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    top = (
+        edges.select("src", "dst", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    sizes = top.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("h1"), F.col("b.src").alias("h2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("src", "h1"), "h1")
+        .withColumnRenamed("sz", "s1")
+        .join(
+            sizes.withColumnRenamed("src", "h2").withColumnRenamed(
+                "sz", "s2"
+            ),
+            "h2",
+        )
+        .select(
+            "h1",
+            "h2",
+            "n_shared",
+            F.expr(
+                "CAST((1000 * n_shared) div (s1 + s2 - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
+        .where(F.col("jaccard_milli") >= min_jaccard_milli)
+    )
+
+
+def sql_mirror_hosts(
+    edges_rel: str,
+    cap: int = COCITE_CAP,
+    min_jaccard_milli: int = 200,
+) -> str:
+    """Oracle: identical capped window + dst-keyed self-join + size
+    join + exact-integer Jaccard (bare SELECT)."""
+    top = (
+        f"SELECT src, dst FROM ("
+        f"SELECT src, dst, row_number() OVER ("
+        f"PARTITION BY src ORDER BY w DESC, dst) AS rn"
+        f" FROM {edges_rel}) t WHERE rn <= {cap}"
+    )
+    return f"""SELECT h1, h2, n_shared,
+  CAST((1000 * n_shared) // (s1 + s2 - n_shared) AS BIGINT)
+    AS jaccard_milli
+FROM (
+  SELECT s.h1, s.h2, s.n_shared, z1.sz AS s1, z2.sz AS s2
+  FROM (SELECT a.src AS h1, b.src AS h2,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ({top}) a JOIN ({top}) b
+          ON a.dst = b.dst AND a.src < b.src
+        GROUP BY 1, 2) s
+  JOIN (SELECT src, CAST(count(*) AS BIGINT) AS sz FROM ({top})
+        GROUP BY src) z1 ON s.h1 = z1.src
+  JOIN (SELECT src, CAST(count(*) AS BIGINT) AS sz FROM ({top})
+        GROUP BY src) z2 ON s.h2 = z2.src) j
+WHERE CAST((1000 * n_shared) // (s1 + s2 - n_shared) AS BIGINT)
+      >= {min_jaccard_milli}"""

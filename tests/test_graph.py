@@ -467,3 +467,25 @@ def test_host_clustering_k4_and_pendant(spark):
         "c.com": (3, 3, 1000),
         "d.com": (4, 3, 500),
     }
+
+
+def test_mirror_hosts_jaccard_hand_graph(spark):
+    """m1/m2 are perfect mirrors (same 3 targets -> 1000 milli); m3
+    shares 1 of its 2 targets with m1 (1/(3+2-1) = 250 milli); the
+    sub-threshold pair m3-m4 (0 shared) never appears."""
+    edges = []
+    for s in ("m1.com", "m2.com"):
+        for t in ("t1.net", "t2.net", "t3.net"):
+            edges.append((s, t, 1))
+    edges += [("m3.org", "t1.net", 1), ("m3.org", "x.net", 1),
+              ("m4.org", "y.net", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        (r["h1"], r["h2"]): (r["n_shared"], r["jaccard_milli"])
+        for r in GR.mirror_hosts(df).collect()
+    }
+    assert got == {
+        ("m1.com", "m2.com"): (3, 1000),
+        ("m1.com", "m3.org"): (1, 250),
+        ("m2.com", "m3.org"): (1, 250),
+    }
