@@ -802,6 +802,47 @@ def _q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return FN.funnel(SW.read_events(spark, sf))
 
 
+# planted multi-line corpus for c4_clean: the base text plus a known
+# keeper, a too-short line, a javascript line, and mod-keyed lorem /
+# curly-brace page poisons — both engines build the identical pages
+_C4_KEEP = "A good sentence line with enough words."
+_C4_SHORT = "short one."
+_C4_JS = "This line mentions javascript badly here today."
+_C4_LOREM = "lorem ipsum dolor sit amet today."
+_C4_BRACE = "code { brace } line content today."
+
+
+def _c4_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.lit("\n" + _C4_KEEP + "\n" + _C4_SHORT + "\n" + _C4_JS),
+        F.when(d % 5 == 0, F.lit("\n" + _C4_LOREM)).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("\n" + _C4_BRACE)).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf).select("doc_id", text.alias("text"))
+
+
+_SQL_C4_PLANTED = (
+    "(SELECT doc_id, text || chr(10) || '" + _C4_KEEP + "' || chr(10)"
+    " || '" + _C4_SHORT + "' || chr(10) || '" + _C4_JS + "'"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '" + _C4_LOREM + "'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '" + _C4_BRACE + "'"
+    " ELSE '' END AS text FROM documents) c4p"
+)
+
+
+def _q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-level cleaning (operators/curation.py) over a planted
+    multi-line corpus with known keeper/dropper lines."""
+    return CUR.c4_clean(_c4_planted(spark, sf))
+
+
+def _sql_c4_clean() -> str:
+    return CUR.sql_c4_clean(_SQL_C4_PLANTED)
+
+
 def _q_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention triangle (operators/funnel.py): signup-day
     cohorts x activity-day offsets, day-granular distinct."""
@@ -1980,6 +2021,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # activity-day offsets
     "mirror_hosts": _q_mirror_hosts,            # capped outlink-set
                                                 # Jaccard (mirror sites)
+    "c4_clean": _q_c4_clean,                    # C4 line-level quality
+                                                # filtering (zero-shuffle)
 }
 
 
@@ -2241,6 +2284,7 @@ FROM events e JOIN sess s
         "funnel": FN.sql_funnel(),
         "retention": FN.sql_retention(),
         "mirror_hosts": _sql_mirror_hosts(),
+        "c4_clean": _sql_c4_clean(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -712,3 +712,77 @@ SELECT a, b, n_ab, score, rank FROM (
        (ORDER BY score DESC, a ASC, b ASC) AS BIGINT) AS rank
   FROM cand)
 WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level quality filtering (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+#: a kept line ends in terminal punctuation (period, !, ?, end quote)
+C4_LINE_END_RE = r'[.!?"]$'
+#: C4's per-line word minimum (whitespace-delimited)
+C4_MIN_WORDS = 5
+#: pages need at least this many surviving lines ("3 sentences")
+C4_MIN_LINES = 3
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4's line-level cleaning as one zero-shuffle projection:
+    ``(doc_id, clean_text, n_kept, n_dropped, page_ok)``.
+
+    Kept lines: end in terminal punctuation (trimmed), have >=
+    :data:`C4_MIN_WORDS` whitespace words, and don't mention
+    "javascript" (ci). ``page_ok`` additionally applies the page-level
+    rules — no curly brace (code), no "lorem ipsum" (ci), and >=
+    :data:`C4_MIN_LINES` surviving lines. Everything is array
+    higher-order functions over the line split (filter/size/
+    array_join) — no explode, no shuffle; the caller drops
+    ``NOT page_ok`` rows and keeps ``clean_text``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line):
+        t = F.trim(line)
+        return (
+            t.rlike(C4_LINE_END_RE)
+            & (
+                F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+                >= C4_MIN_WORDS
+            )
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    n_kept = F.size(kept).cast("long")
+    low = F.lower(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_kept.alias("n_kept"),
+        (F.size(lines).cast("long") - n_kept).alias("n_dropped"),
+        (
+            ~low.contains("{")
+            & ~low.contains("lorem ipsum")
+            & (n_kept >= C4_MIN_LINES)
+        ).alias("page_ok"),
+    )
+
+
+def sql_c4_clean(docs_rel: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror (bare SELECT; COALESCE because array_to_string of
+    an empty DuckDB list is NULL, not '')."""
+    keep = (
+        f"l -> regexp_matches(trim(l), '{C4_LINE_END_RE}')"
+        f" AND len(regexp_extract_all(trim(l), '\\S+')) >= {C4_MIN_WORDS}"
+        f" AND NOT contains(lower(l), 'javascript')"
+    )
+    kept = f"list_filter(string_split({text_col}, chr(10)), {keep})"
+    return f"""SELECT doc_id,
+  COALESCE(array_to_string({kept}, chr(10)), '') AS clean_text,
+  CAST(len({kept}) AS BIGINT) AS n_kept,
+  CAST(len(string_split({text_col}, chr(10))) - len({kept}) AS BIGINT)
+    AS n_dropped,
+  (NOT contains(lower({text_col}), '{{')
+   AND NOT contains(lower({text_col}), 'lorem ipsum')
+   AND len({kept}) >= {C4_MIN_LINES}) AS page_ok
+FROM {docs_rel}"""

@@ -259,3 +259,37 @@ def test_collocations_hand_corpus(spark):
     want.sort(key=lambda r: (-r[3], r[0], r[1]))
     assert [(r["a"], r["b"], r["n_ab"], r["score"]) for r in got] == want[:3]
     assert got[0]["a"] == "new" and got[0]["b"] == "york"
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from fileverification_spark.operators import curation as C
+
+    text = "\n".join([
+        "This line has five good words here.",   # kept
+        "Too short.",                            # < 5 words -> dropped
+        "no terminal punctuation on this line",  # dropped
+        'A quoted ending works fine as well."',  # kept (end quote)
+        "Beware the JavaScript menace on pages today.",  # dropped (ci)
+        "Another perfectly valid sentence ends right here!",  # kept
+    ])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = C.c4_clean(docs).collect()[0]
+    assert r["n_kept"] == 3 and r["n_dropped"] == 3
+    assert r["page_ok"] is True  # no brace/lorem, >= 3 kept
+    assert r["clean_text"].split("\n") == [
+        "This line has five good words here.",
+        'A quoted ending works fine as well."',
+        "Another perfectly valid sentence ends right here!",
+    ]
+    # page poisons flip page_ok even when lines survive
+    for poison in ("x = { 1 }.", "Lorem Ipsum filler text."):
+        docs2 = spark.createDataFrame(
+            [(2, text + "\n" + poison)], "doc_id long, text string"
+        )
+        assert C.c4_clean(docs2).collect()[0]["page_ok"] is False
+    # a page with < 3 surviving lines fails too
+    docs3 = spark.createDataFrame(
+        [(3, "One single valid sentence right here.")],
+        "doc_id long, text string",
+    )
+    assert C.c4_clean(docs3).collect()[0]["page_ok"] is False
