@@ -1546,6 +1546,103 @@ def _sql_mirror_hosts() -> str:
     )
 
 
+#: seed-whitelist rule for trustrank/bfs: hosts whose md5 hex digest
+#: starts 0-3 (engine-neutral — Spark and DuckDB both emit lowercase
+#: hex md5 of the UTF-8 bytes). Stands in for the human-curated trust
+#: list TrustRank assumes; on the planted graph it selects site3,
+#: site11, site12 (ext.example.com is a non-seed dangling host, so the
+#: dangling-mass-to-seeds path is exercised).
+_SEED_MD5_MAX = "3"
+
+
+def _trust_seeds(spark: SparkSession, sf: str) -> DataFrame:
+    pages = _link_planted(spark, sf)
+    node = GR.host_of(F.col("url"))
+    return (
+        pages.select(node.alias("node"))
+        .distinct()
+        .where(F.substring(F.md5(F.col("node")), 1, 1) <= _SEED_MD5_MAX)
+    )
+
+
+def _sql_trust_seeds() -> str:
+    h = GR.sql_host_of("url")
+    return (
+        f"SELECT node FROM (SELECT DISTINCT {h} AS node"
+        f" FROM {_SQL_LINK_PLANTED}) hh"
+        f" WHERE substr(md5(node), 1, 1) <= '{_SEED_MD5_MAX}'"
+    )
+
+
+def _q_trustrank_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-int64 TrustRank (operators/graph.py): PageRank ladder with
+    teleport + dangling mass confined to the md5-rule seed whitelist."""
+    edges = GR.host_edges(_link_planted(spark, sf))
+    return GR.trustrank(edges, _trust_seeds(spark, sf), iters=_PAGERANK_ITERS)
+
+
+def _sql_trustrank_hosts() -> str:
+    parts = [
+        f"edges AS ({_sql_host_edges(_SQL_LINK_PLANTED)})",
+        f"seeds AS ({_sql_trust_seeds()})",
+    ]
+    parts += GR.sql_trustrank_parts("edges", "seeds", iters=_PAGERANK_ITERS)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank FROM t{_PAGERANK_ITERS}"
+    )
+
+
+_BFS_DEPTH = 3
+
+
+def _q_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl depth (operators/graph.py): min link distance from the
+    seed whitelist, bounded at _BFS_DEPTH hops."""
+    edges = GR.host_edges(_link_planted(spark, sf))
+    return GR.bfs_depth(edges, _trust_seeds(spark, sf), max_depth=_BFS_DEPTH)
+
+
+def _sql_bfs_depth() -> str:
+    return GR.sql_bfs_depth(
+        f"({_sql_host_edges(_SQL_LINK_PLANTED)})",
+        f"({_sql_trust_seeds()})",
+        max_depth=_BFS_DEPTH,
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _q_kcore_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core peel (operators/graph.py) over the undirected host graph;
+    fixed round count, oracle-unrolled."""
+    edges = GR.host_edges(_link_planted(spark, sf))
+    return GR.kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _sql_kcore_hosts() -> str:
+    return GR.sql_kcore(
+        f"({_sql_host_edges(_SQL_LINK_PLANTED)})",
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+    )
+
+
+def _q_degree_mixing(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman degree-assortativity sufficient statistics
+    (operators/graph.py) as one exact-BIGINT row."""
+    return GR.degree_mixing(GR.host_edges(_link_planted(spark, sf)))
+
+
+def _sql_degree_mixing() -> str:
+    return GR.sql_degree_mixing(
+        f"({_sql_host_edges(_SQL_LINK_PLANTED)})"
+    )
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -2023,6 +2120,12 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # Jaccard (mirror sites)
     "c4_clean": _q_c4_clean,                    # C4 line-level quality
                                                 # filtering (zero-shuffle)
+    "trustrank_hosts": _q_trustrank_hosts,      # seeded exact-int64
+                                                # TrustRank ladder
+    "bfs_depth": _q_bfs_depth,                  # crawl depth from the
+                                                # seed whitelist
+    "kcore_hosts": _q_kcore_hosts,              # k-core peel (unrolled)
+    "degree_mixing": _q_degree_mixing,          # assortativity sums
 }
 
 
@@ -2285,6 +2388,10 @@ FROM events e JOIN sess s
         "retention": FN.sql_retention(),
         "mirror_hosts": _sql_mirror_hosts(),
         "c4_clean": _sql_c4_clean(),
+        "trustrank_hosts": _sql_trustrank_hosts(),
+        "bfs_depth": _sql_bfs_depth(),
+        "kcore_hosts": _sql_kcore_hosts(),
+        "degree_mixing": _sql_degree_mixing(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

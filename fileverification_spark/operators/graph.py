@@ -1161,3 +1161,411 @@ FROM (
         GROUP BY src) z2 ON s.h2 = z2.src) j
 WHERE CAST((1000 * n_shared) // (s1 + s2 - n_shared) AS BIGINT)
       >= {min_jaccard_milli}"""
+
+
+# ---------------------------------------------------------------------------
+# TrustRank: seeded (personalized) PageRank over a curated host whitelist
+# ---------------------------------------------------------------------------
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    scale: int = RANK_SCALE,
+    d_num: int = 85,
+    d_den: int = 100,
+    persist: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004) over
+    ``(src, dst, w)`` in the same exact-int64 arithmetic as
+    :func:`pagerank`: PageRank whose teleport vector is uniform over a
+    curated ``seeds`` relation (one ``node`` column) instead of uniform
+    over all nodes — trust flows out from the whitelist, so spam farms
+    with no seed-reachable in-links score 0.
+
+    Exact update rule (truncating division, non-negative domain):
+
+        contrib(v) = sum_{(u,v,w)} (rank(u) * w) div total_w(u)
+        dangling   = (sum_{u: no out-edges} rank(u)) div n_seeds
+        rank'(v)   = ((d_den-d_num)*scale*s(v)
+                      + d_num*(contrib(v) + s(v)*dangling)) div d_den
+
+    where ``s(v)`` is 1 for seeds, else 0: both the teleport mass and
+    the dangling mass return to the SEED set (the personalized-PageRank
+    fix — sending dangling mass to all nodes would leak trust to
+    unlinked spam). ``rank0 = scale * s(v)``.
+
+    Scale: the seed relation is a human-curated whitelist — tiny by
+    construction — so the seed-flag join is a broadcast; everything
+    else is the :func:`pagerank` ladder unchanged (two host-sized
+    shuffles + one 1-row broadcast per iteration, n_seeds a plan-time
+    literal from the preflight).
+    """
+
+    def _p(df: DataFrame) -> DataFrame:
+        if persist:
+            df = df.persist()
+            if handles is not None:
+                handles.append(df)
+        return df
+
+    nodes = _p(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(
+                seeds.select(F.col("node"), F.lit(1).alias("s")).distinct()
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("s", F.lit(0)).cast("long").alias("s"))
+    )
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("total_w")
+    )
+    e2 = _p(edges.join(outw, "src"))
+    stats = (
+        nodes.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("s").cast("long").alias("ns"),
+        )
+        .crossJoin(e2.agg(F.max("w").cast("long").alias("mw")))
+        .collect()[0]
+    )
+    n_val, n_seeds, max_w = stats["n"] or 0, stats["ns"] or 0, stats["mw"] or 1
+    if n_seeds == 0:
+        raise ValueError(
+            "trustrank: no seed node appears in the edge relation — "
+            "an all-zero rank vector would be silently meaningless"
+        )
+    worst = 2 * d_num * n_val * scale * max_w
+    if worst > 2**63 - 1:
+        safe = (2**63 - 1) // max(1, 2 * d_num * n_val * max_w)
+        raise ValueError(
+            f"trustrank int64 overflow: 2*d_num*n_nodes*scale*max_w = "
+            f"{worst} > 2^63-1; rerun with scale <= {safe} in BOTH the "
+            f"Spark call and its oracle"
+        )
+    ranks = nodes.select(
+        "node", (F.lit(scale).cast("long") * F.col("s")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e2.join(ranks, e2["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank * w) div total_w").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("isum"))
+        )
+        dang = ranks.join(
+            outw, ranks["node"] == outw["src"], "left_anti"
+        ).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dsum")
+        )
+        ranks = _p(
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((({d_den - d_num} * CAST({scale} AS BIGINT) * s)"
+                    f" + {d_num} * (coalesce(isum, CAST(0 AS BIGINT))"
+                    f" + s * (dsum div CAST({int(n_seeds)} AS BIGINT))))"
+                    f" div {d_den} AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def sql_trustrank_parts(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 5,
+    scale: int = RANK_SCALE,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> list[str]:
+    """CTE definitions replaying :func:`trustrank`; final ranks land in
+    CTE ``t{iters}``. Same DuckDB notes as :func:`sql_pagerank_parts`."""
+    parts = [
+        f"tnodes AS (SELECT n.node,"
+        f" CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS s"
+        f" FROM (SELECT src AS node FROM {edges_cte}"
+        f" UNION SELECT dst FROM {edges_cte}) n"
+        f" LEFT JOIN (SELECT DISTINCT node FROM {seeds_cte}) s"
+        f" ON n.node = s.node)",
+        f"toutw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS total_w "
+        f"FROM {edges_cte} GROUP BY src)",
+        f"te2 AS (SELECT e.src, e.dst, e.w, o.total_w FROM {edges_cte} e "
+        f"JOIN toutw o ON e.src = o.src)",
+        "tns AS (SELECT CAST(SUM(s) AS BIGINT) AS n_seeds FROM tnodes)",
+        f"t0 AS (SELECT node, CAST({scale} AS BIGINT) * s AS rank"
+        f" FROM tnodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"t{i - 1}"
+        parts.append(
+            f"tc{i} AS (SELECT te2.dst,"
+            f" CAST(SUM((r.rank * te2.w) // te2.total_w) AS BIGINT) AS isum"
+            f" FROM te2 JOIN {p} r ON r.node = te2.src GROUP BY te2.dst)"
+        )
+        parts.append(
+            f"td{i} AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT)"
+            f" AS dsum FROM {p} r LEFT JOIN toutw o ON r.node = o.src"
+            f" WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"t{i} AS (SELECT n.node, CAST((({d_den - d_num}"
+            f" * CAST({scale} AS BIGINT) * n.s) + {d_num}"
+            f" * (COALESCE(c.isum, CAST(0 AS BIGINT))"
+            f" + n.s * (d.dsum // ns.n_seeds))) // {d_den}"
+            f" AS BIGINT) AS rank"
+            f" FROM tnodes n LEFT JOIN tc{i} c ON n.node = c.dst,"
+            f" td{i} d, tns ns)"
+        )
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl depth from a seed set
+# ---------------------------------------------------------------------------
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    persist: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """Minimum link distance ``(node, depth)`` from a ``seeds`` relation
+    (one ``node`` column) over the directed ``(src, dst, w)`` host
+    graph, bounded at ``max_depth`` hops — the crawl-depth ordering a
+    politeness-bounded breadth-first crawler assigns (seed hosts are
+    depth 0; a host first reachable through d links is depth d; hosts
+    not reachable within ``max_depth`` are absent).
+
+    Synchronous relaxation, one round per hop: each round shuffles the
+    current distance relation (bounded by n_hosts) into the edge
+    relation and min-folds — never more than ``max_depth`` host-sized
+    shuffles total, and each round's result persists so the lineage
+    stays flat. At web scale the frontier is a tiny fraction of the
+    graph for small depths; the min-fold over the full reached set is
+    the price of determinism (identical algebra to the unrolled SQL
+    oracle) and is partial-aggregatable, so the shuffle carries one row
+    per reached host, not per edge.
+    """
+
+    def _p(df: DataFrame) -> DataFrame:
+        if persist:
+            df = df.persist()
+            if handles is not None:
+                handles.append(df)
+        return df
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = _p(
+        nodes.join(F.broadcast(seeds.select("node").distinct()), "node")
+        .select("node", F.lit(0).cast("int").alias("depth"))
+    )
+    for _ in range(max_depth):
+        step = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("depth") + F.lit(1)).cast("int").alias("depth"),
+            )
+        )
+        dist = _p(
+            dist.union(step)
+            .groupBy("node")
+            .agg(F.min("depth").cast("int").alias("depth"))
+        )
+    return dist
+
+
+def sql_bfs_depth(edges_rel: str, seeds_rel: str, max_depth: int = 4) -> str:
+    """Oracle: the same relaxation unrolled into ``max_depth`` CTE
+    stages (bare SELECT; composes under the caller's WITH)."""
+    parts = [
+        f"bnodes AS (SELECT src AS node FROM {edges_rel}"
+        f" UNION SELECT dst FROM {edges_rel})",
+        f"b0 AS (SELECT n.node, CAST(0 AS INT) AS depth FROM bnodes n"
+        f" JOIN (SELECT DISTINCT node FROM {seeds_rel}) s"
+        f" ON n.node = s.node)",
+    ]
+    for i in range(1, max_depth + 1):
+        p = f"b{i - 1}"
+        parts.append(
+            f"b{i} AS (SELECT node, CAST(MIN(depth) AS INT) AS depth FROM ("
+            f"SELECT node, depth FROM {p}"
+            f" UNION ALL SELECT e.dst AS node, d.depth + 1 AS depth"
+            f" FROM {edges_rel} e JOIN {p} d ON d.node = e.src"
+            f") u GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, depth FROM b{max_depth}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling + degree-mixing sums over the undirected host graph
+# ---------------------------------------------------------------------------
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    persist: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """Hosts surviving ``rounds`` synchronous peels of the ``k``-core
+    reduction over the undirected host graph, as ``(node, deg)`` with
+    ``deg`` the node's degree in the subgraph induced by the survivors.
+
+    One peel removes every node whose degree in the current induced
+    subgraph is < k (the standard k-core rule; Batagelj & Zaversnik
+    2003). A FIXED round count keeps the operator deterministic and
+    byte-replayable by the unrolled SQL oracle; when a round removes
+    nothing the remaining rounds are no-ops, so if the peel converges
+    within ``rounds`` the output IS the exact k-core (pinned on the
+    planted graph by test). At web scale each round is one degree
+    hash-agg + one semi-join pair over the shrinking survivor set —
+    the first round is the expensive one (full edge relation), every
+    later round is smaller, and the peel count needed in practice is
+    small for the k values crawl analysis uses.
+    """
+
+    def _p(df: DataFrame) -> DataFrame:
+        if persist:
+            df = df.persist()
+            if handles is not None:
+                handles.append(df)
+        return df
+
+    u = _p(undirected_host_edges(edges))
+    alive = _p(
+        u.select(F.col("a").alias("node"))
+        .union(u.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    for _ in range(rounds):
+        e_r = (
+            u.join(alive.withColumnRenamed("node", "a"), "a")
+            .join(alive.withColumnRenamed("node", "b"), "b")
+        )
+        deg = (
+            e_r.select(F.col("a").alias("node"))
+            .union(e_r.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        alive = _p(deg.where(F.col("deg") >= k).select("node"))
+    e_fin = (
+        u.join(alive.withColumnRenamed("node", "a"), "a")
+        .join(alive.withColumnRenamed("node", "b"), "b")
+    )
+    return (
+        e_fin.select(F.col("a").alias("node"))
+        .union(e_fin.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
+def sql_kcore(edges_rel: str, k: int = 3, rounds: int = 4) -> str:
+    """Oracle: the same peel unrolled into ``rounds`` CTE stages."""
+    parts = [
+        f"ku AS (SELECT DISTINCT least(src, dst) AS a,"
+        f" greatest(src, dst) AS b FROM {edges_rel} WHERE src <> dst)",
+        "ka0 AS (SELECT a AS node FROM ku UNION SELECT b FROM ku)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"ka{i - 1}"
+        parts.append(
+            f"ke{i} AS (SELECT u.a, u.b FROM ku u"
+            f" JOIN {p} x ON u.a = x.node JOIN {p} y ON u.b = y.node)"
+        )
+        parts.append(
+            f"ka{i} AS (SELECT node FROM ("
+            f"SELECT a AS node FROM ke{i}"
+            f" UNION ALL SELECT b FROM ke{i}) z"
+            f" GROUP BY node HAVING COUNT(*) >= {k})"
+        )
+    parts.append(
+        f"kef AS (SELECT u.a, u.b FROM ku u"
+        f" JOIN ka{rounds} x ON u.a = x.node"
+        f" JOIN ka{rounds} y ON u.b = y.node)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+        "SELECT a AS node FROM kef UNION ALL SELECT b FROM kef) z"
+        " GROUP BY node"
+    )
+
+
+def degree_mixing(edges: DataFrame) -> DataFrame:
+    """One-row exact-integer degree-mixing sums over the undirected
+    host graph: ``(m, s_jk, s_sum, s_sq)`` where for each undirected
+    edge with endpoint degrees j, k:
+
+        m     = edge count
+        s_jk  = sum(j * k)
+        s_sum = sum(j + k)
+        s_sq  = sum(j^2 + k^2)
+
+    These are the sufficient statistics of Newman's degree-assortativity
+    coefficient (Phys. Rev. Lett. 89, 208701 (2002), eq. 4):
+    r = (s_jk/m - (s_sum/2m)^2) / (s_sq/2m - (s_sum/2m)^2) — kept as
+    exact BIGINTs so the comparison is float-free; callers divide.
+    Plan: one degree hash-agg, two broadcast-or-shuffle joins back onto
+    the edge list, one global agg — no windows, no collect."""
+    u = undirected_host_edges(edges)
+    deg = (
+        u.select(F.col("a").alias("node"))
+        .union(u.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    j = (
+        u.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
+            "b",
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("da") * F.col("db")).cast("long").alias("s_jk"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("s_sum"),
+        F.sum(
+            F.col("da") * F.col("da") + F.col("db") * F.col("db")
+        ).cast("long").alias("s_sq"),
+    )
+
+
+def sql_degree_mixing(edges_rel: str) -> str:
+    """Oracle for :func:`degree_mixing` (full WITH statement)."""
+    return f"""WITH mu AS (SELECT DISTINCT least(src, dst) AS a,
+  greatest(src, dst) AS b FROM {edges_rel} WHERE src <> dst),
+mdeg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT a AS node FROM mu UNION ALL SELECT b FROM mu) z GROUP BY node)
+SELECT CAST(COUNT(*) AS BIGINT) AS m,
+  CAST(SUM(d1.deg * d2.deg) AS BIGINT) AS s_jk,
+  CAST(SUM(d1.deg + d2.deg) AS BIGINT) AS s_sum,
+  CAST(SUM(d1.deg * d1.deg + d2.deg * d2.deg) AS BIGINT) AS s_sq
+FROM mu u JOIN mdeg d1 ON u.a = d1.node JOIN mdeg d2 ON u.b = d2.node"""

@@ -489,3 +489,118 @@ def test_mirror_hosts_jaccard_hand_graph(spark):
         ("m1.com", "m3.org"): (1, 250),
         ("m2.com", "m3.org"): (1, 250),
     }
+
+
+# ---------------------------------------------------------------------------
+# TrustRank / BFS depth / k-core / degree mixing (round-4 additions)
+# ---------------------------------------------------------------------------
+
+def _trustrank_py(edges, seeds, iters, scale=SCALE, d_num=85, d_den=100):
+    """Pure-Python replay of graph.trustrank's exact update rule."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    seeds = set(seeds) & set(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    rank = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            contrib[d] += (rank[s] * w) // outw[s]
+        dang = sum(rank[n] for n in nodes if n not in outw)
+        each = dang // len(seeds)
+        rank = {
+            n: (
+                (d_den - d_num) * scale * (n in seeds)
+                + d_num * (contrib[n] + (n in seeds) * each)
+            )
+            // d_den
+            for n in nodes
+        }
+    return rank
+
+
+def test_trustrank_matches_python_replay(spark, hand_edges):
+    seeds = spark.createDataFrame([("A",), ("D",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in GR.trustrank(
+            hand_edges, seeds, iters=4, scale=SCALE
+        ).collect()
+    }
+    want = _trustrank_py(
+        [(r["src"], r["dst"], r["w"]) for r in hand_edges.collect()],
+        ["A", "D"],
+        4,
+    )
+    assert got == want  # exact, no tolerance
+    # D is a dangling SEED: its teleport share keeps it nonzero, while
+    # trust decays strictly away from the seed set
+    assert got["D"] > 0
+
+
+def test_trustrank_unreachable_scores_zero(spark):
+    # spam island E->F has no path from the seed: rank exactly 0
+    rows = [("A", "B", 1), ("E", "F", 1)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    seeds = spark.createDataFrame([("A",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in GR.trustrank(edges, seeds, iters=3, scale=SCALE).collect()
+    }
+    assert got["E"] == 0 and got["F"] == 0
+    assert got["A"] > 0 and got["B"] > 0
+
+
+def test_trustrank_empty_seed_fails_loud(spark, hand_edges):
+    seeds = spark.createDataFrame([("ZZZ",)], "node string")
+    with pytest.raises(ValueError, match="no seed node"):
+        GR.trustrank(hand_edges, seeds, iters=1)
+
+
+def test_bfs_depth_hand_case(spark):
+    # A -> B -> C -> D chain plus shortcut A -> C; E isolated target of D
+    rows = [
+        ("A", "B", 1),
+        ("B", "C", 1),
+        ("C", "D", 1),
+        ("A", "C", 5),
+        ("D", "E", 1),
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    seeds = spark.createDataFrame([("A",)], "node string")
+    got = {
+        r["node"]: r["depth"]
+        for r in GR.bfs_depth(edges, seeds, max_depth=2).collect()
+    }
+    # shortcut wins over the chain; D is 2 via C; E needs 3 hops -> absent
+    assert got == {"A": 0, "B": 1, "C": 1, "D": 2}
+
+
+def test_kcore_peels_tendrils(spark):
+    # K4 on A,B,C,D (every pair, as directed edges one way) with a
+    # tendril D -> E -> F: the 3-core is exactly the K4, discovered in
+    # 2 peel rounds; surviving degrees are all 3
+    k4 = [("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D")]
+    rows = [(a, b, 1) for a, b in k4] + [("D", "E", 1), ("E", "F", 1)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = {
+        r["node"]: r["deg"]
+        for r in GR.kcore(edges, k=3, rounds=2).collect()
+    }
+    assert got == {"A": 3, "B": 3, "C": 3, "D": 3}
+    # convergence pin: one more round changes nothing
+    again = {
+        r["node"]: r["deg"]
+        for r in GR.kcore(edges, k=3, rounds=3).collect()
+    }
+    assert again == got
+
+
+def test_degree_mixing_hand_sums(spark):
+    # path A - B - C (undirected degrees: A=1, B=2, C=1)
+    rows = [("A", "B", 1), ("B", "C", 1)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    row = GR.degree_mixing(edges).collect()[0]
+    # edges (1,2) and (2,1): m=2, s_jk=2+2, s_sum=3+3, s_sq=5+5
+    assert (row["m"], row["s_jk"], row["s_sum"], row["s_sq"]) == (2, 4, 6, 10)
