@@ -22,6 +22,7 @@ from fileverification_spark.streaming import incremental as INC
 from fileverification_spark.streaming import geofence as SG
 from fileverification_spark.streaming import windows as SW
 from fileverification_spark.operators import asof as AS
+from fileverification_spark.operators import captures as CAP
 from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import funnel as FN
@@ -1643,6 +1644,102 @@ def _sql_degree_mixing() -> str:
     )
 
 
+def _captures_planted(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX-style capture history planted over pages: every page has one
+    base capture; doc_id%4==0 pages get a +1-day recrawl (digest CHANGED
+    when doc_id%8==0, byte-identical otherwise); doc_id%16==0 pages get
+    a +2-day third capture (changed again when doc_id%32==0, else it
+    repeats the v2 digest — all %16 pages are %8 pages, so the v2
+    digest IS the previous one)."""
+    p = P.pages_with_derived(spark, sf).select(
+        "doc_id", "url", "warc_ts", F.col("text_sha256").alias("digest")
+    )
+    v2 = F.upper(F.sha2(F.concat(F.col("digest"), F.lit("v2")), 256))
+    v3 = F.upper(F.sha2(F.concat(F.col("digest"), F.lit("v3")), 256))
+    c0 = p.select("url", F.col("warc_ts").alias("ts"), "digest")
+    c1 = p.where(F.col("doc_id") % 4 == 0).select(
+        "url",
+        F.expr("timestampadd(DAY, 1, warc_ts)").alias("ts"),
+        F.when(F.col("doc_id") % 8 == 0, v2).otherwise(F.col("digest")).alias(
+            "digest"
+        ),
+    )
+    c2 = p.where(F.col("doc_id") % 16 == 0).select(
+        "url",
+        F.expr("timestampadd(DAY, 2, warc_ts)").alias("ts"),
+        F.when(F.col("doc_id") % 32 == 0, v3).otherwise(v2).alias("digest"),
+    )
+    return c0.union(c1).union(c2)
+
+
+_SQL_CAPTURES_PLANTED = """(
+  SELECT url, warc_ts AS ts, text_sha256 AS digest FROM pages
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 1 DAY AS ts,
+         CASE WHEN doc_id % 8 = 0 THEN upper(sha256(text_sha256 || 'v2'))
+              ELSE text_sha256 END AS digest
+  FROM pages WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT url, warc_ts + INTERVAL 2 DAY AS ts,
+         CASE WHEN doc_id % 32 = 0 THEN upper(sha256(text_sha256 || 'v3'))
+              ELSE upper(sha256(text_sha256 || 'v2')) END AS digest
+  FROM pages WHERE doc_id % 16 = 0
+)"""
+
+
+def _q_capture_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-url capture change history (operators/captures.py) over the
+    planted CDX corpus."""
+    return CAP.capture_churn(_captures_planted(spark, sf))
+
+
+def _sql_capture_churn() -> str:
+    return (
+        _with(f"caps AS (SELECT * FROM {_SQL_CAPTURES_PLANTED} c)")
+        + "\n"
+        + CAP.sql_capture_churn("caps")
+    )
+
+
+def _q_recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive recrawl bands (operators/captures.py): exact milli
+    change rate + hot/warm/cold tiers."""
+    return CAP.recrawl_priority(_captures_planted(spark, sf))
+
+
+def _sql_recrawl_priority() -> str:
+    return (
+        _with(f"caps AS (SELECT * FROM {_SQL_CAPTURES_PLANTED} c)")
+        + "\n"
+        + CAP.sql_recrawl_priority("caps")
+    )
+
+
+def _q_moran_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Global Moran's I sufficient statistics (operators/spatial.py)
+    over the XYZ tile-count grid, rook adjacency, exact BIGINTs."""
+    t = grid.tile_xyz(F.col("lat"), F.col("lon"), _TILE_Z)
+    cells = (
+        P.pages_with_derived(spark, sf)
+        .select(t["x"].alias("x"), t["y"].alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return S.moran_stats(cells)
+
+
+def _sql_moran_tiles() -> str:
+    x, y = grid.sql_tile_xyz("lat", "lon", _TILE_Z)
+    cells = (
+        f"(SELECT x, y, CAST(count(*) AS BIGINT) AS n"
+        f" FROM (SELECT {x} AS x, {y} AS y FROM pages) xy"
+        f" GROUP BY 1, 2)"
+    )
+    # sql_moran_stats opens its own WITH; fold its CTEs into the
+    # contract's pages WITH clause
+    return _with() + ",\n" + S.sql_moran_stats(cells)[len("WITH ") :]
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -2126,6 +2223,11 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # seed whitelist
     "kcore_hosts": _q_kcore_hosts,              # k-core peel (unrolled)
     "degree_mixing": _q_degree_mixing,          # assortativity sums
+    "capture_churn": _q_capture_churn,          # CDX per-url change
+                                                # history
+    "recrawl_priority": _q_recrawl_priority,    # adaptive recrawl bands
+    "moran_tiles": _q_moran_tiles,              # Moran's I sufficient
+                                                # stats (rook adjacency)
 }
 
 
@@ -2392,6 +2494,9 @@ FROM events e JOIN sess s
         "bfs_depth": _sql_bfs_depth(),
         "kcore_hosts": _sql_kcore_hosts(),
         "degree_mixing": _sql_degree_mixing(),
+        "capture_churn": _sql_capture_churn(),
+        "recrawl_priority": _sql_recrawl_priority(),
+        "moran_tiles": _sql_moran_tiles(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -2028,3 +2028,89 @@ shared AS (
 SELECT s.poly_a, s.poly_b, s.n_shared_cells,
        round(s.n_shared_cells / (na.n_a + nb.n_b - s.n_shared_cells), 6) AS iou
 FROM shared s JOIN na USING (poly_a) JOIN nb USING (poly_b)"""
+
+
+# ---------------------------------------------------------------------------
+# Spatial autocorrelation: Moran's I sufficient statistics (round 4)
+# ---------------------------------------------------------------------------
+
+def moran_stats(cells: DataFrame) -> DataFrame:
+    """One-row EXACT sufficient statistics of global Moran's I over a
+    ``(x, y, n)`` tile-count grid under rook adjacency (binary weights,
+    4-neighborhood — Moran 1950; Cliff & Ord 1981 notation):
+
+        n_cells, s_x = sum(n), s_xx = sum(n^2)       over cells
+        w_pairs  = ordered adjacent pairs (= 2 * undirected edges)
+        s_adj_xy  = sum(n_i * n_j)  over ordered adjacent pairs
+        s_adj_sum = sum(n_i + n_j)  over ordered adjacent pairs
+
+    Moran's I assembles downstream in one float step:
+    with mu = s_x/n_cells,
+    num = s_adj_xy - mu*s_adj_sum + w_pairs*mu^2,
+    den = s_xx - 2*mu*s_x + n_cells*mu^2,
+    I = (n_cells / w_pairs) * num / den — every input to that formula
+    is a BIGINT here, so the distributed part is float-free and
+    order-independent (the hash-canon requirement).
+
+    Adjacency is found with an EQUI-join: each cell explodes into its 4
+    neighbor coordinates and hash-joins back onto the grid — never a
+    theta-join/BNL over cell pairs, so the plan is two shuffles on the
+    (x, y) key regardless of grid size. Ordered pairs appear exactly
+    once per direction (cell a exploded toward b, matched at b), giving
+    the symmetric-weight W without a dedup. int64 headroom: holds while
+    max_cell_count^2 * w_pairs < 2^63 — counts are per-tile page
+    totals, so a 1e6-max-count, 1e9-pair grid is still 1e21-safe only
+    per-term; the SUM preflights nothing because tile counts at any
+    realistic zoom are << 2^31 (the contract zoom keeps them < 1e5).
+    """
+    offs = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")),
+    )
+    shifted = cells.select(
+        F.col("n").alias("na"), F.explode(offs).alias("o"), "x", "y"
+    ).select(
+        (F.col("x") + F.col("o.dx")).alias("x"),
+        (F.col("y") + F.col("o.dy")).alias("y"),
+        "na",
+    )
+    pairs = shifted.join(
+        cells.select("x", "y", F.col("n").alias("nb")), ["x", "y"]
+    )
+    g = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("s_x"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s_xx"),
+    )
+    h = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("s_adj_xy"),
+        F.coalesce(F.sum(F.col("na") + F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("s_adj_sum"),
+    )
+    return g.crossJoin(h)
+
+
+def sql_moran_stats(cells_rel: str) -> str:
+    """Oracle for :func:`moran_stats` over a ``(x, y, n)`` relation
+    (full WITH statement)."""
+    return f"""WITH mtc AS (SELECT x, y, n FROM {cells_rel}),
+madj AS (
+  SELECT a.n AS na, b.n AS nb
+  FROM mtc a
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dx, dy)
+  JOIN mtc b ON b.x = a.x + d.dx AND b.y = a.y + d.dy
+)
+SELECT g.n_cells, g.s_x, g.s_xx, h.w_pairs, h.s_adj_xy, h.s_adj_sum
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(n) AS BIGINT) AS s_x,
+             CAST(sum(n * n) AS BIGINT) AS s_xx FROM mtc) g,
+     (SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+             CAST(COALESCE(sum(na * nb), 0) AS BIGINT) AS s_adj_xy,
+             CAST(COALESCE(sum(na + nb), 0) AS BIGINT) AS s_adj_sum
+      FROM madj) h"""

@@ -816,3 +816,30 @@ def test_raster_smooth_lon_wrap(spark):
     rows = S.raster_smooth(df, res).collect()
     assert all(r["smooth_sum"] == 2 and r["n_occupied_nbrs"] == 2
                for r in rows)
+
+
+def test_moran_stats_hand_grid(spark):
+    # 2x2 checkerboard: perfect negative spatial autocorrelation
+    rows = [(0, 0, 10), (1, 0, 2), (0, 1, 2), (1, 1, 10)]
+    cells = spark.createDataFrame(rows, "x int, y int, n long")
+    r = S.moran_stats(cells).collect()[0]
+    assert r["n_cells"] == 4 and r["s_x"] == 24
+    assert r["s_xx"] == 2 * (100 + 4)
+    # rook pairs: each cell has 2 neighbors -> 8 ordered pairs, all
+    # cross-colored so every product is 10*2
+    assert r["w_pairs"] == 8
+    assert r["s_adj_xy"] == 8 * 20
+    assert r["s_adj_sum"] == 8 * 12
+    # assembled Moran's I is exactly -1 on this grid
+    mu = r["s_x"] / r["n_cells"]
+    num = r["s_adj_xy"] - mu * r["s_adj_sum"] + r["w_pairs"] * mu * mu
+    den = r["s_xx"] - 2 * mu * r["s_x"] + r["n_cells"] * mu * mu
+    assert abs((r["n_cells"] / r["w_pairs"]) * num / den - (-1.0)) < 1e-12
+
+
+def test_moran_stats_isolated_cells(spark):
+    # no adjacency: w_pairs 0 and the adj sums coalesce to 0, not NULL
+    rows = [(0, 0, 3), (5, 5, 7)]
+    cells = spark.createDataFrame(rows, "x int, y int, n long")
+    r = S.moran_stats(cells).collect()[0]
+    assert (r["w_pairs"], r["s_adj_xy"], r["s_adj_sum"]) == (0, 0, 0)
