@@ -1740,6 +1740,30 @@ def _sql_moran_tiles() -> str:
     return _with() + ",\n" + S.sql_moran_stats(cells)[len("WITH ") :]
 
 
+def _q_getis_ord(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell Getis-Ord Gi* sufficient statistics (operators/
+    spatial.py) over the XYZ tile-count grid, queen kernel incl. self,
+    exact BIGINTs."""
+    t = grid.tile_xyz(F.col("lat"), F.col("lon"), _TILE_Z)
+    cells = (
+        P.pages_with_derived(spark, sf)
+        .select(t["x"].alias("x"), t["y"].alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return S.getis_ord_stats(cells)
+
+
+def _sql_getis_ord() -> str:
+    x, y = grid.sql_tile_xyz("lat", "lon", _TILE_Z)
+    cells = (
+        f"(SELECT x, y, CAST(count(*) AS BIGINT) AS n"
+        f" FROM (SELECT {x} AS x, {y} AS y FROM pages) xy"
+        f" GROUP BY 1, 2)"
+    )
+    return _with() + ",\n" + S.sql_getis_ord_stats(cells)[len("WITH ") :]
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -2228,6 +2252,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "recrawl_priority": _q_recrawl_priority,    # adaptive recrawl bands
     "moran_tiles": _q_moran_tiles,              # Moran's I sufficient
                                                 # stats (rook adjacency)
+    "getis_ord": _q_getis_ord,                  # per-cell Gi* hotspot
+                                                # sufficient stats
 }
 
 
@@ -2497,6 +2523,7 @@ FROM events e JOIN sess s
         "capture_churn": _sql_capture_churn(),
         "recrawl_priority": _sql_recrawl_priority(),
         "moran_tiles": _sql_moran_tiles(),
+        "getis_ord": _sql_getis_ord(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

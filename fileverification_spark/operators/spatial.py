@@ -2114,3 +2114,94 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS n_cells,
              CAST(COALESCE(sum(na * nb), 0) AS BIGINT) AS s_adj_xy,
              CAST(COALESCE(sum(na + nb), 0) AS BIGINT) AS s_adj_sum
       FROM madj) h"""
+
+
+# ---------------------------------------------------------------------------
+# Local hotspot statistic: Getis-Ord Gi* sufficient statistics (round 4)
+# ---------------------------------------------------------------------------
+
+def getis_ord_stats(cells: DataFrame) -> DataFrame:
+    """Per-cell EXACT sufficient statistics of the Getis-Ord Gi* local
+    hotspot statistic (Getis & Ord 1992; Ord & Getis 1995) over a
+    ``(x, y, n)`` tile-count grid with binary queen weights (the 3x3
+    kernel INCLUDING self, the standard Gi* convention).
+
+    Output per occupied cell (all BIGINT, order-independent):
+
+        x, y, n         — the cell and its own count
+        nbrs            — occupied kernel cells (weight sum W_i*)
+        local_sum       — sum(n_j) over the occupied kernel
+        n_cells, s_x, s_xx — global grid cardinality / sum / sum-sq
+
+    The z-score assembles downstream in one float step per cell:
+    with nn = n_cells, mu = s_x/nn, S = sqrt(s_xx/nn - mu^2),
+    z_i = (local_sum - mu*nbrs) / (S * sqrt((nn*nbrs - nbrs^2)/(nn-1)))
+    — every input is exact here, so the distributed plan is float-free
+    (hash-canon requirement), like :func:`moran_stats`.
+
+    Plan shape: kernel adjacency is an EQUI-join (each cell explodes
+    into its 9 kernel coordinates and hash-joins back onto the grid),
+    then ONE hash-groupBy on (x, y) and a broadcast of the 1-row global
+    agg — three shuffles total on the (x, y) key regardless of grid
+    size, never a theta-join over cell pairs. Empty kernel cells
+    contribute nothing, exactly the "occupied neighbours only" sparse
+    form that keeps the shuffle proportional to occupied tiles (at
+    10^12 pages / zoom-12 that is <= 2^24 rows x 9 — trivially
+    shuffle-able). int64 headroom: local_sum <= 9 * max tile count.
+    """
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    shifted = cells.select(
+        F.col("n").alias("na"), F.explode(offs).alias("o"), "x", "y"
+    ).select(
+        (F.col("x") + F.col("o.dx")).alias("x"),
+        (F.col("y") + F.col("o.dy")).alias("y"),
+        "na",
+    )
+    local = (
+        shifted.join(cells.select("x", "y", F.col("n").alias("nb")), ["x", "y"])
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nbrs"),
+            F.sum("na").cast("long").alias("local_sum"),
+        )
+    )
+    g = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("s_x"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s_xx"),
+    )
+    return (
+        cells.select("x", "y", F.col("n").cast("long").alias("n"))
+        .join(local, ["x", "y"])
+        .crossJoin(F.broadcast(g))
+    )
+
+
+def sql_getis_ord_stats(cells_rel: str) -> str:
+    """Oracle for :func:`getis_ord_stats` over a ``(x, y, n)`` relation
+    (full WITH statement)."""
+    return f"""WITH gtc AS (SELECT x, y, n FROM {cells_rel}),
+glocal AS (
+  SELECT b.x, b.y,
+         CAST(count(*) AS BIGINT) AS nbrs,
+         CAST(sum(a.n) AS BIGINT) AS local_sum
+  FROM gtc a
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)) d(dx, dy)
+  JOIN gtc b ON b.x = a.x + d.dx AND b.y = a.y + d.dy
+  GROUP BY b.x, b.y
+),
+gglob AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS s_x,
+         CAST(sum(n * n) AS BIGINT) AS s_xx FROM gtc
+)
+SELECT c.x, c.y, CAST(c.n AS BIGINT) AS n, l.nbrs, l.local_sum,
+       g.n_cells, g.s_x, g.s_xx
+FROM gtc c JOIN glocal l ON l.x = c.x AND l.y = c.y, gglob g"""

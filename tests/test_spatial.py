@@ -843,3 +843,69 @@ def test_moran_stats_isolated_cells(spark):
     cells = spark.createDataFrame(rows, "x int, y int, n long")
     r = S.moran_stats(cells).collect()[0]
     assert (r["w_pairs"], r["s_adj_xy"], r["s_adj_sum"]) == (0, 0, 0)
+
+
+def test_getis_ord_hand_grid(spark):
+    # 2x2 block: every cell's queen kernel covers the whole grid, so
+    # local_sum == s_x and nbrs == 4 for all four cells
+    rows = [(0, 0, 10), (1, 0, 2), (0, 1, 2), (1, 1, 10)]
+    cells = spark.createDataFrame(rows, "x int, y int, n long")
+    out = {(r["x"], r["y"]): r for r in S.getis_ord_stats(cells).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert (r["nbrs"], r["local_sum"]) == (4, 24)
+        assert (r["n_cells"], r["s_x"], r["s_xx"]) == (4, 24, 208)
+
+
+def test_getis_ord_hot_center(spark):
+    # 5x5 grid, hot center: the interior kernel is the full 3x3; a
+    # corner kernel is its 2x2 quadrant; an edge kernel a 2x3 slab
+    rows = [(x, y, 100 if (x, y) == (2, 2) else 1)
+            for x in range(5) for y in range(5)]
+    cells = spark.createDataFrame(rows, "x int, y int, n long")
+    out = {(r["x"], r["y"]): r for r in S.getis_ord_stats(cells).collect()}
+    c = out[(2, 2)]
+    assert (c["nbrs"], c["local_sum"]) == (9, 108)
+    corner = out[(0, 0)]
+    assert (corner["nbrs"], corner["local_sum"]) == (4, 4)
+    edge = out[(1, 0)]
+    assert (edge["nbrs"], edge["local_sum"]) == (6, 6)
+    # assembled z-score is largest at the hot center
+    import math
+    def z(r):
+        nn, mu = r["n_cells"], r["s_x"] / r["n_cells"]
+        s = math.sqrt(r["s_xx"] / nn - mu * mu)
+        w = r["nbrs"]
+        return (r["local_sum"] - mu * w) / (
+            s * math.sqrt((nn * w - w * w) / (nn - 1)))
+    assert z(c) == max(z(r) for r in out.values())
+    assert z(c) > 1.0 > 0.0 > max(
+        z(r) for (x, y), r in out.items() if abs(x - 2) > 1 or abs(y - 2) > 1
+    )
+
+
+def test_getis_ord_isolated_cell(spark):
+    # a lone cell is its own kernel: nbrs 1, local_sum = own n
+    cells = spark.createDataFrame([(7, 7, 5)], "x int, y int, n long")
+    r = S.getis_ord_stats(cells).collect()[0]
+    assert (r["nbrs"], r["local_sum"], r["n"]) == (1, 5, 5)
+
+
+def test_getis_ord_plan_shape(spark):
+    """Kernel adjacency must plan as EQUI-joins hash-partitioned on
+    (x, y) — never a cartesian over cell pairs — and the 1-row global
+    agg rides a BroadcastExchange. Four exchanges total: shifted side,
+    cells side (reused across both hash joins), the (x, y) group-by
+    (partial-aggregated), and the single-row global agg."""
+    from fileverification_spark.plans import explain as X
+
+    cells = spark.createDataFrame(
+        [(x, y, (x * 7 + y) % 5 + 1) for x in range(8) for y in range(8)],
+        "x int, y int, n long",
+    )
+    q = S.getis_ord_stats(cells)
+    plan = X.formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert X.shuffle_exchange_count(q) <= 4
+    assert X.has_partial_aggregate(q)
+    assert "BroadcastExchange" in plan  # the 1-row global stats
