@@ -1764,6 +1764,82 @@ def _sql_getis_ord() -> str:
     return _with() + ",\n" + S.sql_getis_ord_stats(cells)[len("WITH ") :]
 
 
+_ZLEVEL = 12   # Morton layout level (2^12 x 2^12 grid, 24-bit keys)
+_GAP_RES = 6   # coverage-gap resolution (64 x 128 global cells)
+
+
+def _q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton physical-layout audit (operators/spatial.py): per top-level
+    quadtree bucket, the (n_pages, z_min, z_max) stats min/max pruning
+    consumes on the z-sorted table."""
+    return S.zorder_layout_stats(
+        P.pages_with_derived(spark, sf), level=_ZLEVEL, prefix_level=4
+    )
+
+
+def _sql_zorder_layout() -> str:
+    return _with() + "\n" + S.sql_zorder_layout_stats(
+        level=_ZLEVEL, prefix_level=4
+    )
+
+
+def _q_zorder_bbox(spark: SparkSession, sf: str) -> DataFrame:
+    """bbox_query's twin on the Morton-SORTED layout: driver-side range
+    decomposition -> OR-of-BETWEEN on the layout key -> exact refilter.
+    Same oracle as bbox_query — the range cover is semantics-free, so
+    any decomposition bug is a row diff."""
+    return S.zorder_bbox_query(
+        P.pages_with_derived(spark, sf), *_BBOX, level=_ZLEVEL
+    )
+
+
+def _q_focal_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    """3x3 binomial focal convolution (operators/spatial.py) over the
+    XYZ tile-count grid — the smoothed heat raster, exact BIGINTs."""
+    t = grid.tile_xyz(F.col("lat"), F.col("lon"), _TILE_Z)
+    cells = (
+        P.pages_with_derived(spark, sf)
+        .select(t["x"].alias("x"), t["y"].alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return S.focal_stats(cells, _TILE_Z)
+
+
+def _sql_focal_smooth() -> str:
+    x, y = grid.sql_tile_xyz("lat", "lon", _TILE_Z)
+    cells = (
+        f"(SELECT x, y, CAST(count(*) AS BIGINT) AS n"
+        f" FROM (SELECT {x} AS x, {y} AS y FROM pages) xy"
+        f" GROUP BY 1, 2)"
+    )
+    return _with() + ",\n" + S.sql_focal_stats(cells, _TILE_Z)[len("WITH ") :]
+
+
+def _q_coverage_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-coverage holes (operators/spatial.py): cells of the bbox at
+    res 6 with zero pages — generated universe LEFT ANTI occupied."""
+    return S.coverage_gaps(
+        P.pages_with_derived(spark, sf), *_BBOX, res=_GAP_RES
+    )
+
+
+def _sql_coverage_gaps() -> str:
+    return _with() + "\n" + S.sql_coverage_gaps(*_BBOX, res=_GAP_RES)
+
+
+def _q_rendezvous(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous (HRW) shard per URL (operators/graph.py) — the
+    resize-stable frontier sharding."""
+    return GR.rendezvous_shards(
+        P.pages_with_derived(spark, sf).select("url"), n_shards=8
+    )
+
+
+def _sql_rendezvous() -> str:
+    return _with() + "\n" + GR.sql_rendezvous_shards("pages", n_shards=8)
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -2254,6 +2330,11 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
                                                 # stats (rook adjacency)
     "getis_ord": _q_getis_ord,                  # per-cell Gi* hotspot
                                                 # sufficient stats
+    "zorder_layout": _q_zorder_layout,          # Morton layout audit
+    "zorder_bbox": _q_zorder_bbox,              # range-pruned bbox scan
+    "focal_smooth": _q_focal_smooth,            # 3x3 binomial focal conv
+    "coverage_gaps": _q_coverage_gaps,          # universe anti-join holes
+    "rendezvous_shards": _q_rendezvous,         # HRW frontier sharding
 }
 
 
@@ -2524,6 +2605,11 @@ FROM events e JOIN sess s
         "recrawl_priority": _sql_recrawl_priority(),
         "moran_tiles": _sql_moran_tiles(),
         "getis_ord": _sql_getis_ord(),
+        "zorder_layout": _sql_zorder_layout(),
+        "zorder_bbox": _with() + "\n" + S.sql_bbox(*_BBOX),
+        "focal_smooth": _sql_focal_smooth(),
+        "coverage_gaps": _sql_coverage_gaps(),
+        "rendezvous_shards": _sql_rendezvous(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -600,3 +600,179 @@ def sql_geohash(lat_expr: str, lon_expr: str, precision: int) -> str:
             f"substr('{GEOHASH_ALPHABET}', CAST(({c}) + 1 AS INT), 1)"
         )
     return " || ".join(chars)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) linearization — the physical-layout key for file pruning
+# ---------------------------------------------------------------------------
+
+#: default Morton grid: 2^12 x 2^12 cells -> 24-bit keys
+ZORDER_LEVEL = 12
+
+
+def _check_zlevel(level: int) -> None:
+    if not 1 <= level <= 28:  # 2*28 = 56 bits, well inside BIGINT
+        raise ValueError(f"zorder level must be in [1, 28], got {level}")
+
+
+def zorder_xy(lat: Column, lon: Column, level: int) -> dict[str, Column]:
+    """Square ``2^level x 2^level`` quantization of (lat, lon) — the
+    equirectangular twin of :func:`tile_xyz` (no Mercator), so the
+    arithmetic is exact-double and bit-identical in DuckDB."""
+    _check_zlevel(level)
+    n = 1 << level
+    x = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+            .cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+            .cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    )
+    return {"x": x, "y": y}
+
+
+def morton_key(x: Column, y: Column, level: int) -> Column:
+    """Interleave two ``level``-bit indices into the Morton (Z-order) key:
+    bit ``i`` of x lands at key bit ``2i``, bit ``i`` of y at ``2i+1``.
+    ``level`` is a plan-time constant so the interleave unrolls into
+    2*level codegen'd shift/mask terms — no UDF, no loop at runtime.
+
+    This is the DATA-LAYOUT key the engine sorts/clusters the pages table
+    by at scale (Iceberg ``sort_order`` / parquet row-group ordering):
+    any lat/lon rectangle decomposes into O(perimeter) contiguous key
+    ranges (:func:`morton_ranges`), which min/max column stats turn into
+    file+row-group skips — the same mechanics the reference gets from its
+    directory tree (FileVerification/PathInfo.cs:427-537: one folder =
+    one contiguous subtree of work)."""
+    _check_zlevel(level)
+    terms = []
+    for i in range(level):
+        terms.append(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def sql_zorder_xy(lat_expr: str, lon_expr: str, level: int) -> tuple[str, str]:
+    """DuckDB mirror of :func:`zorder_xy`: (x_sql, y_sql)."""
+    _check_zlevel(level)
+    n = 1 << level
+    x = (
+        f"LEAST(GREATEST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    y = (
+        f"LEAST(GREATEST(CAST(FLOOR(({lat_expr} + 90.0) / 180.0 * {n}.0) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    return x, y
+
+
+def sql_morton_key(x_expr: str, y_expr: str, level: int) -> str:
+    """DuckDB mirror of :func:`morton_key` (same unrolled shift/mask sum).
+    Pass plain column names — the caller should bind zorder_xy in an inner
+    SELECT so the quantization isn't re-spelled 2*level times."""
+    _check_zlevel(level)
+    terms = []
+    for i in range(level):
+        terms.append(f"((({x_expr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y_expr} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def morton_interleave_py(x: int, y: int, level: int) -> int:
+    """Pure-Python twin of :func:`morton_key` (tests + range planning)."""
+    z = 0
+    for i in range(level):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_xy_py(lat: float, lon: float, level: int) -> tuple[int, int]:
+    """Pure-Python twin of :func:`zorder_xy`."""
+    import math
+
+    n = 1 << level
+    x = min(max(int(math.floor((lon + 180.0) / 360.0 * float(n))), 0), n - 1)
+    y = min(max(int(math.floor((lat + 90.0) / 180.0 * float(n))), 0), n - 1)
+    return x, y
+
+
+def morton_ranges(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    level: int = ZORDER_LEVEL,
+    max_ranges: int = 64,
+    split_depth: int = 8,
+) -> list[tuple[int, int]]:
+    """Decompose a lat/lon rectangle into <= ``max_ranges`` contiguous
+    Morton-key intervals that COVER it (a superset — the caller re-applies
+    the exact bounds test, exactly like :func:`bbox_query`'s cell cover).
+
+    Driver-side pure Python over the implicit quadtree: a node at depth d
+    fixes the top d bits of x and y, so its keys are one contiguous range
+    ``[prefix << 2s, (prefix+1) << 2s - 1]`` (s = level - d). Nodes fully
+    inside the box emit their range; straddling nodes recurse down to
+    ``split_depth`` (the visit count is O(4 * split_depth * perimeter
+    nodes), ~1k at depth 8 — microseconds); leftovers emit as supersets.
+    Adjacent ranges merge, then the smallest inter-range gaps coalesce
+    until <= max_ranges. The result goes into the scan as an OR-of-BETWEEN
+    predicate on the layout key — min/max stats prune everything outside.
+    """
+    _check_zlevel(level)
+    if max_ranges < 1:
+        raise ValueError("max_ranges must be >= 1")
+    x0, y0 = zorder_xy_py(lat_min, lon_min, level)
+    x1, y1 = zorder_xy_py(lat_max, lon_max, level)
+    cap = min(level, split_depth)
+    out: list[tuple[int, int]] = []
+
+    def rec(d: int, xp: int, yp: int) -> None:
+        s = level - d
+        nx0, ny0 = xp << s, yp << s
+        nx1, ny1 = nx0 + (1 << s) - 1, ny0 + (1 << s) - 1
+        if nx1 < x0 or nx0 > x1 or ny1 < y0 or ny0 > y1:
+            return
+        zbase = morton_interleave_py(xp, yp, d) << (2 * s)
+        if (x0 <= nx0 and nx1 <= x1 and y0 <= ny0 and ny1 <= y1) or d >= cap:
+            out.append((zbase, zbase + (1 << (2 * s)) - 1))
+            return
+        for cy in (0, 1):
+            for cx in (0, 1):
+                rec(d + 1, xp * 2 + cx, yp * 2 + cy)
+
+    rec(0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        # coalesce the pair with the smallest key gap (cheapest extra scan)
+        gi = min(
+            range(len(merged) - 1),
+            key=lambda i: merged[i + 1][0] - merged[i][1],
+        )
+        merged[gi][1] = merged[gi + 1][1]
+        del merged[gi + 1]
+    return [(lo, hi) for lo, hi in merged]

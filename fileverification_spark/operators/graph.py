@@ -912,6 +912,50 @@ def sql_fetch_schedule(frontier_rel: str, n_shards: int = 64) -> str:
 FROM {frontier_rel} f"""
 
 
+def rendezvous_shards(frontier: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Highest-random-weight (rendezvous) shard assignment per URL
+    (Thaler & Ravishankar 1998, the public HRW scheme consistent-hashing
+    descends from): ``shard = argmax_s sha256(host || '|' || s)``.
+
+    This is :func:`fetch_schedule`'s mod-hash shard made RESIZE-STABLE:
+    dropping shard k reassigns ONLY shard k's hosts (each survivor keeps
+    its own max), where mod-hash reshuffles ~(n-1)/n of the fleet — at a
+    100 TB crawl that's the difference between warming one scheduler's
+    politeness state and all of them. All-hosts-same-shard skew is
+    impossible by construction (uniform hash per (host, s)).
+
+    Zero shuffle: the n_shards candidate digests unroll at plan time into
+    one codegen'd greatest() over tagged strings (digest || '#' || shard,
+    fixed-width tag so string order == (digest, shard) order); no UDF,
+    no explode. n_shards is a plan-time constant <= 100."""
+    if not 2 <= n_shards <= 100:
+        raise ValueError(f"n_shards must be in [2, 100], got {n_shards}")
+    host = host_of(F.col("url"))
+    tagged = [
+        F.concat(
+            F.sha2(F.concat(host, F.lit(f"|{s}")), 256), F.lit(f"#{s:02d}")
+        )
+        for s in range(n_shards)
+    ]
+    best = F.greatest(*tagged)
+    return frontier.select(
+        "url",
+        host.alias("host"),
+        F.substring(best, 66, 2).cast("int").alias("shard"),
+    )
+
+
+def sql_rendezvous_shards(frontier_rel: str, n_shards: int = 8) -> str:
+    """DuckDB mirror of :func:`rendezvous_shards` (same tagged-greatest)."""
+    host = sql_host_of("url")
+    tagged = ", ".join(
+        f"sha256({host} || '|{s}') || '#{s:02d}'" for s in range(n_shards)
+    )
+    return f"""SELECT url, {host} AS host,
+  CAST(substr(greatest({tagged}), 66, 2) AS INT) AS shard
+FROM {frontier_rel} f"""
+
+
 def undirected_host_edges(edges: DataFrame) -> DataFrame:
     """Distinct undirected host pairs ``(a, b)`` with ``a < b`` of the
     directed ``(src, dst, w)`` relation (self-loops dropped)."""

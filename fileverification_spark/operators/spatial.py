@@ -2205,3 +2205,251 @@ gglob AS (
 SELECT c.x, c.y, CAST(c.n AS BIGINT) AS n, l.nbrs, l.local_sum,
        g.n_cells, g.s_x, g.s_xx
 FROM gtc c JOIN glocal l ON l.x = c.x AND l.y = c.y, gglob g"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: linearization audit + range-pruned bbox scan
+# ---------------------------------------------------------------------------
+
+
+def zorder_layout_stats(
+    pages: DataFrame,
+    level: int = grid.ZORDER_LEVEL,
+    prefix_level: int = 4,
+) -> DataFrame:
+    """Per-bucket audit of the Morton-sorted physical layout: bucket =
+    the top ``2*prefix_level`` key bits (one bucket = one quadtree node =
+    one file-sized contiguous run once the table is written sorted by
+    ``zkey``). Emits exactly the statistics min/max file pruning consumes
+    — (bucket, n_pages, z_min, z_max) — so a skew/coverage problem in the
+    layout is visible BEFORE a 100 TB rewrite: a bucket with a huge
+    n_pages is a hot file cluster (split it deeper), and z_min/z_max
+    spans confirm buckets are disjoint key ranges (they are, by
+    construction — the assertion the oracle hash-checks).
+
+    One scan + one partial-agg shuffle at 4^prefix_level output rows.
+    """
+    xy = grid.zorder_xy(F.col("lat"), F.col("lon"), level)
+    z = grid.morton_key(xy["x"], xy["y"], level)
+    shift = 2 * (level - prefix_level)
+    return (
+        pages.select(z.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), shift).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+    )
+
+
+def sql_zorder_layout_stats(
+    level: int = grid.ZORDER_LEVEL,
+    prefix_level: int = 4,
+    pages_rel: str = "pages",
+) -> str:
+    """Oracle for :func:`zorder_layout_stats` (same unrolled interleave)."""
+    xs, ys = grid.sql_zorder_xy("lat", "lon", level)
+    zk = grid.sql_morton_key("zx", "zy", level)
+    shift = 2 * (level - prefix_level)
+    return f"""
+SELECT zkey >> {shift} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       min(zkey) AS z_min, max(zkey) AS z_max
+FROM (SELECT {zk} AS zkey
+      FROM (SELECT {xs} AS zx, {ys} AS zy FROM {pages_rel}) q) zz
+GROUP BY 1"""
+
+
+def zorder_bbox_query(
+    pages: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    level: int = grid.ZORDER_LEVEL,
+    max_ranges: int = 64,
+) -> DataFrame:
+    """Rectangle query as the Morton-sorted layout executes it: the box
+    decomposes driver-side into <= max_ranges contiguous key intervals
+    (:func:`grid.morton_ranges`), the scan filter is the OR-of-BETWEEN
+    over those intervals (pure min/max-stat pruning on the layout key —
+    at 10^12 rows this is the difference between reading the planet and
+    reading the box), and the exact bounds test cleans up the superset.
+    Semantically identical to :func:`bbox_query` (same oracle); the two
+    differ only in WHICH physical prefilter they hand the scan — cell
+    isin() on the cell-partitioned layout vs key ranges on the
+    Morton-sorted one."""
+    ranges = grid.morton_ranges(
+        lat_min, lat_max, lon_min, lon_max, level, max_ranges
+    )
+    xy = grid.zorder_xy(F.col("lat"), F.col("lon"), level)
+    z = grid.morton_key(xy["x"], xy["y"], level)
+    pred = None
+    for lo, hi in ranges:
+        term = z.between(F.lit(lo), F.lit(hi))
+        pred = term if pred is None else (pred | term)
+    return (
+        pages.where(pred)
+        .where(
+            (F.col("lat") >= lat_min)
+            & (F.col("lat") <= lat_max)
+            & (F.col("lon") >= lon_min)
+            & (F.col("lon") <= lon_max)
+        )
+        .select("url", "lat", "lon", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Focal (neighborhood) raster statistics — 3x3 integer-kernel convolution
+# ---------------------------------------------------------------------------
+
+#: 3x3 binomial kernel (integer Gaussian approximation), weights sum 16
+FOCAL_KERNEL: tuple[tuple[int, int, int], ...] = (
+    (-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+    (0, -1, 2), (0, 0, 4), (0, 1, 2),
+    (1, -1, 1), (1, 0, 2), (1, 1, 1),
+)
+
+
+def focal_stats(cells: DataFrame, z: int) -> DataFrame:
+    """Focal (moving-window) statistics over a ``(x, y, n)`` tile-count
+    raster: for every cell within one step of an occupied cell, the
+    3x3 binomial-weighted count sum (exact BIGINT — the smoothed
+    heat-map every tile renderer ships), the neighborhood max, and the
+    occupied-contributor count. Output cells include the one-cell halo
+    around occupied tiles (sparse dilation — empty cells two+ steps out
+    never materialize).
+
+    Plan: scatter-gather convolution — each occupied cell EXPLODES into
+    its 9 (target, weight*n) contributions (plan-time-unrolled array,
+    zero Python), then ONE hash-groupBy on the target coordinate. Shuffle
+    volume is 9x occupied tiles regardless of raster size; at zoom 12
+    over 10^12 pages that is <= 9 * 2^24 rows. Grid edges clip (no
+    wraparound) — both engines apply the identical bounds filter."""
+    n_side = 1 << z
+    contribs = F.array(
+        *[
+            F.struct(
+                (F.col("x") + F.lit(dx)).alias("tx"),
+                (F.col("y") + F.lit(dy)).alias("ty"),
+                (F.col("n") * F.lit(w)).alias("wn"),
+                F.col("n").alias("src_n"),
+            )
+            for dx, dy, w in FOCAL_KERNEL
+        ]
+    )
+    return (
+        cells.select(F.explode(contribs).alias("c"))
+        .select("c.*")
+        .where(
+            (F.col("tx") >= 0)
+            & (F.col("tx") <= n_side - 1)
+            & (F.col("ty") >= 0)
+            & (F.col("ty") <= n_side - 1)
+        )
+        .groupBy(F.col("tx").alias("x"), F.col("ty").alias("y"))
+        .agg(
+            F.sum("wn").cast("long").alias("focal_wsum"),
+            F.max("src_n").cast("long").alias("focal_max"),
+            F.count(F.lit(1)).cast("long").alias("n_contrib"),
+        )
+    )
+
+
+def sql_focal_stats(cells_rel: str, z: int) -> str:
+    """Oracle for :func:`focal_stats` over a ``(x, y, n)`` relation —
+    the same convolution as an offsets CROSS JOIN (full WITH statement)."""
+    n_side = 1 << z
+    values = ",".join(f"({dx},{dy},{w})" for dx, dy, w in FOCAL_KERNEL)
+    return f"""WITH fc AS (SELECT x, y, n FROM {cells_rel})
+SELECT c.x + d.dx AS x, c.y + d.dy AS y,
+       CAST(sum(c.n * d.w) AS BIGINT) AS focal_wsum,
+       CAST(max(c.n) AS BIGINT) AS focal_max,
+       CAST(count(*) AS BIGINT) AS n_contrib
+FROM fc c CROSS JOIN (VALUES {values}) d(dx, dy, w)
+WHERE c.x + d.dx BETWEEN 0 AND {n_side - 1}
+  AND c.y + d.dy BETWEEN 0 AND {n_side - 1}
+GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Coverage gaps — the cells of a rectangle with NO pages (universe anti-join)
+# ---------------------------------------------------------------------------
+
+
+def coverage_gaps(
+    pages: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    res: int,
+) -> DataFrame:
+    """Every grid cell of the rectangle at ``res`` that contains NO page —
+    the crawl-coverage hole report (the geospatial twin of the
+    reference's missing-file anti-join, FileVerification/PathInfo.cs:
+    the files the manifest names that the tree no longer has; here, the
+    cells the tiling names that the corpus never touched).
+
+    The cell universe is GENERATED distributed — ``spark.range`` on each
+    axis, cross-joined (|rows| x |cols| output, never collected, never a
+    Python loop) — then LEFT ANTI joined against the occupied-cell set.
+    At res 10 a whole-planet universe is ~2M rows — trivial next to the
+    pages scan, which remains the only big input and aggregates down to
+    occupied cells before the join."""
+    import math
+
+    n_lat, n_lon = 1 << res, 1 << (res + 1)
+    y0 = min(max(int(math.floor((lat_min + 90.0) / 180.0 * n_lat)), 0), n_lat - 1)
+    y1 = min(max(int(math.floor((lat_max + 90.0) / 180.0 * n_lat)), 0), n_lat - 1)
+    x0 = min(max(int(math.floor((lon_min + 180.0) / 360.0 * n_lon)), 0), n_lon - 1)
+    x1 = min(max(int(math.floor((lon_max + 180.0) / 360.0 * n_lon)), 0), n_lon - 1)
+    spark = pages.sparkSession
+    ys = spark.range(y0, y1 + 1).select(F.col("id").alias("lat_idx"))
+    xs = spark.range(x0, x1 + 1).select(F.col("id").alias("lon_idx"))
+    universe = ys.crossJoin(xs).select(
+        (
+            F.lit(res).cast("long") * F.lit(grid.RES_MULT)
+            + F.col("lat_idx") * F.lit(grid.LAT_MULT)
+            + F.col("lon_idx")
+        ).alias("cell"),
+        "lat_idx",
+        "lon_idx",
+    )
+    occupied = pages.select(
+        grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell")
+    ).distinct()
+    return universe.join(occupied, "cell", "left_anti").select(
+        "cell", "lat_idx", "lon_idx"
+    )
+
+
+def sql_coverage_gaps(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    res: int,
+    pages_rel: str = "pages",
+) -> str:
+    """Oracle for :func:`coverage_gaps` (generate_series universe)."""
+    import math
+
+    n_lat, n_lon = 1 << res, 1 << (res + 1)
+    y0 = min(max(int(math.floor((lat_min + 90.0) / 180.0 * n_lat)), 0), n_lat - 1)
+    y1 = min(max(int(math.floor((lat_max + 90.0) / 180.0 * n_lat)), 0), n_lat - 1)
+    x0 = min(max(int(math.floor((lon_min + 180.0) / 360.0 * n_lon)), 0), n_lon - 1)
+    x1 = min(max(int(math.floor((lon_max + 180.0) / 360.0 * n_lon)), 0), n_lon - 1)
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+SELECT u.cell, u.lat_idx, u.lon_idx
+FROM (SELECT CAST({res} AS BIGINT) * {grid.RES_MULT}
+             + yy.lat_idx * {grid.LAT_MULT} + xx.lon_idx AS cell,
+             yy.lat_idx, xx.lon_idx
+      FROM generate_series({y0}, {y1}) yy(lat_idx)
+      CROSS JOIN generate_series({x0}, {x1}) xx(lon_idx)) u
+LEFT JOIN (SELECT DISTINCT {cell} AS cell FROM {pages_rel}) o
+  ON o.cell = u.cell
+WHERE o.cell IS NULL"""

@@ -604,3 +604,31 @@ def test_degree_mixing_hand_sums(spark):
     row = GR.degree_mixing(edges).collect()[0]
     # edges (1,2) and (2,1): m=2, s_jk=2+2, s_sum=3+3, s_sq=5+5
     assert (row["m"], row["s_jk"], row["s_sum"], row["s_sq"]) == (2, 4, 6, 10)
+
+
+def test_rendezvous_shards_matches_python_and_resize_stable(spark):
+    """HRW assignment matches the hashlib twin exactly, and dropping the
+    top shard moves ONLY that shard's hosts (the resize-stability HRW
+    exists for — mod-hash would reshuffle ~7/8 of them)."""
+    import hashlib
+
+    urls = [f"https://h{i}.example/p" for i in range(40)]
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def hrw(host, n):
+        return max(
+            range(n),
+            key=lambda s: hashlib.sha256(f"{host}|{s}".encode()).hexdigest(),
+        )
+
+    got8 = {r["url"]: (r["host"], r["shard"])
+            for r in GR.rendezvous_shards(frontier, n_shards=8).collect()}
+    got7 = {r["url"]: r["shard"]
+            for r in GR.rendezvous_shards(frontier, n_shards=7).collect()}
+    assert len(set(v[1] for v in got8.values())) > 1  # spread, not constant
+    for u in urls:
+        host, s8 = got8[u]
+        assert s8 == hrw(host, 8), (u, host)
+        assert got7[u] == hrw(host, 7)
+        if s8 != 7:  # survivor keeps its own max -> shard unchanged
+            assert got7[u] == s8

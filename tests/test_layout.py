@@ -90,3 +90,75 @@ def test_zordered_roundtrip_preserves_rows(spark, tmp_path):
                .partitionBy("f").orderBy(F.monotonically_increasing_id())))
            .where(F.col("prev") > F.col("zkey")).count())
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Leveled Morton keys + driver-side range decomposition (grid.morton_ranges)
+# ---------------------------------------------------------------------------
+
+
+def test_morton_key_matches_python_twin(spark):
+    level = 6
+    pts = [(float(la), float(lo))
+           for la in range(-88, 90, 23) for lo in range(-179, 180, 37)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    xy = G.zorder_xy(F.col("lat"), F.col("lon"), level)
+    got = df.select(
+        "lat", "lon", G.morton_key(xy["x"], xy["y"], level).alias("z")
+    ).collect()
+    for r in got:
+        x, y = G.zorder_xy_py(r.lat, r.lon, level)
+        assert r.z == G.morton_interleave_py(x, y, level), (r.lat, r.lon)
+
+
+def test_morton_ranges_exact_cover_at_full_depth():
+    """With split_depth >= level the decomposition is EXACT: the union of
+    ranges contains a key iff its cell intersects the box."""
+    level = 5
+    box = (-10.0, 40.0, -100.0, 20.0)
+    ranges = G.morton_ranges(*box, level=level, max_ranges=10**6,
+                             split_depth=level)
+    x0, y0 = G.zorder_xy_py(box[0], box[2], level)
+    x1, y1 = G.zorder_xy_py(box[1], box[3], level)
+    covered = set()
+    for lo, hi in ranges:
+        covered.update(range(lo, hi + 1))
+    n = 1 << level
+    for x in range(n):
+        for y in range(n):
+            inside = x0 <= x <= x1 and y0 <= y <= y1
+            assert (G.morton_interleave_py(x, y, level) in covered) == inside
+
+
+def test_morton_ranges_superset_and_bounded():
+    """Coalescing to max_ranges keeps the cover a SUPERSET (never drops an
+    in-box key) and respects the range budget."""
+    level = 8
+    box = (-33.0, 17.0, -59.0, 28.0)
+    exact = G.morton_ranges(*box, level=level, max_ranges=10**6,
+                            split_depth=level)
+    for cap in (1, 4, 16):
+        coarse = G.morton_ranges(*box, level=level, max_ranges=cap,
+                                 split_depth=level)
+        assert 1 <= len(coarse) <= cap
+        for lo, hi in coarse:
+            assert lo <= hi
+        # every exact range is inside some coarse range
+        for lo, hi in exact:
+            assert any(clo <= lo and hi <= chi for clo, chi in coarse)
+
+
+def test_zorder_bbox_query_matches_exact_filter(spark):
+    from fileverification_spark.operators import spatial as S
+
+    box = (-35.0, 20.0, -60.0, 30.0)
+    live = P.pages_with_derived(spark, SF0001)
+    got = {r.url for r in S.zorder_bbox_query(live, *box, level=12).collect()}
+    want = {
+        r.url
+        for r in live.where(
+            (F.col("lat") >= box[0]) & (F.col("lat") <= box[1])
+            & (F.col("lon") >= box[2]) & (F.col("lon") <= box[3])
+        ).collect()
+    }
+    assert got == want and got

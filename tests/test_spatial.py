@@ -909,3 +909,58 @@ def test_getis_ord_plan_shape(spark):
     assert X.shuffle_exchange_count(q) <= 4
     assert X.has_partial_aggregate(q)
     assert "BroadcastExchange" in plan  # the 1-row global stats
+
+
+def test_focal_stats_hand_replayed(spark):
+    """3x3 binomial convolution on a 2-cell raster, every output cell
+    written out by hand (weights: center 4, edge 2, corner 1)."""
+    import pyspark.sql.functions as F
+
+    cells = spark.createDataFrame(
+        [(5, 5, 10), (6, 5, 1)], "x long, y long, n long"
+    )
+    got = {
+        (r.x, r.y): (r.focal_wsum, r.focal_max, r.n_contrib)
+        for r in S.focal_stats(cells, z=4).collect()
+    }
+    # (5,5) receives 4*10 (self, center) + 2*1 ((6,5) is an x-edge nbr)
+    assert got[(5, 5)] == (42, 10, 2)
+    assert got[(6, 5)] == (24, 10, 2)  # 4*1 + 2*10
+    # pure-halo cells: only one contributor each
+    assert got[(4, 5)] == (20, 10, 1)   # edge of (5,5)
+    assert got[(7, 5)] == (2, 1, 1)     # edge of (6,5)
+    assert got[(4, 4)] == (10, 10, 1)   # corner of (5,5)
+    assert got[(5, 4)] == (21, 10, 2)   # edge 2*10 + corner 1*1
+    # halo is ONE cell: nothing at distance 2
+    assert (3, 5) not in got and (8, 5) not in got
+    # total: occupied cells 2, outputs = union of two 3x3 stamps = 12
+    assert len(got) == 12
+    # mass conservation: sum(focal_wsum) == 16 * sum(n) (kernel sums 16)
+    assert sum(v[0] for v in got.values()) == 16 * 11
+
+
+def test_focal_stats_clips_grid_edges(spark):
+    """A cell at the (0, 0) corner contributes only to the 4 in-grid
+    targets — no wraparound to x=-1 / y=-1 or the far edge."""
+    cells = spark.createDataFrame([(0, 0, 8)], "x long, y long, n long")
+    got = {(r.x, r.y): r.focal_wsum for r in S.focal_stats(cells, z=3).collect()}
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert got[(0, 0)] == 32 and got[(1, 1)] == 8
+    assert got[(0, 1)] == 16 and got[(1, 0)] == 16
+
+
+def test_coverage_gaps_finds_planted_hole(spark):
+    """4 cells of a small box occupied, the rest reported as gaps; a page
+    OUTSIDE the box neither adds nor removes a gap."""
+    res = 3  # 8 x 16 global grid: cells are 22.5 x 22.5 degrees
+    rows = [
+        ("u1", 10.0, 10.0), ("u2", 10.0, 40.0),
+        ("u3", 40.0, 10.0), ("u4", 80.0, 170.0),  # u4 far outside the box
+    ]
+    pages = spark.createDataFrame(rows, "url string, lat double, lon double")
+    # box spanning lat [0, 45) x lon [0, 45): 2x2 = 4 cells at res 3
+    gaps = S.coverage_gaps(pages, 1.0, 44.0, 1.0, 44.0, res=res)
+    got = {(r.lat_idx, r.lon_idx) for r in gaps.collect()}
+    # occupied: (4,8)=u1/u2? -> lat 10 -> idx floor(100/180*8)=4; lon 10 ->
+    # floor(190/360*16)=8; lon 40 -> floor(220/360*16)=9; lat 40 -> idx 5
+    assert got == {(5, 9)}  # the one un-crawled cell of the 2x2 box
