@@ -1840,6 +1840,39 @@ def _sql_rendezvous() -> str:
     return _with() + "\n" + GR.sql_rendezvous_shards("pages", n_shards=8)
 
 
+_AFF_RES = 3  # lang-region affinity resolution (8 x 16 global cells)
+
+
+def _q_tile_bursts(spark: SparkSession, sf: str) -> DataFrame:
+    """Space-time tile churn (operators/spatial.py): daily per-tile
+    counts + previous-observed-day lag + exact-integer burst flag."""
+    return S.tile_bursts(P.pages_with_derived(spark, sf), z=_TILE_Z)
+
+
+def _sql_tile_bursts() -> str:
+    return _with() + "\n" + S.sql_tile_bursts(_TILE_Z)
+
+
+def _q_lang_affinity(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-region PMI sufficient stats (operators/spatial.py):
+    joint + marginal + total counts, all BIGINT, PMI downstream."""
+    return S.lang_cell_affinity(P.pages_with_derived(spark, sf), res=_AFF_RES)
+
+
+def _sql_lang_affinity() -> str:
+    return _with() + "\n" + S.sql_lang_cell_affinity(_AFF_RES)
+
+
+def _q_cell_extent(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell bbox + mergeable centroid state (operators/spatial.py) —
+    the tile-metadata rollup."""
+    return S.cell_extent(P.pages_with_derived(spark, sf), res=4)
+
+
+def _sql_cell_extent() -> str:
+    return _with() + "\n" + S.sql_cell_extent(4)
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -2335,6 +2368,9 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "focal_smooth": _q_focal_smooth,            # 3x3 binomial focal conv
     "coverage_gaps": _q_coverage_gaps,          # universe anti-join holes
     "rendezvous_shards": _q_rendezvous,         # HRW frontier sharding
+    "tile_bursts": _q_tile_bursts,              # daily tile churn + bursts
+    "lang_affinity": _q_lang_affinity,          # lang-region PMI stats
+    "cell_extent": _q_cell_extent,              # per-cell bbox + centroid
 }
 
 
@@ -2610,6 +2646,9 @@ FROM events e JOIN sess s
         "focal_smooth": _sql_focal_smooth(),
         "coverage_gaps": _sql_coverage_gaps(),
         "rendezvous_shards": _sql_rendezvous(),
+        "tile_bursts": _sql_tile_bursts(),
+        "lang_affinity": _sql_lang_affinity(),
+        "cell_extent": _sql_cell_extent(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

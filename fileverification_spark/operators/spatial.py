@@ -2453,3 +2453,164 @@ FROM (SELECT CAST({res} AS BIGINT) * {grid.RES_MULT}
 LEFT JOIN (SELECT DISTINCT {cell} AS cell FROM {pages_rel}) o
   ON o.cell = u.cell
 WHERE o.cell IS NULL"""
+
+
+# ---------------------------------------------------------------------------
+# Space-time tile activity: daily tile series + burst detection
+# ---------------------------------------------------------------------------
+
+
+def tile_bursts(pages: DataFrame, z: int) -> DataFrame:
+    """Per-tile DAILY capture counts with the previous observed day's
+    count and an exact-integer burst flag — the space-time churn signal
+    a recrawl scheduler reads per region (the spatio-temporal twin of
+    :func:`captures.capture_churn`, which keys on url).
+
+    Output per (x, y, day): ``n`` captures that epoch-day, ``prev_n``
+    the tile's previous OBSERVED day's count (0 on its first day — days
+    with zero captures don't materialize, so "previous" is previous in
+    the tile's capture sequence, not calendar-adjacent), and ``burst`` =
+    prev_n > 0 AND n >= 2*prev_n. All integers — float-free.
+
+    Plan: one pages scan → (tile, day) hash-agg (partial map-side
+    combine), then ONE lag window partitioned by tile — bounded rows
+    per partition (<= days in the corpus, <= 366/year) regardless of
+    corpus size, so the window never sees a skewed partition."""
+    t = grid.tile_xyz(F.col("lat"), F.col("lon"), z)
+    day = F.floor(F.unix_timestamp(F.col("warc_ts")) / F.lit(86400)).cast(
+        "bigint"
+    )
+    daily = (
+        pages.select(t["x"].alias("x"), t["y"].alias("y"), day.alias("day"))
+        .groupBy("x", "y", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("x", "y").orderBy("day")
+    prev = F.coalesce(F.lag("n").over(w), F.lit(0)).cast("long")
+    return daily.select(
+        "x",
+        "y",
+        "day",
+        "n",
+        prev.alias("prev_n"),
+        ((prev > 0) & (F.col("n") >= 2 * prev)).alias("burst"),
+    )
+
+
+def sql_tile_bursts(z: int, pages_rel: str = "pages") -> str:
+    """DuckDB mirror of :func:`tile_bursts` (same lag window)."""
+    xs, ys = grid.sql_tile_xyz("lat", "lon", z)
+    return f"""
+SELECT x, y, day, n,
+       CAST(coalesce(lag(n) OVER w, 0) AS BIGINT) AS prev_n,
+       (coalesce(lag(n) OVER w, 0) > 0
+        AND n >= 2 * coalesce(lag(n) OVER w, 0)) AS burst
+FROM (
+  SELECT x, y, day, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT {xs} AS x, {ys} AS y,
+               CAST(floor(epoch(warc_ts) / 86400) AS BIGINT) AS day
+        FROM {pages_rel}) q
+  GROUP BY 1, 2, 3) d
+WINDOW w AS (PARTITION BY x, y ORDER BY day)"""
+
+
+# ---------------------------------------------------------------------------
+# Language-region affinity — exact PMI sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def lang_cell_affinity(pages: DataFrame, res: int) -> DataFrame:
+    """Exact-integer sufficient statistics of the language↔region PMI
+    (pointwise mutual information — the collocation statistic of
+    curation.collocations_topk applied to the (lang, cell) pair space):
+    per observed (lang, cell@res), the joint count ``n_lc``, the
+    marginals ``n_l`` / ``n_c``, and the grand total ``n_tot``.
+    PMI = log(n_lc * n_tot / (n_l * n_c)) assembles in one downstream
+    float step; everything distributed here is BIGINT (hash-canon
+    float-free, like moran_stats / getis_ord_stats).
+
+    Plan: ONE pages scan → one (lang, cell) hash-agg with map-side
+    combine; the marginals are window sums over the AGGREGATED relation
+    (|langs| x |cells at res| rows — a few thousand at any res this is
+    used at — so the unpartitioned total window is over a relation 6+
+    orders smaller than the corpus, never over pages)."""
+    joint = (
+        pages.select(
+            "lang",
+            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"),
+        )
+        .groupBy("lang", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lc"))
+    )
+    return joint.select(
+        "lang",
+        "cell",
+        "n_lc",
+        F.sum("n_lc").over(W.partitionBy("lang")).cast("long").alias("n_l"),
+        F.sum("n_lc").over(W.partitionBy("cell")).cast("long").alias("n_c"),
+        F.sum("n_lc").over(W.partitionBy()).cast("long").alias("n_tot"),
+    )
+
+
+def sql_lang_cell_affinity(res: int, pages_rel: str = "pages") -> str:
+    """DuckDB mirror of :func:`lang_cell_affinity` (same window sums)."""
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+SELECT lang, cell, n_lc,
+       CAST(sum(n_lc) OVER (PARTITION BY lang) AS BIGINT) AS n_l,
+       CAST(sum(n_lc) OVER (PARTITION BY cell) AS BIGINT) AS n_c,
+       CAST(sum(n_lc) OVER () AS BIGINT) AS n_tot
+FROM (
+  SELECT lang, {cell} AS cell, CAST(count(*) AS BIGINT) AS n_lc
+  FROM {pages_rel} GROUP BY 1, 2) j"""
+
+
+# ---------------------------------------------------------------------------
+# Per-cell extent + centroid state — the tile-metadata rollup
+# ---------------------------------------------------------------------------
+
+
+def cell_extent(pages: DataFrame, res: int) -> DataFrame:
+    """Per-cell tile metadata: page count, exact lat/lon bounding box
+    (min/max of the stored doubles — order-independent), and MERGEABLE
+    centroid state (DECIMAL(24,6) sums of the 6-dp-rounded coordinates,
+    the cell_embeddings float canon; mean = s/n at the consumer, and two
+    cells' states merge by addition — the property a hierarchical rollup
+    needs). What a tile server precomputes per tile: where the data in
+    this tile actually sits, vs the tile's nominal frame.
+
+    One scan, one partial-aggregatable hash-agg, output = occupied
+    cells."""
+    dsum = lambda c: F.sum(  # noqa: E731
+        F.round(F.col(c), 6).cast("decimal(24,6)")
+    ).cast("string")
+    return (
+        pages.select(
+            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"),
+            "lat",
+            "lon",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("lat").alias("lat_min"),
+            F.max("lat").alias("lat_max"),
+            F.min("lon").alias("lon_min"),
+            F.max("lon").alias("lon_max"),
+            dsum("lat").alias("s_lat"),
+            dsum("lon").alias("s_lon"),
+        )
+    )
+
+
+def sql_cell_extent(res: int, pages_rel: str = "pages") -> str:
+    """DuckDB mirror of :func:`cell_extent` (same DECIMAL canon)."""
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    return f"""
+SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n,
+       min(lat) AS lat_min, max(lat) AS lat_max,
+       min(lon) AS lon_min, max(lon) AS lon_max,
+       CAST(sum(CAST(round(lat, 6) AS DECIMAL(24,6))) AS VARCHAR) AS s_lat,
+       CAST(sum(CAST(round(lon, 6) AS DECIMAL(24,6))) AS VARCHAR) AS s_lon
+FROM {pages_rel}
+GROUP BY 1"""

@@ -964,3 +964,79 @@ def test_coverage_gaps_finds_planted_hole(spark):
     # occupied: (4,8)=u1/u2? -> lat 10 -> idx floor(100/180*8)=4; lon 10 ->
     # floor(190/360*16)=8; lon 40 -> floor(220/360*16)=9; lat 40 -> idx 5
     assert got == {(5, 9)}  # the one un-crawled cell of the 2x2 box
+
+
+def test_tile_bursts_hand_replayed(spark):
+    """Daily series with a gap: prev_n is the previous OBSERVED day
+    (gap days don't reset it), first day prev_n=0, burst = 2x rule."""
+    import datetime as dt
+    import pyspark.sql.functions as F
+
+    def rows(day, k, lat, lon):
+        base = dt.datetime(2020, 1, 1) + dt.timedelta(days=day)
+        return [(f"u{day}-{i}", base, lat, lon) for i in range(k)]
+
+    # one tile: day0 n=2, day1 n=1, day3 n=4 (gap day2) -> burst on day3
+    data = rows(0, 2, 10.0, 10.0) + rows(1, 1, 10.0, 10.0) + rows(3, 4, 10.0, 10.0)
+    # another tile far away: single day, never a burst
+    data += rows(0, 3, -40.0, 120.0)
+    pages = spark.createDataFrame(
+        data, "url string, warc_ts timestamp, lat double, lon double"
+    )
+    out = S.tile_bursts(pages, z=4).collect()
+    by_tile = {}
+    for r in out:
+        by_tile.setdefault((r.x, r.y), []).append((r.day, r.n, r.prev_n, r.burst))
+    assert len(by_tile) == 2
+    series = sorted(max(by_tile.values(), key=len))
+    d0 = series[0][0]
+    assert series == [
+        (d0, 2, 0, False),
+        (d0 + 1, 1, 2, False),
+        (d0 + 3, 4, 1, True),   # prev is day1's count, not the empty day2
+    ]
+    single = min(by_tile.values(), key=len)
+    assert single == [(d0, 3, 0, False)]
+
+
+def test_lang_cell_affinity_margins_consistent(spark):
+    """Joint counts, marginals, and total agree with brute force."""
+    rows = [
+        ("en", 10.0, 10.0), ("en", 10.0, 10.0), ("en", -40.0, 120.0),
+        ("de", 10.0, 10.0), ("de", -40.0, 120.0), ("fr", 60.0, -100.0),
+    ]
+    pages = spark.createDataFrame(rows, "lang string, lat double, lon double")
+    out = S.lang_cell_affinity(pages, res=3).collect()
+    assert sum(r.n_lc for r in out) == 6
+    assert all(r.n_tot == 6 for r in out)
+    by_lang, by_cell = {}, {}
+    for r in out:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + r.n_lc
+        by_cell[r.cell] = by_cell.get(r.cell, 0) + r.n_lc
+    for r in out:
+        assert r.n_l == by_lang[r.lang]
+        assert r.n_c == by_cell[r.cell]
+    en1010 = [r for r in out if r.lang == "en" and r.n_lc == 2]
+    assert len(en1010) == 1 and en1010[0].n_l == 3
+
+
+def test_cell_extent_bbox_and_mergeable_sums(spark):
+    """Extent covers exactly the member points; DECIMAL sums merge by
+    addition (the hierarchical-rollup property)."""
+    from decimal import Decimal
+
+    rows = [
+        ("a", 10.5, 20.25), ("b", 11.0, 20.5),   # same res-2 cell
+        ("c", -80.0, -170.0),                     # different cell
+    ]
+    pages = spark.createDataFrame(rows, "url string, lat double, lon double")
+    out = {r.cell: r for r in S.cell_extent(pages, res=2).collect()}
+    assert len(out) == 2
+    big = next(r for r in out.values() if r.n == 2)
+    assert (big.lat_min, big.lat_max) == (10.5, 11.0)
+    assert (big.lon_min, big.lon_max) == (20.25, 20.5)
+    assert Decimal(big.s_lat) == Decimal("21.500000")
+    assert Decimal(big.s_lon) == Decimal("40.750000")
+    small = next(r for r in out.values() if r.n == 1)
+    # merge-by-addition: the union state equals element-wise combination
+    assert Decimal(big.s_lat) + Decimal(small.s_lat) == Decimal("-58.500000")
