@@ -1863,6 +1863,21 @@ def _sql_lang_affinity() -> str:
     return _with() + "\n" + S.sql_lang_cell_affinity(_AFF_RES)
 
 
+_RIPLEY_RADII = (1.0, 2.5, 5.0, 10.0)  # degree-space K-function radii
+
+
+def _q_ripley(spark: SparkSession, sf: str) -> DataFrame:
+    """Ripley's K pair counts (operators/spatial.py): cumulative pair
+    counts per radius band, bucketed join once at max radius."""
+    return S.ripley_pair_counts(
+        P.pages_with_derived(spark, sf), _RIPLEY_RADII
+    )
+
+
+def _sql_ripley() -> str:
+    return _with() + "\n" + S.sql_ripley_pair_counts(_RIPLEY_RADII)
+
+
 def _q_cell_extent(spark: SparkSession, sf: str) -> DataFrame:
     """Per-cell bbox + mergeable centroid state (operators/spatial.py) —
     the tile-metadata rollup."""
@@ -2371,6 +2386,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "tile_bursts": _q_tile_bursts,              # daily tile churn + bursts
     "lang_affinity": _q_lang_affinity,          # lang-region PMI stats
     "cell_extent": _q_cell_extent,              # per-cell bbox + centroid
+    "ripley_k": _q_ripley,                      # pair-count K statistics
 }
 
 
@@ -2649,6 +2665,7 @@ FROM events e JOIN sess s
         "tile_bursts": _sql_tile_bursts(),
         "lang_affinity": _sql_lang_affinity(),
         "cell_extent": _sql_cell_extent(),
+        "ripley_k": _sql_ripley(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -2614,3 +2614,95 @@ SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(lon, 6) AS DECIMAL(24,6))) AS VARCHAR) AS s_lon
 FROM {pages_rel}
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K pair counts — point-pattern statistics over the page cloud
+# ---------------------------------------------------------------------------
+
+
+def ripley_pair_counts(
+    pages: DataFrame, radii: tuple[float, ...], res: int | None = None
+) -> DataFrame:
+    """Cumulative pair counts at each radius of ``radii`` — the exact
+    sufficient statistics of Ripley's K function (Ripley 1976; in
+    degree-space Euclidean distance, the :func:`distance_self_join`
+    metric, so every comparison is +,*,<= on IEEE doubles — bit-exact
+    across engines, no trig). K(r) = area * 2*n_pairs(r) / n_points^2
+    assembles downstream; here everything is BIGINT.
+
+    Output: one row per radius — (band, radius, n_band, n_pairs) where
+    ``n_band`` counts pairs whose distance lands in (radii[i-1],
+    radii[i]] and ``n_pairs`` is the cumulative count <= radii[i] — plus
+    ``n_points`` (broadcast 1-row join) for the normalization.
+
+    Plan: the bucketed pair join runs ONCE at max(radii); each pair maps
+    to its band via a plan-time CASE chain, ONE |bands|-row hash-agg,
+    then a cumulative window over the |bands|-row relation. No
+    pairs-times-radii explode; shuffle beyond the pair join is O(bands).
+    Skew/scale properties are :func:`distance_self_join`'s."""
+    rs = list(radii)
+    if rs != sorted(rs) or len(set(rs)) != len(rs) or not rs:
+        raise ValueError("radii must be non-empty, strictly ascending")
+    pairs = distance_self_join(pages, rs[-1], res=res)
+    band = F.lit(len(rs) - 1)
+    for i in range(len(rs) - 2, -1, -1):
+        band = F.when(
+            F.col("dist2") <= F.lit(rs[i] * rs[i]), F.lit(i)
+        ).otherwise(band)
+    per_band = (
+        pairs.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band"))
+    )
+    # densify: every requested band appears even with zero pairs
+    spark = pages.sparkSession
+    bands = spark.createDataFrame(
+        [(i, float(r)) for i, r in enumerate(rs)], "band int, radius double"
+    )
+    n_points = pages.select(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    w = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        bands.join(per_band, "band", "left")
+        .select(
+            "band",
+            "radius",
+            F.coalesce("n_band", F.lit(0)).cast("long").alias("n_band"),
+        )
+        .withColumn("n_pairs", F.sum("n_band").over(w).cast("long"))
+        .crossJoin(F.broadcast(n_points))
+    )
+
+
+def sql_ripley_pair_counts(
+    radii: tuple[float, ...], pages_rel: str = "pages"
+) -> str:
+    """Oracle for :func:`ripley_pair_counts`: brute-force cross-join
+    pairs with the identical dist2 arithmetic + CASE band chain."""
+    rs = list(radii)
+    r2max = repr(rs[-1] * rs[-1])
+    case = "CASE " + " ".join(
+        f"WHEN dist2 <= {repr(r * r)} THEN {i}" for i, r in enumerate(rs)
+    ) + " END"
+    values = ", ".join(f"({i}, {repr(float(r))})" for i, r in enumerate(rs))
+    return f"""
+SELECT b.band, b.radius,
+       CAST(coalesce(p.n_band, 0) AS BIGINT) AS n_band,
+       CAST(sum(coalesce(p.n_band, 0)) OVER
+            (ORDER BY b.band ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs,
+       np.n_points
+FROM (VALUES {values}) b(band, radius)
+LEFT JOIN (
+  SELECT {case} AS band, CAST(count(*) AS BIGINT) AS n_band
+  FROM (
+    SELECT (a.lat - bb.lat) * (a.lat - bb.lat)
+         + (a.lon - bb.lon) * (a.lon - bb.lon) AS dist2
+    FROM {pages_rel} a, {pages_rel} bb
+    WHERE a.url < bb.url
+      AND (a.lat - bb.lat) * (a.lat - bb.lat)
+        + (a.lon - bb.lon) * (a.lon - bb.lon) <= {r2max}) d
+  GROUP BY 1) p ON p.band = b.band
+CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_points
+            FROM {pages_rel}) np"""

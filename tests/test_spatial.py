@@ -1040,3 +1040,37 @@ def test_cell_extent_bbox_and_mergeable_sums(spark):
     small = next(r for r in out.values() if r.n == 1)
     # merge-by-addition: the union state equals element-wise combination
     assert Decimal(big.s_lat) + Decimal(small.s_lat) == Decimal("-58.500000")
+
+
+def test_ripley_pair_counts_brute_force(spark):
+    """Band assignment, cumulative counts, zero-pair band densified,
+    n_points — all vs brute force on a hand cloud."""
+    import itertools
+
+    pts = [("a", 0.0, 0.0), ("b", 0.0, 0.5), ("c", 0.0, 2.0),
+           ("d", 3.0, 3.0), ("e", 40.0, 40.0)]
+    pages = spark.createDataFrame(pts, "url string, lat double, lon double")
+    radii = (1.0, 2.5, 5.0)
+    out = {r.band: r for r in S.ripley_pair_counts(pages, radii).collect()}
+    assert len(out) == 3 and all(r.n_points == 5 for r in out.values())
+    d2 = {
+        (u1, u2): (la1 - la2) ** 2 + (lo1 - lo2) ** 2
+        for (u1, la1, lo1), (u2, la2, lo2) in itertools.combinations(pts, 2)
+    }
+    for i, r in enumerate(radii):
+        want_cum = sum(1 for v in d2.values() if v <= r * r)
+        assert out[i].n_pairs == want_cum, (i, r)
+        assert out[i].radius == r
+    assert out[0].n_band == 1            # only (a,b) within 1 degree
+    assert sum(r.n_band for r in out.values()) == out[2].n_pairs
+
+
+def test_ripley_rejects_bad_radii(spark):
+    import pytest as _pt
+
+    pages = spark.createDataFrame(
+        [("a", 0.0, 0.0)], "url string, lat double, lon double"
+    )
+    for bad in ((), (2.0, 1.0), (1.0, 1.0)):
+        with _pt.raises(ValueError):
+            S.ripley_pair_counts(pages, bad)
