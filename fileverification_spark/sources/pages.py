@@ -195,6 +195,38 @@ def write_zordered(
         .write.mode("overwrite").parquet(path))
 
 
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int, *keys: str
+) -> None:
+    """Materialise a relation as a BUCKETED catalog table (Hive bucket
+    spec): rows hash-partitioned into ``n_buckets`` files per partition
+    on ``keys``, each file sorted by ``keys``.
+
+    This is the CO-LOCATION layout lever, orthogonal to
+    :func:`write_cell_partitioned` (directory pruning) and
+    :func:`write_zordered` (min/max range pruning): when BOTH sides of
+    an equi-join are bucketed on the join keys with the same bucket
+    count, the SortMergeJoin consumes each table's files directly —
+    ZERO Exchange on either side. For the verify join (live pages vs
+    stored manifest, both keyed by (cell, url)) that deletes the two
+    corpus-sized shuffles that otherwise dominate a 100 TB run; only
+    the ~100-byte report rows ever move. NOTE: the bucket columns must
+    cover ALL the join's equi-keys, positionally — Spark's co-partition
+    check (spark.sql.requireAllClusterKeysForCoPartition, default true
+    since 3.3) rejects a subset, inserting exchanges anyway. The
+    reference gets the same co-location from its directory tree (one
+    folder's hash file verifies against that folder's files,
+    FileVerification/PathInfo.cs:197-289 — work never crosses folders);
+    bucketing is that contract declared to the optimizer. Iceberg
+    spelling: ``PARTITIONED BY (bucket(N, url))`` + storage-partitioned
+    joins. tests/test_plans.py pins the zero-shuffle plan and the
+    flat-path parity."""
+    if not keys:
+        raise ValueError("write_bucketed needs at least one bucket key")
+    (df.write.bucketBy(n_buckets, *keys).sortBy(*keys)
+       .format("parquet").mode("overwrite").saveAsTable(table))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirror — the same derivation as ANSI SQL over the same
 # parquet view ``documents``. Interpolate with .format(res=...).

@@ -217,3 +217,51 @@ def test_mime_kinds_single_partial_agg_shuffle(spark):
     assert X.shuffle_exchange_count(df) == 1
     assert X.has_partial_aggregate(df)
     assert "EvalPython" not in X.formatted_plan(df)
+
+
+def test_bucketed_verify_join_has_zero_shuffle(spark, tmp_path):
+    """Both verify inputs written bucketed on url with the same bucket
+    count -> the full-outer SortMergeJoin reads buckets co-located:
+    ZERO shuffle Exchange anywhere in the report plan (broadcasts don't
+    count), scans marked bucketed, and the report equals the flat path
+    row-for-row."""
+    import pyspark.sql.functions as F
+
+    from fileverification_spark.operators import verify as V
+    from fileverification_spark.plans import explain as X
+    from fileverification_spark.sources import pages as P
+
+    live = P.pages_with_derived(spark, SF)
+    stored = V.tampered_manifest(live)
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("live_b", "stored_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a crashed previous run may leave the managed location behind
+        # with no catalog entry for DROP TABLE to find
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    # bucket columns must cover ALL equi-keys, positionally (see
+    # write_bucketed docstring: requireAllClusterKeysForCoPartition)
+    P.write_bucketed(live, "live_b", 4, "cell", "url")
+    P.write_bucketed(stored, "stored_b", 4, "cell", "child_key")
+    try:
+        # pin the SMJ path: no AQE broadcast downgrade at fixture scale
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            report = V.verify_tree(
+                spark.table("live_b"), spark.table("stored_b")
+            )
+            plan = X.formatted_plan(report)
+            assert "Bucketed: true" in plan
+            assert X.shuffle_exchange_count(report) == 0, plan
+            got = {tuple(r) for r in report.collect()}
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        want = {tuple(r) for r in V.verify_tree(live, stored).collect()}
+        assert got == want and len(got) >= 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS live_b")
+        spark.sql("DROP TABLE IF EXISTS stored_b")
