@@ -476,6 +476,12 @@ def _q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     return CUR.vocab_topk(_docs(spark, sf))
 
 
+def _q_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    # integer unigram surprisal (CCNet-style perplexity filter signal,
+    # float-free): three partial-agg shuffles + one Zipf-aware join
+    return CUR.unigram_surprisal(_docs(spark, sf))
+
+
 def _q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher-style intra-doc repetition gates: zero-shuffle per-row exprs
     return REP.repetition_stats(_docs(spark, sf))
@@ -2387,6 +2393,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "lang_affinity": _q_lang_affinity,          # lang-region PMI stats
     "cell_extent": _q_cell_extent,              # per-cell bbox + centroid
     "ripley_k": _q_ripley,                      # pair-count K statistics
+    "unigram_surprisal": _q_surprisal,          # integer LM-quality score
 }
 
 
@@ -2666,6 +2673,7 @@ FROM events e JOIN sess s
         "lang_affinity": _sql_lang_affinity(),
         "cell_extent": _sql_cell_extent(),
         "ripley_k": _sql_ripley(),
+        "unigram_surprisal": CUR.sql_unigram_surprisal(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -786,3 +786,87 @@ def sql_c4_clean(docs_rel: str = "documents", text_col: str = "text") -> str:
    AND NOT contains(lower({text_col}), 'lorem ipsum')
    AND len({kept}) >= {C4_MIN_LINES}) AS page_ok
 FROM {docs_rel}"""
+
+
+# ---------------------------------------------------------------------------
+# Integer unigram surprisal — perplexity-style quality scoring, float-free
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document unigram self-information in EXACT integer bits — the
+    CCNet/Wikipedia-LM perplexity-filter signal (Wenzek et al. 2020)
+    re-expressed so Spark and DuckDB agree bit-for-bit: each token
+    occurrence contributes ``floor(log2(N div c))`` bits (N = corpus
+    token occurrences, c = the token's occurrences; the integer log2 is
+    ``length(bin(x)) - 1``, the length_hist idiom — within 1 bit of the
+    real surprisal, which a threshold filter can't tell apart). Rare
+    tokens are high-surprisal; a doc of them (gibberish, boilerplate
+    soup) scores high mean bits, templated text scores low — the same
+    tails a float LM filter cuts.
+
+    Output per doc with >= 1 token: (doc_id, n_tokens, surprisal_bits,
+    mean_millibits = 1000*bits div tokens) — all BIGINT.
+
+    Plan: explode -> (doc, token) hash-agg (the join input shrinks from
+    occurrences to distinct pairs) -> token-totals hash-agg (|vocab|
+    rows) + 1-row N broadcast -> equi-join back (Zipf-hot term keys:
+    1 row per term on the build side, AQE splits the probe skew, the
+    vocab_topk/tfidf discipline) -> per-doc sum. Three partial-agg
+    shuffles + one join; no windows, no floats."""
+    per_dt = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_dt"))
+    )
+    totals = per_dt.groupBy("token").agg(
+        F.sum("c_dt").cast("long").alias("c_tok")
+    )
+    n_total = totals.select(F.sum("c_tok").cast("long").alias("n_corpus"))
+    # `div` is true BIGINT division (DuckDB //) — `/` would detour
+    # through a double and cast-truncate, inexact past 2^53
+    bits = (
+        F.length(F.bin(F.expr("n_corpus div c_tok"))) - F.lit(1)
+    ).cast("long")
+    scored = totals.crossJoin(F.broadcast(n_total)).select(
+        "token", bits.alias("bits")
+    )
+    per_doc = (
+        per_dt.join(scored, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_tokens"),
+            F.sum(F.col("c_dt") * F.col("bits")).cast("long").alias(
+                "surprisal_bits"
+            ),
+        )
+    )
+    mean = F.expr("(1000 * surprisal_bits) div n_tokens").cast("long")
+    return per_doc.select(
+        "doc_id", "n_tokens", "surprisal_bits", mean.alias("mean_millibits")
+    )
+
+
+def sql_unigram_surprisal(docs_rel: str = "documents") -> str:
+    """Oracle for :func:`unigram_surprisal` (same integer-log2 chain)."""
+    toks = TX.sql_tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM {docs_rel}),
+per_dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c_dt
+           FROM t GROUP BY 1, 2),
+totals AS (SELECT token, CAST(sum(c_dt) AS BIGINT) AS c_tok
+           FROM per_dt GROUP BY 1),
+n AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_corpus FROM totals),
+scored AS (
+  SELECT token,
+         CAST(length(bin(n_corpus // c_tok)) - 1 AS BIGINT) AS bits
+  FROM totals, n)
+SELECT d.doc_id,
+       CAST(sum(d.c_dt) AS BIGINT) AS n_tokens,
+       CAST(sum(d.c_dt * s.bits) AS BIGINT) AS surprisal_bits,
+       CAST(1000 * sum(d.c_dt * s.bits) // sum(d.c_dt) AS BIGINT)
+         AS mean_millibits
+FROM per_dt d JOIN scored s ON s.token = d.token
+GROUP BY d.doc_id"""

@@ -293,3 +293,30 @@ def test_c4_clean_line_and_page_rules(spark):
         "doc_id long, text string",
     )
     assert C.c4_clean(docs3).collect()[0]["page_ok"] is False
+
+
+def test_unigram_surprisal_hand_replayed(spark):
+    """Integer floor-log2 surprisal replayed by hand: corpus 'a a a b'
+    -> N=4, c(a)=3, c(b)=1; bits(a)=floor(log2(4 div 3))=0,
+    bits(b)=floor(log2(4))=2."""
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in CUR.unigram_surprisal(docs).collect()}
+    assert got[1].n_tokens == 3 and got[1].surprisal_bits == 0
+    assert got[1].mean_millibits == 0
+    assert got[2].n_tokens == 1 and got[2].surprisal_bits == 2
+    assert got[2].mean_millibits == 2000
+
+
+def test_unigram_surprisal_separates_rare_from_templated(spark):
+    """A doc of corpus-unique tokens scores strictly higher mean bits
+    than a doc repeating the corpus's dominant token; tokenless docs
+    are absent."""
+    rows = [(i, "the the the the") for i in range(8)]
+    rows += [(100, "zyxqv kjhgf wwoper")]   # unique-token doc
+    rows += [(101, "...")]                  # no tokens at all
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in CUR.unigram_surprisal(docs).collect()}
+    assert 101 not in got
+    assert got[100].mean_millibits > got[0].mean_millibits
