@@ -223,7 +223,13 @@ def write_bucketed(
     flat-path parity."""
     if not keys:
         raise ValueError("write_bucketed needs at least one bucket key")
-    (df.write.bucketBy(n_buckets, *keys).sortBy(*keys)
+    # Pre-partition the writer on the bucket hash (same Murmur3 the
+    # bucket spec uses) so every bucket is ONE file: without this each
+    # writer task spills a file into every bucket (tasks x buckets tiny
+    # files) and the reader must re-sort multi-file buckets, forfeiting
+    # the sortBy elision the layout exists to provide.
+    (df.repartition(n_buckets, *[F.col(k) for k in keys])
+       .write.bucketBy(n_buckets, *keys).sortBy(*keys)
        .format("parquet").mode("overwrite").saveAsTable(table))
 
 
