@@ -1869,6 +1869,21 @@ def _sql_lang_affinity() -> str:
     return _with() + "\n" + S.sql_lang_cell_affinity(_AFF_RES)
 
 
+_DBSCAN_EPS, _DBSCAN_MINPTS = 6.0, 4  # mixed-role mix on the fixtures
+
+
+def _q_dbscan(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN density clustering (operators/spatial.py): bucketed
+    eps-pairs -> core/border/noise + min-label density components."""
+    return S.dbscan(
+        P.pages_with_derived(spark, sf), _DBSCAN_EPS, _DBSCAN_MINPTS
+    )
+
+
+def _sql_dbscan() -> str:
+    return _with() + "\n" + S.sql_dbscan(_DBSCAN_EPS, _DBSCAN_MINPTS)
+
+
 _RIPLEY_RADII = (1.0, 2.5, 5.0, 10.0)  # degree-space K-function radii
 
 
@@ -2394,6 +2409,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "cell_extent": _q_cell_extent,              # per-cell bbox + centroid
     "ripley_k": _q_ripley,                      # pair-count K statistics
     "unigram_surprisal": _q_surprisal,          # integer LM-quality score
+    "dbscan": _q_dbscan,                        # density clustering
 }
 
 
@@ -2674,6 +2690,7 @@ FROM events e JOIN sess s
         "cell_extent": _sql_cell_extent(),
         "ripley_k": _sql_ripley(),
         "unigram_surprisal": CUR.sql_unigram_surprisal(),
+        "dbscan": _sql_dbscan(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -2706,3 +2706,130 @@ LEFT JOIN (
   GROUP BY 1) p ON p.band = b.band
 CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_points
             FROM {pages_rel}) np"""
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN — density-based clustering over the page point cloud
+# ---------------------------------------------------------------------------
+
+
+def dbscan(
+    pages: DataFrame,
+    eps: float,
+    min_pts: int,
+    res: int | None = None,
+    max_iters: int = 64,
+) -> DataFrame:
+    """DBSCAN (Ester, Kriegel, Sander & Xu, KDD 1996) over the page
+    cloud in degree space: ``(url, role, cluster)`` with role
+    core/border/noise and cluster = min member url of the density-
+    connected component (NULL for noise).
+
+    Canonical-determinism note: textbook DBSCAN assigns a border point
+    reachable from two clusters to whichever was scanned first; here it
+    attaches to the MIN cluster label — a deterministic canon both
+    engines replay exactly (same spirit as paragraph_dedup's min-struct
+    keeper). Core/noise labels are order-free in the original too.
+
+    Plan: neighbor pairs come from :func:`distance_self_join` (bucketed
+    half-disk join — never all-pairs); degrees are one partial-agg
+    hash-agg; core-core edges feed the shared min-label fixpoint
+    (graph.connected_components — sweeps = cluster diameter in graph
+    hops); isolated cores self-label; borders attach via one semi-join
+    + min-agg. Everything shuffles on point keys or bounded pair
+    relations; nothing ever collects to the driver."""
+    from fileverification_spark.operators import graph as GR
+
+    pts = pages.select("url").distinct()
+    pairs = distance_self_join(pages, eps, res=res)
+    sym = pairs.select(
+        F.col("l_url").alias("a"), F.col("r_url").alias("b")
+    ).unionByName(
+        pairs.select(F.col("r_url").alias("a"), F.col("l_url").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("nbrs"))
+    # |N_eps(p)| counts p itself (the KDD-96 convention): nbrs + 1
+    core = (
+        pts.join(deg, pts["url"] == deg["a"], "left")
+        .where(F.coalesce(F.col("nbrs"), F.lit(0)) + 1 >= min_pts)
+        .select("url")
+    )
+    core_a = core.select(F.col("url").alias("a"))
+    core_b = core.select(F.col("url").alias("b"))
+    core_edges = (
+        sym.join(core_a, "a", "left_semi").join(core_b, "b", "left_semi")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = GR.connected_components(core_edges, max_iters=max_iters)
+    singles = core.join(
+        comp, core["url"] == comp["node"], "left_anti"
+    ).select(F.col("url").alias("node"), F.col("url").alias("component"))
+    core_labels = comp.unionByName(singles)
+    core_rows = core_labels.select(
+        F.col("node").alias("url"),
+        F.lit("core").alias("role"),
+        F.col("component").alias("cluster"),
+    )
+    # border: non-core with >= 1 core neighbor -> min core-cluster label
+    nbr_core = (
+        sym.join(core, sym["a"] == core["url"], "left_anti")
+        .join(core_labels, sym["b"] == core_labels["node"])
+        .groupBy("a")
+        .agg(F.min("component").alias("cluster"))
+    )
+    border_rows = nbr_core.select(
+        F.col("a").alias("url"), F.lit("border").alias("role"), "cluster"
+    )
+    noise_rows = (
+        pts.join(core_rows.select("url"), "url", "left_anti")
+        .join(border_rows.select("url"), "url", "left_anti")
+        .select(
+            "url",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("string").alias("cluster"),
+        )
+    )
+    return core_rows.unionByName(border_rows).unionByName(noise_rows)
+
+
+def sql_dbscan(eps: float, min_pts: int, pages_rel: str = "pages") -> str:
+    """Oracle for :func:`dbscan`: brute-force eps-pairs + recursive-CTE
+    density closure + identical min-label canon."""
+    r2 = repr(eps * eps)
+    return f"""
+WITH RECURSIVE pts AS (SELECT DISTINCT url FROM {pages_rel}),
+sym AS (
+  SELECT a.url AS a, b.url AS b
+  FROM {pages_rel} a, {pages_rel} b
+  WHERE a.url <> b.url
+    AND (a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon) <= {r2}
+),
+core AS (
+  SELECT p.url FROM pts p
+  WHERE (SELECT count(*) FROM sym s WHERE s.a = p.url) + 1 >= {min_pts}
+),
+core_edges AS (
+  SELECT s.a AS src, s.b AS dst FROM sym s
+  WHERE s.a IN (SELECT url FROM core) AND s.b IN (SELECT url FROM core)
+),
+reach(a, b) AS (
+  SELECT url, url FROM core
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN core_edges e ON r.b = e.src
+),
+core_labels AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+border AS (
+  SELECT s.a AS url, min(cl.component) AS cluster
+  FROM sym s JOIN core_labels cl ON cl.node = s.b
+  WHERE s.a NOT IN (SELECT url FROM core)
+  GROUP BY s.a
+)
+SELECT node AS url, 'core' AS role, component AS cluster FROM core_labels
+UNION ALL
+SELECT url, 'border' AS role, cluster FROM border
+UNION ALL
+SELECT p.url, 'noise' AS role, CAST(NULL AS VARCHAR) AS cluster
+FROM pts p
+WHERE p.url NOT IN (SELECT node FROM core_labels)
+  AND p.url NOT IN (SELECT url FROM border)"""

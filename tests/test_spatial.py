@@ -1074,3 +1074,36 @@ def test_ripley_rejects_bad_radii(spark):
     for bad in ((), (2.0, 1.0), (1.0, 1.0)):
         with _pt.raises(ValueError):
             S.ripley_pair_counts(pages, bad)
+
+
+def test_dbscan_hand_geometry(spark):
+    """Two dense blobs bridged by a border point, plus noise — every
+    role and the min-label canon checked by hand (eps=1.5, min_pts=3).
+
+    blob A: a0(0,0) a1(0,1) a2(1,0)    all pairwise <= sqrt(2) -> cores
+    bridge: bb(0,2)  neighbors a1 only -> |N|=2 < 3 -> border of A
+    blob B: c0(10,10) c1(10,11) c2(11,10) -> cores, separate cluster
+    lone:  nn(50,50) -> noise
+    """
+    pts = [("a0", 0.0, 0.0), ("a1", 0.0, 1.0), ("a2", 1.0, 0.0),
+           ("bb", 0.0, 2.0),
+           ("c0", 10.0, 10.0), ("c1", 10.0, 11.0), ("c2", 11.0, 10.0),
+           ("nn", 50.0, 50.0)]
+    pages = spark.createDataFrame(pts, "url string, lat double, lon double")
+    got = {r.url: (r.role, r.cluster)
+           for r in S.dbscan(pages, 1.5, 3).collect()}
+    assert got == {
+        "a0": ("core", "a0"), "a1": ("core", "a0"), "a2": ("core", "a0"),
+        "bb": ("border", "a0"),
+        "c0": ("core", "c0"), "c1": ("core", "c0"), "c2": ("core", "c0"),
+        "nn": ("noise", None),
+    }
+
+
+def test_dbscan_isolated_core_self_labels(spark):
+    """min_pts=1 makes every point a core; a point with no neighbors
+    still gets its own singleton cluster (the anti-join path)."""
+    pts = [("x", 0.0, 0.0), ("y", 40.0, 40.0)]
+    pages = spark.createDataFrame(pts, "url string, lat double, lon double")
+    got = {r.url: (r.role, r.cluster) for r in S.dbscan(pages, 1.0, 1).collect()}
+    assert got == {"x": ("core", "x"), "y": ("core", "y")}
