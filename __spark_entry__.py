@@ -1859,6 +1859,16 @@ def _sql_tile_bursts() -> str:
     return _with() + "\n" + S.sql_tile_bursts(_TILE_Z)
 
 
+def _q_tile_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tile daily-count growth trend (operators/spatial.py): exact
+    integer OLS sufficient stats, rebased epoch days."""
+    return S.tile_trend(P.pages_with_derived(spark, sf), z=_TILE_Z)
+
+
+def _sql_tile_trend() -> str:
+    return _with() + "\n" + S.sql_tile_trend(_TILE_Z)
+
+
 def _q_lang_affinity(spark: SparkSession, sf: str) -> DataFrame:
     """Language-region PMI sufficient stats (operators/spatial.py):
     joint + marginal + total counts, all BIGINT, PMI downstream."""
@@ -2410,6 +2420,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "ripley_k": _q_ripley,                      # pair-count K statistics
     "unigram_surprisal": _q_surprisal,          # integer LM-quality score
     "dbscan": _q_dbscan,                        # density clustering
+    "tile_trend": _q_tile_trend,                # integer OLS growth stats
 }
 
 
@@ -2691,6 +2702,7 @@ FROM events e JOIN sess s
         "ripley_k": _sql_ripley(),
         "unigram_surprisal": CUR.sql_unigram_surprisal(),
         "dbscan": _sql_dbscan(),
+        "tile_trend": _sql_tile_trend(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -2833,3 +2833,62 @@ SELECT p.url, 'noise' AS role, CAST(NULL AS VARCHAR) AS cluster
 FROM pts p
 WHERE p.url NOT IN (SELECT node FROM core_labels)
   AND p.url NOT IN (SELECT url FROM border)"""
+
+
+def tile_trend(pages: DataFrame, z: int) -> DataFrame:
+    """Per-tile linear growth trend of daily capture counts as EXACT
+    integer OLS sufficient statistics: with t = epoch day and y = that
+    day's captures, emits per tile (n_days, s_t, s_y, s_tt, s_ty) — the
+    normal-equation inputs; slope = (n*s_ty - s_t*s_y) /
+    (n*s_tt - s_t^2) assembles in one downstream float step (numerator
+    and denominator are exact BIGINTs here, so even the SIGN of the
+    trend — the recrawl scheduler's grow/shrink bit — is available
+    without any float at all).
+
+    Epoch days are rebased to the corpus minimum (one 1-row broadcast)
+    before squaring: day ~ 20k, day^2 * count summed over a year ~ 1e11
+    per tile unrebased — safe, but rebasing keeps s_tt small enough
+    that the downstream float step is exact too. Plan: (tile, day)
+    hash-agg -> 1-row min broadcast -> per-tile hash-agg; both aggs
+    partial, no windows."""
+    t = grid.tile_xyz(F.col("lat"), F.col("lon"), z)
+    day = F.floor(F.unix_timestamp(F.col("warc_ts")) / F.lit(86400)).cast(
+        "bigint"
+    )
+    daily = (
+        pages.select(t["x"].alias("x"), t["y"].alias("y"), day.alias("day"))
+        .groupBy("x", "y", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    day0 = daily.select(F.min("day").alias("day0"))
+    reb = daily.crossJoin(F.broadcast(day0)).select(
+        "x", "y", (F.col("day") - F.col("day0")).alias("t"), "n"
+    )
+    return reb.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("t").cast("long").alias("s_t"),
+        F.sum("n").cast("long").alias("s_y"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("s_tt"),
+        F.sum(F.col("t") * F.col("n")).cast("long").alias("s_ty"),
+    )
+
+
+def sql_tile_trend(z: int, pages_rel: str = "pages") -> str:
+    """DuckDB mirror of :func:`tile_trend` (same rebased integer sums)."""
+    xs, ys = grid.sql_tile_xyz("lat", "lon", z)
+    return f"""
+SELECT x, y,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(t) AS BIGINT) AS s_t,
+       CAST(sum(n) AS BIGINT) AS s_y,
+       CAST(sum(t * t) AS BIGINT) AS s_tt,
+       CAST(sum(t * n) AS BIGINT) AS s_ty
+FROM (
+  SELECT x, y, day - (min(day) OVER ()) AS t, n
+  FROM (
+    SELECT x, y, day, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT {xs} AS x, {ys} AS y,
+                 CAST(floor(epoch(warc_ts) / 86400) AS BIGINT) AS day
+          FROM {pages_rel}) q
+    GROUP BY 1, 2, 3) d) r
+GROUP BY 1, 2"""

@@ -1107,3 +1107,29 @@ def test_dbscan_isolated_core_self_labels(spark):
     pages = spark.createDataFrame(pts, "url string, lat double, lon double")
     got = {r.url: (r.role, r.cluster) for r in S.dbscan(pages, 1.0, 1).collect()}
     assert got == {"x": ("core", "x"), "y": ("core", "y")}
+
+
+def test_tile_trend_exact_ols_stats(spark):
+    """Rebased integer sums replayed by hand: tile with daily counts
+    2,1,4 on days d, d+1, d+3 -> t = 0,1,3."""
+    import datetime as dt
+
+    def rows(day, k, lat, lon):
+        base = dt.datetime(2021, 6, 1) + dt.timedelta(days=day)
+        return [(f"u{day}-{lat}-{i}", base, lat, lon) for i in range(k)]
+
+    data = rows(0, 2, 10.0, 10.0) + rows(1, 1, 10.0, 10.0) + rows(3, 4, 10.0, 10.0)
+    data += rows(2, 5, -40.0, 120.0)  # other tile, single day t=2
+    pages = spark.createDataFrame(
+        data, "url string, warc_ts timestamp, lat double, lon double"
+    )
+    out = {(r.x, r.y): r for r in S.tile_trend(pages, z=4).collect()}
+    assert len(out) == 2
+    multi = next(r for r in out.values() if r.n_days == 3)
+    assert (multi.s_t, multi.s_y) == (0 + 1 + 3, 2 + 1 + 4)
+    assert multi.s_tt == 0 + 1 + 9
+    assert multi.s_ty == 0 * 2 + 1 * 1 + 3 * 4
+    # exact-integer slope sign: n*s_ty - s_t*s_y = 3*13 - 4*7 = 11 > 0
+    assert multi.n_days * multi.s_ty - multi.s_t * multi.s_y == 11
+    single = next(r for r in out.values() if r.n_days == 1)
+    assert (single.s_t, single.s_y, single.s_tt, single.s_ty) == (2, 5, 4, 10)
