@@ -1919,6 +1919,25 @@ def _sql_cell_extent() -> str:
     return _with() + "\n" + S.sql_cell_extent(4)
 
 
+_FETCH_BUDGET = 1000  # global per-cycle fetch budget for apportionment
+
+
+def _q_fetch_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamilton largest-remainder fetch-budget apportionment across HRW
+    shards (operators/graph.py) — sum(quota) == budget exactly."""
+    return GR.fetch_budget(
+        P.pages_with_derived(spark, sf).select("url"),
+        budget=_FETCH_BUDGET,
+        n_shards=8,
+    )
+
+
+def _sql_fetch_budget() -> str:
+    return _with() + "\n" + GR.sql_fetch_budget(
+        "pages", _FETCH_BUDGET, n_shards=8
+    )
+
+
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:
     return GR.anchor_terms(_link_planted(spark, sf))
 
@@ -2421,6 +2440,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "unigram_surprisal": _q_surprisal,          # integer LM-quality score
     "dbscan": _q_dbscan,                        # density clustering
     "tile_trend": _q_tile_trend,                # integer OLS growth stats
+    "fetch_budget": _q_fetch_budget,            # Hamilton quota apportionment
 }
 
 
@@ -2703,6 +2723,7 @@ FROM events e JOIN sess s
         "unigram_surprisal": CUR.sql_unigram_surprisal(),
         "dbscan": _sql_dbscan(),
         "tile_trend": _sql_tile_trend(),
+        "fetch_budget": _sql_fetch_budget(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -1613,3 +1613,89 @@ SELECT CAST(COUNT(*) AS BIGINT) AS m,
   CAST(SUM(d1.deg + d2.deg) AS BIGINT) AS s_sum,
   CAST(SUM(d1.deg * d1.deg + d2.deg * d2.deg) AS BIGINT) AS s_sq
 FROM mu u JOIN mdeg d1 ON u.a = d1.node JOIN mdeg d2 ON u.b = d2.node"""
+
+
+def fetch_budget(
+    frontier: DataFrame, budget: int, n_shards: int = 8
+) -> DataFrame:
+    """Exact largest-remainder (Hamilton) apportionment of a global
+    fetch ``budget`` across the HRW scheduler shards, proportional to
+    each shard's pending-URL count: per shard,
+
+        base  = (budget * pending) div total_pending
+        extra = +1 for the L shards with the largest remainder
+                (budget * pending) mod total_pending, L = budget -
+                sum(base), ties broken shard ASC
+        quota = base + extra           (sum(quota) == budget, exactly)
+
+    Fractional-quota methods need floats and don't sum to the budget;
+    Hamilton's method is the classic exact-integer fix (the US-House
+    apportionment rule) and both engines replay it bit-for-bit.
+
+    Scale note: apportionment runs at SHARD granularity (<= 100 rows —
+    rendezvous_shards' bound) precisely so the rank window is over a
+    plan-time-bounded relation; a per-HOST largest-remainder would need
+    a global sort over ~1e8 hosts for the L-th-largest remainder. Each
+    shard's scheduler subdivides its quota locally (per-host politeness
+    already serializes inside a shard, see fetch_schedule). The pages
+    relation itself only feeds one hash-agg."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    from pyspark.sql.window import Window
+
+    pend = (
+        rendezvous_shards(frontier, n_shards)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("pending"))
+    )
+    tot = pend.select(F.sum("pending").cast("long").alias("total_pending"))
+    q = pend.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "pending",
+        F.expr(f"({budget} * pending) div total_pending").alias("base"),
+        F.expr(f"({budget} * pending) % total_pending").alias("rem"),
+    )
+    leftover = q.select(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("shard"))
+    return (
+        q.withColumn("rem_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "shard",
+            "pending",
+            F.col("base").cast("long").alias("base"),
+            F.when(F.col("rem_rank") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("extra"),
+        )
+        .withColumn("quota", (F.col("base") + F.col("extra")).cast("long"))
+    )
+
+
+def sql_fetch_budget(
+    frontier_rel: str, budget: int, n_shards: int = 8
+) -> str:
+    """DuckDB mirror of :func:`fetch_budget` (same Hamilton arithmetic)."""
+    shards = sql_rendezvous_shards(frontier_rel, n_shards)
+    return f"""
+WITH sh AS ({shards}),
+pend AS (SELECT shard, CAST(count(*) AS BIGINT) AS pending
+         FROM sh GROUP BY 1),
+tot AS (SELECT CAST(sum(pending) AS BIGINT) AS total_pending FROM pend),
+q AS (
+  SELECT shard, pending,
+         ({budget} * pending) // total_pending AS base,
+         ({budget} * pending) % total_pending AS rem
+  FROM pend, tot),
+lo AS (SELECT {budget} - sum(base) AS leftover FROM q),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, shard ASC) AS rem_rank
+      FROM q)
+SELECT shard, pending, CAST(base AS BIGINT) AS base,
+       CAST(CASE WHEN rem_rank <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       CAST(base + CASE WHEN rem_rank <= lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r, lo"""

@@ -632,3 +632,28 @@ def test_rendezvous_shards_matches_python_and_resize_stable(spark):
         assert got7[u] == hrw(host, 7)
         if s8 != 7:  # survivor keeps its own max -> shard unchanged
             assert got7[u] == s8
+
+
+def test_fetch_budget_hamilton_exact(spark):
+    """Largest-remainder apportionment replayed by hand, sum == budget
+    exactly, tie-break shard ASC, zero-budget edge."""
+    urls = [(f"https://h{i}.example/p{j}",) for i in range(12)
+            for j in range((i % 3) + 1)]
+    frontier = spark.createDataFrame(urls, "url string")
+    out = {r.shard: r for r in
+           GR.fetch_budget(frontier, budget=10, n_shards=4).collect()}
+    total = sum(r.pending for r in out.values())
+    assert sum(r.quota for r in out.values()) == 10
+    # replay Hamilton by hand on the observed pendings
+    base = {s: (10 * r.pending) // total for s, r in out.items()}
+    rem = {s: (10 * r.pending) % total for s, r in out.items()}
+    left = 10 - sum(base.values())
+    order = sorted(out, key=lambda s: (-rem[s], s))
+    extra = {s: (1 if order.index(s) < left else 0) for s in out}
+    for s, r in out.items():
+        assert (r.base, r.extra, r.quota) == (
+            base[s], extra[s], base[s] + extra[s]
+        ), s
+    # zero budget: all quotas zero, still one row per occupied shard
+    z = GR.fetch_budget(frontier, budget=0, n_shards=4).collect()
+    assert sum(r.quota for r in z) == 0 and len(z) == len(out)
