@@ -2322,6 +2322,12 @@ def focal_stats(cells: DataFrame, z: int) -> DataFrame:
     around occupied tiles (sparse dilation — empty cells two+ steps out
     never materialize).
 
+    Distinct from :func:`raster_smooth` (unweighted box sum on the
+    quadtree grid, lon-wrapping, occupied cells only): this is the
+    WEIGHTED kernel on the XYZ tile grid with the one-cell halo a tile
+    renderer needs (smoothed values exist at blob edges), plus the
+    neighborhood max.
+
     Plan: scatter-gather convolution — each occupied cell EXPLODES into
     its 9 (target, weight*n) contributions (plan-time-unrolled array,
     zero Python), then ONE hash-groupBy on the target coordinate. Shuffle
