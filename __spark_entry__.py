@@ -1919,6 +1919,19 @@ def _sql_cell_extent() -> str:
     return _with() + "\n" + S.sql_cell_extent(4)
 
 
+def _q_extent_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical extent rollup (operators/spatial.py): res-4 states
+    merged to res-2 by addition/min/max. The oracle is the DIRECT res-2
+    form — the driver check is the merge-associativity proof."""
+    return S.cell_extent_rollup(
+        P.pages_with_derived(spark, sf), res=4, parent_res=2
+    )
+
+
+def _sql_extent_rollup() -> str:
+    return _with() + "\n" + S.sql_cell_extent(2)
+
+
 _FETCH_BUDGET = 1000  # global per-cycle fetch budget for apportionment
 
 
@@ -2441,6 +2454,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "dbscan": _q_dbscan,                        # density clustering
     "tile_trend": _q_tile_trend,                # integer OLS growth stats
     "fetch_budget": _q_fetch_budget,            # Hamilton quota apportionment
+    "extent_rollup": _q_extent_rollup,          # mergeable-state pyramid
 }
 
 
@@ -2724,6 +2738,7 @@ FROM events e JOIN sess s
         "dbscan": _sql_dbscan(),
         "tile_trend": _sql_tile_trend(),
         "fetch_budget": _sql_fetch_budget(),
+        "extent_rollup": _sql_extent_rollup(),
         "robots_filter": _with() + "\n" + _sql_robots_filter(),
         "inverted_index": SRCH.sql_inverted_index(min_df=2, postings_cap=8),
         "geohash_counts": _with() + "\n" + _sql_geohash_counts(),

@@ -2898,3 +2898,39 @@ FROM (
           FROM {pages_rel}) q
     GROUP BY 1, 2, 3) d) r
 GROUP BY 1, 2"""
+
+
+def cell_extent_rollup(
+    pages: DataFrame, res: int, parent_res: int
+) -> DataFrame:
+    """:func:`cell_extent` at ``parent_res`` computed FROM the
+    ``res``-level states, never from pages — the hierarchical-rollup
+    property made an operator: counts and DECIMAL centroid sums merge by
+    addition, bounds by min/max, so a pyramid of extent layers costs one
+    pages scan total (the raster_pyramid discipline applied to the
+    metadata rollup; at 10^12 rows re-scanning pages per level is the
+    difference between 1 scan and #levels scans).
+
+    Output schema == cell_extent(parent_res); the oracle runs the DIRECT
+    form at parent_res, so the test IS the merge-associativity proof."""
+    child = cell_extent(pages, res)
+    parent = grid.cell_parent(F.col("cell"), res, parent_res)
+    return (
+        child.select(
+            parent.alias("cell"),
+            "n",
+            "lat_min", "lat_max", "lon_min", "lon_max",
+            F.col("s_lat").cast("decimal(24,6)").alias("_s_lat"),
+            F.col("s_lon").cast("decimal(24,6)").alias("_s_lon"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.min("lat_min").alias("lat_min"),
+            F.max("lat_max").alias("lat_max"),
+            F.min("lon_min").alias("lon_min"),
+            F.max("lon_max").alias("lon_max"),
+            F.sum("_s_lat").cast("decimal(24,6)").cast("string").alias("s_lat"),
+            F.sum("_s_lon").cast("decimal(24,6)").cast("string").alias("s_lon"),
+        )
+    )

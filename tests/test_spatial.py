@@ -1133,3 +1133,16 @@ def test_tile_trend_exact_ols_stats(spark):
     assert multi.n_days * multi.s_ty - multi.s_t * multi.s_y == 11
     single = next(r for r in out.values() if r.n_days == 1)
     assert (single.s_t, single.s_y, single.s_tt, single.s_ty) == (2, 5, 4, 10)
+
+
+def test_cell_extent_rollup_equals_direct(spark):
+    """Merge associativity on a hand cloud: rolling res-3 states up to
+    res-1 equals computing extent directly at res-1."""
+    rows = [("a", 10.5, 20.25), ("b", 11.0, 20.5), ("c", 33.0, 41.0),
+            ("d", -80.0, -170.0), ("e", -79.0, -169.5)]
+    pages = spark.createDataFrame(rows, "url string, lat double, lon double")
+    up = {r.cell: r for r in S.cell_extent_rollup(pages, 3, 1).collect()}
+    direct = {r.cell: r for r in S.cell_extent(pages, 1).collect()}
+    assert set(up) == set(direct)
+    for c in direct:
+        assert tuple(up[c]) == tuple(direct[c]), c
