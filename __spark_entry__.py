@@ -1891,7 +1891,16 @@ def _q_dbscan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_dbscan() -> str:
-    return _with() + "\n" + S.sql_dbscan(_DBSCAN_EPS, _DBSCAN_MINPTS)
+    # the inner oracle is itself a WITH RECURSIVE — merge its CTE list
+    # into the pages CTE chain (RECURSIVE prefixes the whole list)
+    inner = S.sql_dbscan(_DBSCAN_EPS, _DBSCAN_MINPTS).strip()
+    assert inner.startswith("WITH RECURSIVE ")
+    return (
+        "WITH RECURSIVE "
+        + _with()[len("WITH ") :]
+        + ",\n"
+        + inner[len("WITH RECURSIVE ") :]
+    )
 
 
 _RIPLEY_RADII = (1.0, 2.5, 5.0, 10.0)  # degree-space K-function radii
@@ -1946,9 +1955,11 @@ def _q_fetch_budget(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_fetch_budget() -> str:
-    return _with() + "\n" + GR.sql_fetch_budget(
-        "pages", _FETCH_BUDGET, n_shards=8
-    )
+    # the inner oracle is itself a WITH — merge its CTE list into the
+    # pages CTE chain
+    inner = GR.sql_fetch_budget("pages", _FETCH_BUDGET, n_shards=8).strip()
+    assert inner.startswith("WITH ")
+    return _with() + ",\n" + inner[len("WITH ") :]
 
 
 def _q_anchor_terms(spark: SparkSession, sf: str) -> DataFrame:

@@ -98,6 +98,27 @@ def main() -> int:
     else:
         qs = entrymod.queries()
         oracles = entrymod.oracle_sql()
+    if only:
+        # names not in the selected registry fall back to the other one;
+        # a name in neither is a HARD failure — a filter that matches
+        # nothing used to print "FAILURES: 0" vacuously (round-4 bug:
+        # two broken demoted oracles passed the CLI for hours)
+        other_q = entrymod.queries() if demoted else entrymod.demoted_queries()
+        other_o = entrymod.oracle_sql() if demoted else entrymod.demoted_oracle_sql()
+        missing = []
+        for n in only:
+            if n in qs:
+                continue
+            if n in other_q:
+                qs = {**qs, n: other_q[n]}
+                if n in other_o:
+                    oracles = {**oracles, n: other_o[n]}
+            else:
+                missing.append(n)
+        if missing:
+            print(f"UNKNOWN QUERY NAMES: {sorted(missing)}")
+            print("FAILURES:", len(missing))
+            return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
