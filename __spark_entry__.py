@@ -1894,7 +1894,9 @@ def _sql_dbscan() -> str:
     # the inner oracle is itself a WITH RECURSIVE — merge its CTE list
     # into the pages CTE chain (RECURSIVE prefixes the whole list)
     inner = S.sql_dbscan(_DBSCAN_EPS, _DBSCAN_MINPTS).strip()
-    assert inner.startswith("WITH RECURSIVE ")
+    if not inner.startswith("WITH RECURSIVE "):
+        # structural check on generated SQL must survive python -O
+        raise ValueError("sql_dbscan no longer starts with WITH RECURSIVE")
     return (
         "WITH RECURSIVE "
         + _with()[len("WITH ") :]
@@ -1958,7 +1960,9 @@ def _sql_fetch_budget() -> str:
     # the inner oracle is itself a WITH — merge its CTE list into the
     # pages CTE chain
     inner = GR.sql_fetch_budget("pages", _FETCH_BUDGET, n_shards=8).strip()
-    assert inner.startswith("WITH ")
+    if not inner.startswith("WITH "):
+        # structural check on generated SQL must survive python -O
+        raise ValueError("sql_fetch_budget no longer starts with WITH")
     return _with() + ",\n" + inner[len("WITH ") :]
 
 
@@ -2260,21 +2264,88 @@ def _q_lineage(spark: SparkSession, sf: str) -> DataFrame:
 # The driver executes at most ~50 contract queries per round (r01 ran
 # 47/47, r02 ran exactly 50/65 — VERDICT r02 "What's wrong" #1). The
 # contract is therefore capped at 50 entries, ordered so that queries
-# with the LEAST driver evidence run first. Round-4 rotation (VERDICT r3
-# "Next round" #1): every query that was driver-green in r01-r03 except
-# two canaries (verify_report, pages_derive) is demoted, and the window
-# is filled with queries that have NEVER been driver-executed — the
-# whole r3 web-graph / retrieval / curation / sampling surface, plus
-# hotspots_distributed (the scale path, newly promoted per VERDICT #7).
-# Demoted queries stay under the same strict driver-mirror canon every
-# CI run via tests/test_demoted_contract.py (now at BOTH sf0.001 and
-# the driver's own sf0.01).
+# with the LEAST driver evidence run first. Round-5 rotation (VERDICT r4
+# "Next round" #1): the r4 window (driver-green in CORRECTNESS_r04,
+# 50/50) is demoted, and the window is filled with the 43 queries that
+# have NEVER been driver-executed (the whole r4 operator surface: graph
+# centrality/structure, spatial statistics, curation/readability,
+# crawl scheduling, interop twins), plus 5 re-audit slots for queries
+# whose newest driver evidence is r01/r02 (3+ rounds stale), plus the
+# two standing canaries. Demoted queries stay under the same strict
+# driver-mirror canon every CI run via tests/test_demoted_contract.py
+# at BOTH sf0.001 and the driver's own sf0.01.
 _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
-    # -- never driver-run: training-data sampling / mixing --
+    # -- never driver-run: r4 geospatial-variant backlog --
+    "knn_geodesic": _q_knn_geodesic,
+    "raster_pyramid": _q_raster_pyramid,
+    "raster_smooth": _q_raster_smooth,
+    "tile_counts": _q_tile_counts,
+    "geohash_counts": _q_geohash_counts,
+    # -- never driver-run: r4 curation / retrieval / text additions --
+    "domain_quantiles": _q_domain_quantiles,
+    "shingle_dups": _q_shingle_dups,
+    "html_meta": _q_html_meta,
+    "mime_kinds": _q_mime_kinds,
+    "readability": _q_readability,
+    "wet_export": _q_wet_export,
+    "c4_clean": _q_c4_clean,
+    "unigram_surprisal": _q_surprisal,
+    "capture_churn": _q_capture_churn,
+    "recrawl_priority": _q_recrawl_priority,
+    # -- never driver-run: r4 web-graph centrality / structure --
+    "cocite_hosts": _q_cocite_hosts,
+    "hits_hosts": _q_hits_hosts,
+    "trustrank_hosts": _q_trustrank_hosts,
+    "bfs_depth": _q_bfs_depth,
+    "kcore_hosts": _q_kcore_hosts,
+    "host_triangles": _q_host_triangles,
+    "host_clustering": _q_host_clustering,
+    "mirror_hosts": _q_mirror_hosts,
+    "degree_mixing": _q_degree_mixing,
+    # -- never driver-run: r4 crawl scheduling / event analytics --
+    "fetch_schedule": _q_fetch_schedule,
+    "politeness_schedule": _q_politeness_schedule,
+    "fetch_budget": _q_fetch_budget,
+    "rendezvous_shards": _q_rendezvous,
+    "funnel": _q_funnel,
+    "retention": _q_retention,
+    # -- never driver-run: r4 spatial statistics / layout --
+    "moran_tiles": _q_moran_tiles,
+    "getis_ord": _q_getis_ord,
+    "ripley_k": _q_ripley,
+    "dbscan": _q_dbscan,
+    "focal_smooth": _q_focal_smooth,
+    "coverage_gaps": _q_coverage_gaps,
+    "tile_bursts": _q_tile_bursts,
+    "tile_trend": _q_tile_trend,
+    "lang_affinity": _q_lang_affinity,
+    "cell_extent": _q_cell_extent,
+    "extent_rollup": _q_extent_rollup,
+    "zorder_layout": _q_zorder_layout,
+    "zorder_bbox": _q_zorder_bbox,
+    # -- re-audit: newest driver evidence r01/r02 (3+ rounds stale) --
+    "events_dedup": _q_events_dedup,
+    "cell_digests_mergeable": _q_cell_digests_mergeable,
+    "knn_adaptive": _q_knn_adaptive,
+    "simhash_buckets": _q_simhash_buckets,
+    "uncompact_roundtrip": _q_uncompact_roundtrip,
+    # -- canaries (driver-green r01-r04; regression sentinels) --
+    "pages_derive": _q_pages_derive,
+    "verify_report": _q_verify_report,
+}
+
+
+# Queries outside the driver window. Every entry here is driver-green in
+# at least one of CORRECTNESS_r01-r04 (the r5 rotation demotes the whole
+# driver-green-r04 window) or is a twin/variant subsumed by a promoted
+# query. All of them run through tools/check_oracle's strict canon each
+# CI run at sf0.001 AND the driver's sf0.01
+# (tests/test_demoted_contract.py), so demotion never weakens
+# correctness evidence — it only frees driver-window slots.
+_DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "sample_hash": _q_sample_hash,
     "sample_stratified": _q_sample_stratified,
     "mixture_weights": _q_mixture_weights,
-    # -- never driver-run: corpus hygiene / curation --
     "domain_stats": _q_domain_stats,
     "repetition_stats": _q_repetition_stats,
     "decontaminate": _q_decontaminate,
@@ -2286,7 +2357,6 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "pack_chunks": _q_pack_chunks,
     "trending_terms": _q_trending_terms,
     "length_hist": _q_length_hist,
-    # -- never driver-run: retrieval / text analytics --
     "tfidf_terms": _q_tfidf,
     "bm25_topk": _q_bm25,
     "inverted_index": _q_inverted_index,
@@ -2294,7 +2364,6 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "html_text": _q_html_text,
     "boilerplate": _q_boilerplate,
     "clean_pages": _q_clean_pages,
-    # -- never driver-run: web link graph / fetch layer --
     "extract_links": _q_extract_links,
     "host_graph": _q_host_graph,
     "pagerank_hosts": _q_pagerank_hosts,
@@ -2309,13 +2378,11 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "robots_rules": _q_robots_rules,
     "robots_filter": _q_robots_filter,
     "sitemap_urls": _q_sitemap_urls,
-    # -- never driver-run: web-archive interop --
     "surt_keys": _q_surt_keys,
     "cdx_records": _q_cdx_records,
     "latest_capture": _q_latest_capture,
     "warc_export": _q_warc_export,
     "domain_subtree": _q_domain_subtree,
-    # -- never driver-run: geospatial / trajectory / sketch --
     "hotspots_distributed": _q_hotspots_distributed,
     "polygon_stats": _q_polygon_stats,
     "track_length": _q_track_length,
@@ -2324,19 +2391,6 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "interval_join": _q_interval_join,
     "kmv_cells": _q_kmv_cells,
     "cell_embeddings": _q_cell_embeddings,
-    # -- canaries (driver-green r01-r03; regression sentinels) --
-    "pages_derive": _q_pages_derive,
-    "verify_report": _q_verify_report,
-}
-
-# Queries outside the driver window. Every entry here was either
-# driver-green in r01-r03 (the settled surface rotated out in r4) or is
-# a twin/variant subsumed by a promoted query. All of them run through
-# tools/check_oracle's strict canon each CI run at sf0.001 AND the
-# driver's sf0.01 (tests/test_demoted_contract.py), so demotion never
-# weakens correctness evidence — it only frees driver-window slots.
-_DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
-    # -- r4 rotation: driver-green in r01-r03, settled --
     "multimodal_features": _q_multimodal,
     "multimodal_frames": _q_multimodal_frames,
     "exclusion_filter": _q_exclusion_filter,
@@ -2369,7 +2423,7 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "zonal_stats": _q_zonal_stats,
     "top_lang_cell": _q_top_lang_cell,
     "raster_diff": _q_raster_diff,
-    "hotspots": _q_hotspots,  # driver union-find form; scale path promoted
+    "hotspots": _q_hotspots,
     "od_matrix": _q_od_matrix,
     "raster_users": _q_raster_users,
     "fence_dwells": _q_fence_dwells,
@@ -2385,87 +2439,16 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "ann_quantized_topk": _q_ann_quantized_topk,
     "emb_neardup": _q_emb_neardup,
     "ann_lsh_recall": _q_ann_lsh,
-    # -- twins/variants, driver-green r02, demoted since r3 --
-    "cell_digests": _q_cell_digests,            # base level of merkle_ladder
+    "cell_digests": _q_cell_digests,
     "cell_digests_salted": _q_cell_digests_salted,
-    "cell_digests_mergeable": _q_cell_digests_mergeable,
-    "point_verify": _q_point_verify,            # single-key form of verify_keys
-    "verify_cell": _q_verify_cell,              # cell-filtered verify_report
-    "hash_only": _q_hash_only,                  # projection of pages_derive
-    "pip_pages_sql": _q_pip_pages_sql,          # JVM twin of pip_pages
-    "pip_counts": _q_pip_counts,                # groupBy of pip_pages
-    "knn_ring": _q_knn_ring,                    # same oracle as knn
-    "knn_adaptive": _q_knn_adaptive,            # same oracle as knn
-    "raster_zoom": _q_raster_zoom,              # same oracle as raster_cells
-    "raster_vectorize": _q_raster_vectorize,    # WKT formatting of raster_cells
-    "uncompact_roundtrip": _q_uncompact_roundtrip,  # inverse of compact_cells
-    "simhash_buckets": _q_simhash_buckets,      # groupBy of simhash
-    "events_dedup": _q_events_dedup,            # key-set projection; streaming
-                                                # twin pytest-pinned
-    # -- never driver-run geospatial variants deferred to the r5 window
-    #    (twin-like: metric/rollup/stencil/interop variants of queries
-    #    with driver evidence) --
-    "knn_geodesic": _q_knn_geodesic,            # haversine metric of knn
-    "raster_pyramid": _q_raster_pyramid,        # multi-res rollup of raster
-    "raster_smooth": _q_raster_smooth,          # focal 3x3 stencil
-    "tile_counts": _q_tile_counts,              # XYZ/quadkey interop twin
-    "geohash_counts": _q_geohash_counts,        # geohash interop twin
-    # -- new in r4 (never driver-run: first in line for the r5 window) --
-    "domain_quantiles": _q_domain_quantiles,    # exact per-domain length
-                                                # order statistics
-    "shingle_dups": _q_shingle_dups,            # ExactSubstr-style strided
-                                                # duplicate shingles
-    "cocite_hosts": _q_cocite_hosts,            # capped co-citation pairs
-    "hits_hosts": _q_hits_hosts,                # exact-int64 HITS ladder
-    "html_meta": _q_html_meta,                  # title/meta-description
-                                                # extraction (WET display)
-    "mime_kinds": _q_mime_kinds,                # magic-number MIME sniff
-                                                # over binary payloads
-    "readability": _q_readability,              # exact-int Flesch bands
-    "wet_export": _q_wet_export,                # WET conversion records
-    "fetch_schedule": _q_fetch_schedule,        # per-host politeness
-                                                # slots + scheduler shards
-    "politeness_schedule": _q_politeness_schedule,  # slots x parsed
-                                                # robots Crawl-delay
-    "host_triangles": _q_host_triangles,        # degree-oriented
-                                                # triangle enumeration
-    "host_clustering": _q_host_clustering,      # exact-int clustering
-                                                # coefficients (milli)
-    "funnel": _q_funnel,                        # ordered milestone
-                                                # conversion (epoch-us)
-    "retention": _q_retention,                  # signup-cohort x
-                                                # activity-day offsets
-    "mirror_hosts": _q_mirror_hosts,            # capped outlink-set
-                                                # Jaccard (mirror sites)
-    "c4_clean": _q_c4_clean,                    # C4 line-level quality
-                                                # filtering (zero-shuffle)
-    "trustrank_hosts": _q_trustrank_hosts,      # seeded exact-int64
-                                                # TrustRank ladder
-    "bfs_depth": _q_bfs_depth,                  # crawl depth from the
-                                                # seed whitelist
-    "kcore_hosts": _q_kcore_hosts,              # k-core peel (unrolled)
-    "degree_mixing": _q_degree_mixing,          # assortativity sums
-    "capture_churn": _q_capture_churn,          # CDX per-url change
-                                                # history
-    "recrawl_priority": _q_recrawl_priority,    # adaptive recrawl bands
-    "moran_tiles": _q_moran_tiles,              # Moran's I sufficient
-                                                # stats (rook adjacency)
-    "getis_ord": _q_getis_ord,                  # per-cell Gi* hotspot
-                                                # sufficient stats
-    "zorder_layout": _q_zorder_layout,          # Morton layout audit
-    "zorder_bbox": _q_zorder_bbox,              # range-pruned bbox scan
-    "focal_smooth": _q_focal_smooth,            # 3x3 binomial focal conv
-    "coverage_gaps": _q_coverage_gaps,          # universe anti-join holes
-    "rendezvous_shards": _q_rendezvous,         # HRW frontier sharding
-    "tile_bursts": _q_tile_bursts,              # daily tile churn + bursts
-    "lang_affinity": _q_lang_affinity,          # lang-region PMI stats
-    "cell_extent": _q_cell_extent,              # per-cell bbox + centroid
-    "ripley_k": _q_ripley,                      # pair-count K statistics
-    "unigram_surprisal": _q_surprisal,          # integer LM-quality score
-    "dbscan": _q_dbscan,                        # density clustering
-    "tile_trend": _q_tile_trend,                # integer OLS growth stats
-    "fetch_budget": _q_fetch_budget,            # Hamilton quota apportionment
-    "extent_rollup": _q_extent_rollup,          # mergeable-state pyramid
+    "point_verify": _q_point_verify,
+    "verify_cell": _q_verify_cell,
+    "hash_only": _q_hash_only,
+    "pip_pages_sql": _q_pip_pages_sql,
+    "pip_counts": _q_pip_counts,
+    "knn_ring": _q_knn_ring,
+    "raster_zoom": _q_raster_zoom,
+    "raster_vectorize": _q_raster_vectorize,
 }
 
 

@@ -32,6 +32,20 @@ load — the r02 battery "regression" was pure host noise):
   spread_max_pct exceeds BENCH_SPREAD_FLAG (default 150%) or the median
   per-run steal exceeds 5%, so a noisy window can never silently stand
   as the round's number-of-record.
+- **self-healing windows** (r5, VERDICT r4 "Next round" #3): a
+  contaminated window is not recorded as the round's number — the whole
+  battery re-runs in a fresh window (after BENCH_RETRY_SLEEP s, default
+  45) up to BENCH_MAX_WINDOWS (default 3) times, and the artifact
+  carries the FIRST CLEAN window (plus "windows_run" and every window's
+  spread/steal summary under "window_history" for audit). Only if every
+  window is noisy does a contaminated=true record stand, with the
+  least-contaminated window's numbers.
+- **bucketed headline leg** (r5, VERDICT r4 "Next round" #5): the
+  zero-shuffle bucketed verify layout is timed alongside the flat path
+  ("verify_tree_bucketed"); both throughputs are reported
+  (pages_per_sec / pages_per_sec_bucketed). The bucketed write is
+  untimed setup — bucketing is a table layout paid once at ingest,
+  exactly like the reference's directory tree.
 
 The flagship throughput number runs verify_tree over a deterministically
 replicated pages table (BENCH_REPLICATION x documents, default 80) so the
@@ -198,6 +212,55 @@ def _pagerank_bench(live) -> int:
             h.unpersist(blocking=True)
 
 
+def _run_window(cases: dict, my_cores: "set[int]", runs: int) -> dict:
+    """One timing window: ``runs`` interleaved passes over the battery,
+    each run contention-stamped. Returns samples + the window's
+    contamination verdict (spread over steady passes, median steal)."""
+    samples: dict[str, list[float]] = {name: [] for name in cases}
+    steal_s: dict[str, list[float]] = {name: [] for name in cases}
+    sib_s: dict[str, list[float]] = {name: [] for name in cases}
+    for _ in range(runs):
+        for name, fn in cases.items():
+            c0 = _cpu_stamp(my_cores)
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            steal, sib = _contention(c0, _cpu_stamp(my_cores))
+            samples[name].append(round(dt, 3))
+            steal_s[name].append(steal)
+            sib_s[name].append(sib)
+
+    # The FIRST interleaved pass compiles each query's generated code
+    # (whole-stage codegen JIT): its samples run 2-7x the steady state
+    # with zero steal and idle siblings — warm-up, not window
+    # contamination. min-of-runs already ignores it; the contamination
+    # flag must too, or every clean record self-flags. All samples stay
+    # persisted (samples[name][0] IS the warm-up observation) and the
+    # warm-up-inclusive spread is recorded alongside for transparency.
+    def _spread(vals):
+        return max(
+            round(100.0 * (max(s) - min(s)) / min(s), 1)
+            for s in vals
+            if min(s) > 0
+        )
+
+    steady = [s[1:] if len(s) >= 3 else s for s in samples.values()]
+    spread_max_pct = _spread(steady)
+    spread_incl_warmup_pct = _spread(list(samples.values()))
+    all_steals = sorted(v for s in steal_s.values() for v in s)
+    median_steal = all_steals[len(all_steals) // 2] if all_steals else 0.0
+    spread_flag = float(os.environ.get("BENCH_SPREAD_FLAG", "150"))
+    return {
+        "samples": samples,
+        "steal": steal_s,
+        "sib": sib_s,
+        "spread_max_pct": spread_max_pct,
+        "spread_incl_warmup_pct": spread_incl_warmup_pct,
+        "median_steal": median_steal,
+        "contaminated": spread_max_pct > spread_flag or median_steal > 0.05,
+    }
+
+
 def main() -> None:
     my_cores = _pin_cpus()
     spark = get_spark("bench")
@@ -211,9 +274,30 @@ def main() -> None:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     events = SW.read_events(spark, SF_DIR)
 
+    # bucketed twin of the flagship inputs (VERDICT r4 "Next round" #5):
+    # both verify sides Hive-bucketed on the join keys so the timed leg
+    # measures the zero-shuffle co-located layout. The write is untimed
+    # setup — bucketing is a TABLE layout paid once at ingest and
+    # amortised over every verify run, like the reference's directory
+    # tree (tools/bucketed_bench.py measures the same thing isolated).
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    n_buckets = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for t in ("bench_live_b", "bench_stored_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    P.write_bucketed(live, "bench_live_b", n_buckets, "cell", "url")
+    P.write_bucketed(stored, "bench_stored_b", n_buckets, "cell", "child_key")
+    live_b = spark.table("bench_live_b")
+    stored_b = spark.table("bench_stored_b")
+
     cases: dict = {
         # flagship first in every pass: its min drives pages_per_sec
         "verify_tree": lambda: V.verify_tree(live, stored).count(),
+        # same semantics over the bucketed layout: zero shuffle Exchange
+        # (plan-pinned tests/test_plans.py) — drives pages_per_sec_bucketed
+        "verify_tree_bucketed": lambda: V.verify_tree(live_b, stored_b).count(),
         "merkle_ladder": lambda: M.merkle_ladder(
             M.leaf_digests(live, P.LEAF_RES), P.LEAF_RES
         ).count(),
@@ -288,43 +372,52 @@ def main() -> None:
         ).count(),
     }
 
-    # -- interleaved timing passes, contention-stamped per run --
-    samples: dict[str, list[float]] = {name: [] for name in cases}
-    steal_s: dict[str, list[float]] = {name: [] for name in cases}
-    sib_s: dict[str, list[float]] = {name: [] for name in cases}
-    for _ in range(RUNS):
-        for name, fn in cases.items():
-            c0 = _cpu_stamp(my_cores)
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            steal, sib = _contention(c0, _cpu_stamp(my_cores))
-            samples[name].append(round(dt, 3))
-            steal_s[name].append(steal)
-            sib_s[name].append(sib)
-
-    results = {name: min(s) for name, s in samples.items()}
-    # The FIRST interleaved pass compiles each query's generated code
-    # (whole-stage codegen JIT): its samples run 2-7x the steady state
-    # with zero steal and idle siblings — warm-up, not window
-    # contamination. min-of-runs already ignores it; the contamination
-    # flag must too, or every clean record self-flags. All samples stay
-    # persisted (samples[name][0] IS the warm-up observation) and the
-    # warm-up-inclusive spread is recorded alongside for transparency.
-    def _spread(vals):
-        return max(
-            round(100.0 * (max(s) - min(s)) / min(s), 1)
-            for s in vals
-            if min(s) > 0
+    # -- interleaved timing passes, contention-stamped per run, with
+    # self-healing retry windows (VERDICT r4 "Next round" #3): a
+    # contaminated window triggers a fresh full-battery window after a
+    # cool-down; the recorded numbers are the first clean window's (or
+    # the least-contaminated window's if none is clean) --
+    max_windows = max(1, int(os.environ.get("BENCH_MAX_WINDOWS", "3")))
+    retry_sleep = float(os.environ.get("BENCH_RETRY_SLEEP", "45"))
+    best = None
+    window_history: list[dict] = []
+    for w in range(max_windows):
+        win = _run_window(cases, my_cores, RUNS)
+        window_history.append(
+            {
+                "window": w,
+                "spread_max_pct": win["spread_max_pct"],
+                "median_steal": win["median_steal"],
+                "contaminated": win["contaminated"],
+                "verify_tree_min": min(win["samples"]["verify_tree"]),
+            }
         )
+        badness = (win["contaminated"], win["median_steal"],
+                   win["spread_max_pct"])
+        if best is None or badness < (best["contaminated"],
+                                      best["median_steal"],
+                                      best["spread_max_pct"]):
+            best = win
+        if not win["contaminated"]:
+            break
+        if w + 1 < max_windows:
+            print(
+                f"# window {w} contaminated "
+                f"(spread {win['spread_max_pct']}%, "
+                f"steal {win['median_steal']}); retrying in "
+                f"{retry_sleep:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(retry_sleep)
 
-    steady = [s[1:] if len(s) >= 3 else s for s in samples.values()]
-    spread_max_pct = _spread(steady)
-    spread_incl_warmup_pct = _spread(list(samples.values()))
-    all_steals = sorted(v for s in steal_s.values() for v in s)
-    median_steal = all_steals[len(all_steals) // 2] if all_steals else 0.0
-    spread_flag = float(os.environ.get("BENCH_SPREAD_FLAG", "150"))
-    contaminated = spread_max_pct > spread_flag or median_steal > 0.05
+    samples = best["samples"]
+    steal_s = best["steal"]
+    sib_s = best["sib"]
+    spread_max_pct = best["spread_max_pct"]
+    spread_incl_warmup_pct = best["spread_incl_warmup_pct"]
+    median_steal = best["median_steal"]
+    contaminated = best["contaminated"]
+    results = {name: min(s) for name, s in samples.items()}
     n_report = V.verify_tree(live, stored).count()
     t_verify = results["verify_tree"]
     battery_r01 = round(sum(results[n] for n in R01_NAMES), 3)
@@ -344,10 +437,16 @@ def main() -> None:
                 "spread_max_pct": spread_max_pct,
                 "spread_incl_warmup_pct": spread_incl_warmup_pct,
                 "contaminated": contaminated,
+                "windows_run": len(window_history),
+                "window_history": window_history,
                 "runs": RUNS,
                 "protocol": "pinned+interleaved, min-of-runs, contention-stamped",
                 "sf": _sf_label(SF_DIR),
                 "pages_per_sec": round(n_pages / t_verify, 1),
+                "pages_per_sec_bucketed": round(
+                    n_pages / results["verify_tree_bucketed"], 1
+                ),
+                "n_buckets": n_buckets,
                 "n_pages": n_pages,
                 "n_report_rows": n_report,
                 "replication": REPLICATION,
@@ -355,6 +454,9 @@ def main() -> None:
             }
         )
     )
+    for t in ("bench_live_b", "bench_stored_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -327,6 +327,7 @@ def hits(
     scale: int = HITS_SCALE,
     persist: bool = True,
     handles: list | None = None,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1998, JACM 46(5)) over
     ``(src, dst, w)`` in exact int64 arithmetic: returns
@@ -352,10 +353,15 @@ def hits(
     logical plan grows ~4^iters and Catalyst re-analysis dominates
     (measured 11.5 s lazy vs 1.7 s checkpointed for 3 iterations on a
     130-node graph). The checkpoint truncates lineage to a node-sized
-    materialized relation per half-step — on a multi-executor cluster
-    prefer a reliable checkpoint dir (or the snapshot-committed pattern
-    of :func:`pagerank_resumable`) if executor loss must be survivable
-    mid-ladder. ``handles`` receives the persisted inputs (edges/nodes)
+    materialized relation per half-step. ``localCheckpoint`` is
+    executor-local: an executor lost mid-ladder loses its blocks with no
+    lineage to recompute them — fine on local[N], fatal on a 1000-
+    executor run. Pass ``reliable_checkpoint_dir`` (HDFS/S3 path) on a
+    cluster and each half-step is written through
+    ``RDD.checkpoint`` to shared storage instead, surviving executor
+    loss (or use the snapshot-committed pattern of
+    :func:`pagerank_resumable` for driver-failure durability too).
+    ``handles`` receives the persisted inputs (edges/nodes)
     for the bench cache-reuse guard; checkpointed half-steps are new
     RDDs each call and can never be served from a previous run's cache.
 
@@ -399,6 +405,18 @@ def hits(
     )
     hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
 
+    if reliable_checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(
+            reliable_checkpoint_dir
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint_dir is not None:
+            # reliable (shared-storage) checkpoint: survives executor
+            # loss mid-ladder, unlike executor-local blocks
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     def _norm(raw: DataFrame, col: str) -> DataFrame:
         mx = raw.agg(
             F.greatest(F.lit(1).cast("long"),
@@ -417,7 +435,7 @@ def hits(
             )
         )
         # lineage truncation, NOT caching — see the docstring
-        return out.localCheckpoint(eager=True)
+        return _ckpt(out)
 
     for _ in range(iters):
         a_raw = (

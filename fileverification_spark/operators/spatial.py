@@ -2285,7 +2285,10 @@ def zorder_bbox_query(
     )
     xy = grid.zorder_xy(F.col("lat"), F.col("lon"), level)
     z = grid.morton_key(xy["x"], xy["y"], level)
-    pred = None
+    # Degenerate/empty boxes (lat_min > lat_max, or an antimeridian-
+    # crossing lon_min > lon_max) decompose to zero intervals; degrade to
+    # an empty result exactly like bbox_query instead of where(None).
+    pred = F.lit(False) if not ranges else None
     for lo, hi in ranges:
         term = z.between(F.lit(lo), F.lit(hi))
         pred = term if pred is None else (pred | term)
@@ -2920,8 +2923,13 @@ def cell_extent_rollup(
             parent.alias("cell"),
             "n",
             "lat_min", "lat_max", "lon_min", "lon_max",
-            F.col("s_lat").cast("decimal(24,6)").alias("_s_lat"),
-            F.col("s_lon").cast("decimal(24,6)").alias("_s_lon"),
+            # decimal(32,6): headroom over the children's (24,6) states so
+            # the merge never narrows — Spark's non-ANSI cast NULLs on
+            # precision overflow where the DuckDB oracle's DECIMAL(38,6)
+            # sum would not (ADVICE r4). sum(decimal(32,6)) infers
+            # decimal(38,6), the same scale the oracle stringifies.
+            F.col("s_lat").cast("decimal(32,6)").alias("_s_lat"),
+            F.col("s_lon").cast("decimal(32,6)").alias("_s_lon"),
         )
         .groupBy("cell")
         .agg(
@@ -2930,7 +2938,7 @@ def cell_extent_rollup(
             F.max("lat_max").alias("lat_max"),
             F.min("lon_min").alias("lon_min"),
             F.max("lon_max").alias("lon_max"),
-            F.sum("_s_lat").cast("decimal(24,6)").cast("string").alias("s_lat"),
-            F.sum("_s_lon").cast("decimal(24,6)").cast("string").alias("s_lon"),
+            F.sum("_s_lat").cast("string").alias("s_lat"),
+            F.sum("_s_lon").cast("string").alias("s_lon"),
         )
     )

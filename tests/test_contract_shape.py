@@ -5,7 +5,30 @@ contract names."""
 
 from __future__ import annotations
 
+import json
+import os
+
 import __spark_entry__ as E
+
+_ROOT = os.path.join(os.path.dirname(__file__), "..")
+_CANARIES = {"pages_derive", "verify_report"}
+# Re-audit slots: newest driver evidence is r01/r02 (3+ rounds stale), so
+# they get a fresh driver run in r5 alongside the never-run set.
+_REAUDIT = {
+    "events_dedup",
+    "cell_digests_mergeable",
+    "knn_adaptive",
+    "simhash_buckets",
+    "uncompact_roundtrip",
+}
+
+
+def _driver_ran(rounds=("01", "02", "03", "04")):
+    ran = set()
+    for r in rounds:
+        path = os.path.join(_ROOT, f"CORRECTNESS_r{r}.json")
+        ran |= set(json.load(open(path)))
+    return ran
 
 
 def test_contract_window_is_50():
@@ -28,19 +51,30 @@ def test_no_name_collisions():
 
 
 def test_window_carries_never_driver_run_queries():
-    """Round-4 rotation (VERDICT r03 "Next round" #1): the 50-query window
-    must be spent on queries that have never been driver-executed. Anything
-    that already earned a green CORRECTNESS_r03 row belongs in the demoted
-    registry — except the two regression canaries kept on purpose."""
-    import json
-    import os
+    """Round-5 rotation (VERDICT r04 "Next round" #1): the 50-query window
+    is spent on queries with the LEAST driver evidence. Every query that
+    has NEVER appeared in a CORRECTNESS artifact must be in the window;
+    anything green in the immediately preceding round (r04) belongs in the
+    demoted registry — except the two regression canaries."""
+    window = set(E.queries())
+    ran = _driver_ran()
+    never_run = (window | set(E.demoted_queries())) - ran
+    missing = never_run - window
+    assert not missing, ("never-driver-run queries left out of the window",
+                         missing)
 
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
-    r03 = json.load(open(path))
-    r03_green = {name for name, row in r03.items()
+    r04 = json.load(open(os.path.join(_ROOT, "CORRECTNESS_r04.json")))
+    r04_green = {name for name, row in r04.items()
                  if row.get("rows_match") and row.get("hash_match")}
-    canaries = {"pages_derive", "verify_report"}
-    stale = (set(E.queries()) & r03_green) - canaries
+    stale = (window & r04_green) - _CANARIES
     assert not stale, (
-        "driver-green-in-r03 queries occupying the rotation window", stale)
-    assert canaries <= set(E.queries())
+        "driver-green-in-r04 queries occupying the rotation window", stale)
+    assert _CANARIES <= window
+    assert _REAUDIT <= window
+
+
+def test_reaudit_slots_are_genuinely_stale():
+    """The 5 re-audit promotions must have driver evidence no newer than
+    r02 — the window is for least-evidence queries, not favorites."""
+    recent = _driver_ran(rounds=("03", "04"))
+    assert not (_REAUDIT & recent), _REAUDIT & recent

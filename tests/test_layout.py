@@ -162,3 +162,15 @@ def test_zorder_bbox_query_matches_exact_filter(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_zorder_bbox_query_degenerate_box_is_empty(spark):
+    """Empty/degenerate boxes (lat_min > lat_max, antimeridian-crossing
+    lon_min > lon_max) decompose to zero Morton intervals; the query must
+    degrade to an empty result exactly like bbox_query, not raise at plan
+    time (ADVICE r4)."""
+    from fileverification_spark.operators import spatial as S
+
+    live = P.pages_with_derived(spark, SF0001)
+    for box in ((20.0, -35.0, -60.0, 30.0), (-35.0, 20.0, 170.0, -170.0)):
+        assert S.zorder_bbox_query(live, *box, level=12).count() == 0

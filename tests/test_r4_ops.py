@@ -164,6 +164,26 @@ def test_hits_matches_python_replay_bit_for_bit(spark):
     assert got["c"][1] == 10**6
 
 
+def test_hits_reliable_checkpoint_matches_local(spark, tmp_path):
+    """reliable_checkpoint_dir is a durability lever only: the ladder
+    writes half-steps through RDD.checkpoint to shared storage (survives
+    executor loss at 1000-executor scale) and the results are bit-equal
+    to the default localCheckpoint path."""
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 3),
+             ("d", "c", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    want = {r["node"]: (r["hub"], r["auth"])
+            for r in GR.hits(df, iters=3, scale=10**6).collect()}
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in GR.hits(
+               df, iters=3, scale=10**6,
+               reliable_checkpoint_dir=str(tmp_path / "ckpt"),
+           ).collect()}
+    assert got == want
+    import os
+    assert os.listdir(tmp_path / "ckpt"), "no reliable checkpoint written"
+
+
 def test_hits_overflow_preflight_fail_loud(spark):
     df = spark.createDataFrame(
         [("a", "b", 10**9)], "src string, dst string, w long"

@@ -130,7 +130,16 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"{name:30s} rows={len(spdf):7d}  (no oracle — rows-only)")
+            if only and name in only:
+                # An explicitly requested name with no oracle is a
+                # failure, not a rows-only pass — otherwise --only can
+                # still report "FAILURES: 0" for a query whose oracle
+                # entry is missing (the vacuous-pass hole, ADVICE r4).
+                print(f"{name:30s} rows={len(spdf):7d}  "
+                      "MISSING ORACLE for explicitly requested name")
+                failures += 1
+            else:
+                print(f"{name:30s} rows={len(spdf):7d}  (no oracle — rows-only)")
             continue
         try:
             opdf = con.execute(oracles[name]).df()
