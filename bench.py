@@ -372,6 +372,14 @@ def main() -> None:
         ).count(),
     }
 
+    # BENCH_ONLY=comma,list: restrict the battery — the isolation probe
+    # for attributing a leg's drift to the leg vs its battery neighbors
+    # (r4's clean-window verify regression turned out to be exactly
+    # that: checkpoint/persist-heavy graph legs sharing the JVM).
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+    if only:
+        cases = {k: v for k, v in cases.items() if k in only}
+
     # -- interleaved timing passes, contention-stamped per run, with
     # self-healing retry windows (VERDICT r4 "Next round" #3): a
     # contaminated window triggers a fresh full-battery window after a
@@ -389,7 +397,9 @@ def main() -> None:
                 "spread_max_pct": win["spread_max_pct"],
                 "median_steal": win["median_steal"],
                 "contaminated": win["contaminated"],
-                "verify_tree_min": min(win["samples"]["verify_tree"]),
+                "verify_tree_min": min(
+                    win["samples"].get("verify_tree", [float("nan")])
+                ),
             }
         )
         badness = (win["contaminated"], win["median_steal"],
@@ -419,8 +429,8 @@ def main() -> None:
     contaminated = best["contaminated"]
     results = {name: min(s) for name, s in samples.items()}
     n_report = V.verify_tree(live, stored).count()
-    t_verify = results["verify_tree"]
-    battery_r01 = round(sum(results[n] for n in R01_NAMES), 3)
+    t_verify = results.get("verify_tree", float("nan"))
+    battery_r01 = round(sum(results.get(n, 0.0) for n in R01_NAMES), 3)
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -444,7 +454,8 @@ def main() -> None:
                 "sf": _sf_label(SF_DIR),
                 "pages_per_sec": round(n_pages / t_verify, 1),
                 "pages_per_sec_bucketed": round(
-                    n_pages / results["verify_tree_bucketed"], 1
+                    n_pages / results.get("verify_tree_bucketed",
+                                          float("nan")), 1
                 ),
                 "n_buckets": n_buckets,
                 "n_pages": n_pages,

@@ -227,10 +227,70 @@ linkpages = spark.read.parquet(links_path)
 def job():
     return {"n_edges": GR.host_edges(linkpages).count()}
 """,
+    # HITS ladder over the materialised link corpus — same extraction/
+    # edge universe as linkgraph, iteration = 2 joins + 2 node aggs +
+    # 2 checkpointed half-steps per round. The cache-reuse guard
+    # mirrors linkgraph's; checkpointed half-steps are fresh RDDs per
+    # call and can never be served from a previous run's cache.
+    "hits": r"""
+from fileverification_spark.operators import graph as GR
+from pyspark.sql import functions as F
+
+linkpages = spark.read.parquet(links_path)
+
+def job():
+    edges = GR.host_edges(linkpages).persist()
+    handles = [edges]
+    try:
+        hs = GR.hits(edges, iters=3, handles=handles)
+        row = hs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("hub").cast("long").alias("hub_mass"),
+            F.sum("auth").cast("long").alias("auth_mass"),
+        ).collect()[0]
+        return {"n_nodes": row["n_nodes"], "hub_mass": row["hub_mass"],
+                "auth_mass": row["auth_mass"]}
+    finally:
+        for h in handles:
+            h.unpersist(blocking=True)
+""",
+    # capped co-citation over the materialised link corpus: per-src
+    # top-cap window + co-partitioned self-join + (h1,h2) hash-agg —
+    # the join-heaviest non-iterative graph operator. Edges persisted
+    # inside the timed region (the window and self-join both consume
+    # them; without the persist the WAT extraction would run twice).
+    "cocite": r"""
+from fileverification_spark.operators import graph as GR
+
+linkpages = spark.read.parquet(links_path)
+
+def job():
+    edges = GR.host_edges(linkpages).persist()
+    try:
+        return {"n_pairs": GR.cocitation(edges).count()}
+    finally:
+        edges.unpersist(blocking=True)
+""",
+    # DBSCAN over the derived page cloud: bucketed half-disk neighbor
+    # join -> degree agg -> min-label fixpoint over core-core edges ->
+    # border attach. eps is sized to the corpus density (expected ~4
+    # neighbors/point: eps^2*pi*n/64800 ~= 4) so the pair relation is
+    # data-proportional — not empty, not quadratic — at any
+    # replication; both parallelism levels see the SAME input and eps,
+    # so the counts must match exactly.
+    "dbscan": r"""
+EPS = round((4 * 64800 / 3.14159265 / n) ** 0.5, 4)
+
+def job():
+    out = S.dbscan(live, eps=EPS, min_pts=4)
+    return {r["role"]: r["n"] for r in
+            out.groupBy("role").count().withColumnRenamed("count", "n")
+               .collect()}
+""",
 }
 
 #: jobs that need the materialised (url, html) link corpus from SETUP
-LINK_JOBS = {"linkgraph", "hostgraph"}
+LINK_JOBS = {"linkgraph", "hostgraph", "hits", "cocite"}
 
 JOB_DESCS = {
     "verify": (
@@ -271,6 +331,23 @@ JOB_DESCS = {
         "parquet scan\nof the materialised (url, html) corpus -> WAT "
         "host extraction -> (src,\ndst, w) hash-agg over n/256 hosts "
         "(~0.19n edge rows)"
+    ),
+    "hits": (
+        "HITS hubs/authorities: WAT host extraction -> host edge agg -> "
+        "3\nexact-int64 max-normalized iterations (2 edge joins + 2 node "
+        "aggs +\n2 checkpointed half-steps per round) -> distributed "
+        "1-row mass agg"
+    ),
+    "cocite": (
+        "Capped co-citation: WAT host extraction -> host edge agg -> "
+        "per-src\ntop-16 window -> co-partitioned self-join -> (h1, h2) "
+        "pair hash-agg\n(pair volume linear in hosts by the cap)"
+    ),
+    "dbscan": (
+        "DBSCAN density clustering: geocode+cell derive -> bucketed "
+        "half-disk\nneighbor join (never all-pairs) -> degree agg -> "
+        "min-label fixpoint over\ncore-core edges -> border attach -> "
+        "per-role counts"
     ),
 }
 
