@@ -434,7 +434,12 @@ def hits(
                 ).alias(col),
             )
         )
-        # lineage truncation, NOT caching — see the docstring
+        # lineage truncation, NOT caching — see the docstring. Scope
+        # note (r5): checkpointing only once per FULL iteration (lazy
+        # auth half-step) was measured and REJECTED — the auth plan then
+        # recomputes ~4x inside each hub materialization and the ladder
+        # ran ~12% slower isolated (8.91 s vs 7.97 s at the sf0.1 bench
+        # leg); per-half-step eager checkpoints are the floor here.
         return _ckpt(out)
 
     for _ in range(iters):
