@@ -634,6 +634,26 @@ def _q_url_families(spark: SparkSession, sf: str) -> DataFrame:
     return D.canonical_families(_url_planted(spark, sf))
 
 
+def _q_url_quality(spark: SparkSession, sf: str) -> DataFrame:
+    # same planted URL corpus as url_families: varied hosts/ports/
+    # subdomains/params exercise every feature branch
+    return U.url_quality_features(_url_planted(spark, sf))
+
+
+def _q_crawl_traps(spark: SparkSession, sf: str) -> DataFrame:
+    return CUR.crawl_traps(P.pages_with_derived(spark, sf))
+
+
+# SemDeDup within-cluster duplicate threshold / deterministic codebook
+# stride (centroids = vec_id % 25 == 0)
+_SEMDEDUP_TAU = 0.3
+_SEMDEDUP_MOD = 25
+
+
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.semantic_dedup(_emb(spark, sf), _SEMDEDUP_TAU, _SEMDEDUP_MOD)
+
+
 def _q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return PK.pack_offsets(_docs(spark, sf), budget=512)
 
@@ -2323,12 +2343,13 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "extent_rollup": _q_extent_rollup,
     "zorder_layout": _q_zorder_layout,
     "zorder_bbox": _q_zorder_bbox,
+    # -- new in r5 (never driver-run) --
+    "url_quality": _q_url_quality,
+    "crawl_traps": _q_crawl_traps,
+    "semantic_dedup": _q_semantic_dedup,
     # -- re-audit: newest driver evidence r01/r02 (3+ rounds stale) --
     "events_dedup": _q_events_dedup,
     "cell_digests_mergeable": _q_cell_digests_mergeable,
-    "knn_adaptive": _q_knn_adaptive,
-    "simhash_buckets": _q_simhash_buckets,
-    "uncompact_roundtrip": _q_uncompact_roundtrip,
     # -- canaries (driver-green r01-r04; regression sentinels) --
     "pages_derive": _q_pages_derive,
     "verify_report": _q_verify_report,
@@ -2343,6 +2364,11 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
 # (tests/test_demoted_contract.py), so demotion never weakens
 # correctness evidence — it only frees driver-window slots.
 _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    # r5: re-audit slots ceded to the new url_quality/crawl_traps/
+    # semantic_dedup window entries (newest driver evidence r02)
+    "knn_adaptive": _q_knn_adaptive,
+    "simhash_buckets": _q_simhash_buckets,
+    "uncompact_roundtrip": _q_uncompact_roundtrip,
     "sample_hash": _q_sample_hash,
     "sample_stratified": _q_sample_stratified,
     "mixture_weights": _q_mixture_weights,
@@ -2681,6 +2707,11 @@ SELECT canonical_url, MIN(doc_id) AS keeper_id,
        COUNT(*) AS n_variants
 FROM ({U.sql_canonical_select(_SQL_URL_PLANTED)})
 GROUP BY canonical_url""",
+        "url_quality": U.sql_url_quality_select(_SQL_URL_PLANTED),
+        "crawl_traps": _with() + "\n" + CUR.sql_crawl_traps(),
+        "semantic_dedup": SIM.sql_semantic_dedup(
+            _SEMDEDUP_TAU, _SEMDEDUP_MOD
+        ),
         "pack_chunks": PK.sql_pack_offsets("documents", 512),
         "tfidf_terms": CUR.sql_tfidf_top_terms("documents", 3),
         "bm25_topk": SRCH.sql_bm25_search("documents", _BM25_QUERY, 20),

@@ -225,3 +225,129 @@ def sql_robots_crawl_delay(txt_expr: str) -> str:
         f"COALESCE(TRY_CAST(regexp_extract({txt_expr},"
         f" '{CRAWL_DELAY_RE}', 1) AS BIGINT), 0)"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL quality / spam scoring — zero-shuffle per-URL lexical features
+# ---------------------------------------------------------------------------
+# The lexical-URL spam signals every crawler ranks by before it ever
+# fetches a byte (digit-stuffed hosts, hyphen chains, deep subdomains,
+# parameter farms — cf. the public literature on URL-feature spam
+# classifiers, e.g. Ma et al. 2009 "Beyond Blacklists", KDD). Exact
+# integer milli-scores so the DuckDB mirror is bit-identical.
+
+#: spam-score weights (milli-units), documented contract
+URL_SPAM_W_HYPHEN = 200
+URL_SPAM_W_SUBDOMAIN = 100   # per dot beyond 2
+URL_SPAM_W_PATH_DEPTH = 50   # per segment beyond 4
+URL_SPAM_W_PARAM = 30
+URL_SPAM_W_LONG_PATH = 300   # flat penalty past 80 chars
+
+
+def _count_char(s: Column, ch: str) -> Column:
+    return (F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))).cast("int")
+
+
+def url_quality_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL lexical quality features + integer spam score:
+    ``(url, host, subdomain_depth, host_digits_milli, host_hyphens,
+    path_depth, path_len, n_params, spam_score_milli)``.
+
+    One codegen'd projection — no shuffle, no Python; pipelines with
+    the scan at 100 TB exactly like pii_scrub/html_text.
+
+    Feature canon (host lowercased, port stripped):
+    - subdomain_depth  = dots in host
+    - host_digits_milli = 1000 * digit-chars div host length
+    - host_hyphens     = '-' chars in host
+    - path_depth       = '/' chars in the path part
+    - path_len         = length of the path part
+    - n_params         = query params ('&'-separated; 0 when no '?')
+    - spam_score_milli = host_digits_milli
+                         + 200*host_hyphens
+                         + 100*max(0, subdomain_depth - 2)
+                         + 50*max(0, path_depth - 4)
+                         + 30*n_params
+                         + 300*(path_len > 80)
+    """
+    url = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, SCHEME_RE + "([^/?#]*)", 2)),
+        ":[0-9]+$", "",
+    )
+    path = F.regexp_extract(url, SCHEME_RE + "[^/?#]*([^?#]*)", 2)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    subdomain_depth = _count_char(host, ".")
+    host_digits = (
+        F.length(host) - F.length(F.regexp_replace(host, "[0-9]", ""))
+    ).cast("long")
+    # double division + cast-to-long truncates toward zero on these
+    # non-negative small ints — exactly DuckDB's integer '//'
+    host_digits_milli = (
+        host_digits * 1000 / F.greatest(F.length(host), F.lit(1))
+    ).cast("long")
+    host_hyphens = _count_char(host, "-")
+    path_depth = _count_char(path, "/")
+    path_len = F.length(path).cast("int")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        _count_char(query, "&") + 1
+    ).cast("int")
+    spam = (
+        host_digits_milli
+        + URL_SPAM_W_HYPHEN * host_hyphens
+        + URL_SPAM_W_SUBDOMAIN * F.greatest(subdomain_depth - 2, F.lit(0))
+        + URL_SPAM_W_PATH_DEPTH * F.greatest(path_depth - 4, F.lit(0))
+        + URL_SPAM_W_PARAM * n_params
+        + F.when(path_len > 80, F.lit(URL_SPAM_W_LONG_PATH)).otherwise(F.lit(0))
+    ).cast("long")
+    return df.select(
+        url.alias("url"),
+        host.alias("host"),
+        subdomain_depth.alias("subdomain_depth"),
+        host_digits_milli.alias("host_digits_milli"),
+        host_hyphens.alias("host_hyphens"),
+        path_depth.alias("path_depth"),
+        path_len.alias("path_len"),
+        n_params.alias("n_params"),
+        spam.alias("spam_score_milli"),
+    )
+
+
+def sql_url_quality_select(inner_rel: str, url_expr: str = "url") -> str:
+    """DuckDB mirror of :func:`url_quality_features`. Dialect notes:
+    DuckDB regexp_replace needs the 'g' flag where Spark is global by
+    default; the milli ratio uses integer ``//`` here, matching Spark's
+    double-division + CAST(.. AS BIGINT) truncation on these
+    non-negative small ints."""
+    host = (
+        f"regexp_replace(lower(regexp_extract({url_expr},"
+        f" '{SCHEME_RE}([^/?#]*)', 2)), ':[0-9]+$', '')"
+    )
+    path = f"regexp_extract({url_expr}, '{SCHEME_RE}[^/?#]*([^?#]*)', 2)"
+    query = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    return f"""
+SELECT url, host,
+       CAST(length(host) - length(replace(host, '.', '')) AS INTEGER) AS subdomain_depth,
+       host_digits_milli,
+       CAST(length(host) - length(replace(host, '-', '')) AS INTEGER) AS host_hyphens,
+       CAST(length(path) - length(replace(path, '/', '')) AS INTEGER) AS path_depth,
+       CAST(length(path) AS INTEGER) AS path_len,
+       n_params,
+       CAST(host_digits_milli
+            + {URL_SPAM_W_HYPHEN} * (length(host) - length(replace(host, '-', '')))
+            + {URL_SPAM_W_SUBDOMAIN} * greatest(length(host) - length(replace(host, '.', '')) - 2, 0)
+            + {URL_SPAM_W_PATH_DEPTH} * greatest(length(path) - length(replace(path, '/', '')) - 4, 0)
+            + {URL_SPAM_W_PARAM} * n_params
+            + CASE WHEN length(path) > 80 THEN {URL_SPAM_W_LONG_PATH} ELSE 0 END
+         AS BIGINT) AS spam_score_milli
+FROM (
+  SELECT url, host, path,
+         CAST((length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))
+              * 1000 // greatest(length(host), 1) AS BIGINT) AS host_digits_milli,
+         CAST(CASE WHEN q = '' THEN 0
+                   ELSE length(q) - length(replace(q, '&', '')) + 1
+              END AS INTEGER) AS n_params
+  FROM (SELECT {url_expr} AS url, {host} AS host, {path} AS path,
+               {query} AS q
+        FROM {inner_rel}) raw
+) feat"""

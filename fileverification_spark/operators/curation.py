@@ -870,3 +870,95 @@ SELECT d.doc_id,
          AS mean_millibits
 FROM per_dt d JOIN scored s ON s.token = d.token
 GROUP BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection — per-host URL-template diversity audit
+# ---------------------------------------------------------------------------
+
+def crawl_traps(
+    pages: DataFrame,
+    min_pages: int = 15,
+    max_ratio_milli: int = 220,
+    min_top_share_milli: int = 360,
+) -> DataFrame:
+    """Per-host crawl-trap audit: hosts that emit MANY URLs from FEW
+    URL templates (calendars, session-id mazes, faceted-search grids —
+    the classic infinite-URL-space traps every production crawler
+    budget-caps; cf. the public Heritrix/Nutch trap heuristics).
+
+    Template canon: the URL path with every digit run collapsed to
+    ``D`` (``/2024/01/page17`` -> ``/D/D/pageD``) — the same
+    digits-are-instance-ids reading the CDX/capture interop uses.
+
+    Returns ``(host, n_pages, n_templates, top_template_n,
+    template_ratio_milli, top_share_milli, trap)`` where
+    ``template_ratio_milli = 1000 * n_templates div n_pages``,
+    ``top_share_milli = 1000 * top_template_n div n_pages``, and
+    ``trap = n_pages >= min_pages AND ratio <= max_ratio_milli AND
+    top_share >= min_top_share_milli`` (many pages, little template
+    diversity, one template dominating — the calendar/session-maze
+    signature).
+
+    Scale shape: two partial-aggregatable hash-aggs — (host, template)
+    then host; both key spaces are bounded by the crawl's host/template
+    universe, never by page count in flight (map-side combine absorbs
+    the per-template fan-in). No window over the page log, nothing
+    collects.
+    """
+    host = F.regexp_extract(F.col("url"), "^https?://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col("url"), "^https?://[^/?#]*([^?#]*)", 1)
+    template = F.regexp_replace(path, "[0-9]+", "D")
+    per_template = (
+        pages.select(host.alias("host"), template.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    out = per_template.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_templates"),
+        F.max("n").cast("long").alias("top_template_n"),
+    )
+    ratio = F.expr("CAST(1000 * n_templates div n_pages AS BIGINT)")
+    top_share = F.expr("CAST(1000 * top_template_n div n_pages AS BIGINT)")
+    return out.select(
+        "host",
+        "n_pages",
+        "n_templates",
+        "top_template_n",
+        ratio.alias("template_ratio_milli"),
+        top_share.alias("top_share_milli"),
+        (
+            (F.col("n_pages") >= min_pages)
+            & (ratio <= max_ratio_milli)
+            & (top_share >= min_top_share_milli)
+        ).alias("trap"),
+    )
+
+
+def sql_crawl_traps(
+    pages_rel: str = "pages",
+    min_pages: int = 15,
+    max_ratio_milli: int = 220,
+    min_top_share_milli: int = 360,
+) -> str:
+    """DuckDB mirror of :func:`crawl_traps` (integer // == Spark div)."""
+    return f"""
+SELECT host, n_pages, n_templates, top_template_n,
+       CAST(1000 * n_templates // n_pages AS BIGINT) AS template_ratio_milli,
+       CAST(1000 * top_template_n // n_pages AS BIGINT) AS top_share_milli,
+       (n_pages >= {min_pages}
+        AND 1000 * n_templates // n_pages <= {max_ratio_milli}
+        AND 1000 * top_template_n // n_pages >= {min_top_share_milli}) AS trap
+FROM (
+  SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
+         CAST(count(*) AS BIGINT) AS n_templates,
+         CAST(max(n) AS BIGINT) AS top_template_n
+  FROM (
+    SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_replace(regexp_extract(url, '^https?://[^/?#]*([^?#]*)', 1),
+                          '[0-9]+', 'D', 'g') AS template,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {pages_rel}
+    GROUP BY 1, 2) t
+  GROUP BY host) h"""

@@ -637,3 +637,97 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
          round({cos}, {COS_ROUND}) AS cos_sim
   FROM base e, q WHERE e.vec_id != q.query_id
 ) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(emb: DataFrame, tau: float, cent_mod: int = 25) -> DataFrame:
+    """Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then search for
+    duplicates only WITHIN each cluster — the move that turns the
+    quadratic all-pairs cosine scan into per-cluster work.
+
+    Deterministic canon (no k-means iterations — both engines must
+    replay it exactly):
+
+    - centroids = the vectors whose ``vec_id % cent_mod == 0`` (a fixed
+      ~n/cent_mod-point codebook; at 100 TB the codebook comes from a
+      separate sampled fit, which this seam models as a given relation);
+    - every vector assigns to the max-cosine centroid (ties: min
+      centroid id);
+    - within a cluster, a vector is a DUPLICATE iff some lower-vec_id
+      member sits at cosine >= tau (keep-lowest-id — the deterministic
+      stand-in for the paper's keep-farthest-from-centroid, same
+      spirit as paragraph_dedup's min-struct keeper).
+
+    Returns ``(vec_id, cluster, kept)`` for every input vector.
+
+    Scale shape: the codebook is broadcast (n/cent_mod rows — on a real
+    run a fixed-size trained codebook); assignment is one broadcast
+    join + per-row argmax, zero shuffle beyond it; the pair search
+    shuffles on ``cluster`` and is quadratic only within a cluster
+    (SemDeDup's own regime — clusters are sized ~n/k; a skewed cluster
+    is AQE-splittable because the join is a plain hash equi-join on the
+    cluster key). Nothing collects to the driver.
+    """
+    base = emb.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    cents = base.where(F.col("vec_id") % cent_mod == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = base.crossJoin(F.broadcast(cents))
+    w = W.partitionBy("vec_id").orderBy(
+        cosine(F.col("v"), F.col("cv")).desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cluster"))
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cosine(F.col("a.v"), F.col("b.v")) >= tau)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dups.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def sql_semantic_dedup(
+    tau: float, cent_mod: int = 25, emb_rel: str = "embeddings"
+) -> str:
+    """DuckDB mirror of :func:`semantic_dedup` (same float canon:
+    sequential list_dot_product == the Spark aggregate fold)."""
+    cos_assign = sql_cosine("b.v", "c.cv")
+    cos_pair = sql_cosine("a.v", "b.v")
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_rel}),
+cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % {cent_mod} = 0),
+scored AS (
+  SELECT b.vec_id, b.v, c.cid,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY {cos_assign} DESC, c.cid ASC) AS rn
+  FROM base b, cents c
+),
+assign AS (SELECT vec_id, v, cid AS cluster FROM scored WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos_pair} >= {tau!r}
+)
+SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
+FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id"""

@@ -13,13 +13,12 @@ import __spark_entry__ as E
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 _CANARIES = {"pages_derive", "verify_report"}
 # Re-audit slots: newest driver evidence is r01/r02 (3+ rounds stale), so
-# they get a fresh driver run in r5 alongside the never-run set.
+# they get a fresh driver run in r5 alongside the never-run set. (Three
+# further r01/r02-stale twins ceded their slots to the new r5 operators
+# url_quality/crawl_traps/semantic_dedup.)
 _REAUDIT = {
     "events_dedup",
     "cell_digests_mergeable",
-    "knn_adaptive",
-    "simhash_buckets",
-    "uncompact_roundtrip",
 }
 
 

@@ -92,17 +92,19 @@ def _stat():
     vals = [int(x) for x in parts[:8]]  # user nice sys idle iowait irq sirq steal
     return sum(vals), vals[7]
 
+import os as _os
+N_TIMED = max(2, int(_os.environ.get("SCALING_RUNS", "5")))
 counts = job()
 job()
 times, steals = [], []
-for _ in range(5):
+for _ in range(N_TIMED):
     tot0, st0 = _stat()
     t0 = time.perf_counter()
     job()
     times.append(time.perf_counter() - t0)
     tot1, st1 = _stat()
     steals.append((st1 - st0) / max(tot1 - tot0, 1))
-i = min(range(5), key=lambda k: times[k])
+i = min(range(N_TIMED), key=lambda k: times[k])
 print("RESULT " + json.dumps({{"cores": {cores}, "n_pages": n,
       "sec": round(times[i], 3), "pages_per_sec": round(n / times[i], 1),
       "steal": round(steals[i], 4),
@@ -415,7 +417,7 @@ def main() -> None:
 replication x{repl} -> {r8['n_pages']} pages, 64 parquet files); fresh JVM
 per size, pinned with taskset to exactly N CPUs (task + GC + shuffle + Python
 threads all confined, like a real N-core executor), warm-up runs excluded,
-min-of-5 per JVM, sizes interleaved against ambient tenant load;
+min-of-{runs} per JVM, sizes interleaved against ambient tenant load;
 hypervisor steal sampled from /proc/stat around every timed run (the
 host is shared — the steal column shows contention DURING the winning
 observation, so a high-steal 4N number understates true scaling):
