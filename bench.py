@@ -74,6 +74,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from fileverification_spark.functions import urls as U
 from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
 from fileverification_spark.operators import graph as GR
@@ -379,6 +380,10 @@ def main() -> None:
         "inverted_index": lambda: SRCH.inverted_index(
             docs, min_df=2, postings_cap=8
         ).count(),
+        # -- round 5 --
+        "url_quality": lambda: U.url_quality_features(live).count(),
+        "crawl_traps": lambda: CUR.crawl_traps(live).count(),
+        "semantic_dedup": lambda: SIM.semantic_dedup(emb, 0.3, 25).count(),
     }
 
     # BENCH_ONLY=comma,list: restrict the battery — the isolation probe
