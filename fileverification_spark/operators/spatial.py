@@ -2269,6 +2269,7 @@ def zorder_bbox_query(
     lon_max: float,
     level: int = grid.ZORDER_LEVEL,
     max_ranges: int = 64,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Rectangle query as the Morton-sorted layout executes it: the box
     decomposes driver-side into <= max_ranges contiguous key intervals
@@ -2283,24 +2284,57 @@ def zorder_bbox_query(
     ranges = grid.morton_ranges(
         lat_min, lat_max, lon_min, lon_max, level, max_ranges
     )
+    exact = (
+        (F.col("lat") >= lat_min)
+        & (F.col("lat") <= lat_max)
+        & (F.col("lon") >= lon_min)
+        & (F.col("lon") <= lon_max)
+    )
+    out_cols = ["url", "lat", "lon", "lang"]
+    if key_col is not None:
+        # The real Morton-sorted layout: the caller names a STORED key
+        # column (which MUST have been written with morton_key at this
+        # same ``level`` — explicit opt-in, never sniffed, because e.g.
+        # write_zordered's cell-derived zkey uses a different encoding).
+        # The OR-of-BETWEEN then lands on a plain attribute and pushes
+        # all the way into the parquet scan (min/max row-group pruning)
+        # — the whole point of the layout.
+        pred = F.lit(False)
+        for lo, hi in ranges:
+            pred = pred | F.col(key_col).between(F.lit(lo), F.lit(hi))
+        return pages.where(pred).where(exact).select(*out_cols)
+    # Derived-key path (no stored zkey): the key must be computed from
+    # lat/lon, and a plain where(OR-of-BETWEEN) would let Catalyst push
+    # the predicate through any projection and inline the full Morton
+    # bit-interleave once PER RANGE — 64x blows janino's 64 KB method
+    # limit and whole-stage codegen silently falls back to interpreted
+    # eval, the exact scan-throughput loss this operator exists to
+    # avoid. Joining against the <= max_ranges driver-computed intervals
+    # instead makes the predicate reference BOTH sides, so it cannot be
+    # pushed below the key projection: the Morton key is evaluated once
+    # per row, then probed against the 64-row broadcast (a bounded
+    # BroadcastNestedLoopJoin, not a cartesian product). Quadtree
+    # intervals are disjoint, so the inner join cannot duplicate rows;
+    # an empty decomposition (degenerate / antimeridian-crossing box)
+    # yields an empty broadcast side and hence the same empty result as
+    # bbox_query.
     xy = grid.zorder_xy(F.col("lat"), F.col("lon"), level)
     z = grid.morton_key(xy["x"], xy["y"], level)
-    # Degenerate/empty boxes (lat_min > lat_max, or an antimeridian-
-    # crossing lon_min > lon_max) decompose to zero intervals; degrade to
-    # an empty result exactly like bbox_query instead of where(None).
-    pred = F.lit(False) if not ranges else None
-    for lo, hi in ranges:
-        term = z.between(F.lit(lo), F.lit(hi))
-        pred = term if pred is None else (pred | term)
+    spark = pages.sparkSession
+    ranges_df = spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in ranges],
+        schema="z_lo BIGINT, z_hi BIGINT",
+    )
+    zk = F.col("__zkey")
     return (
-        pages.where(pred)
-        .where(
-            (F.col("lat") >= lat_min)
-            & (F.col("lat") <= lat_max)
-            & (F.col("lon") >= lon_min)
-            & (F.col("lon") <= lon_max)
+        pages.withColumn("__zkey", z)
+        .join(
+            F.broadcast(ranges_df),
+            (zk >= F.col("z_lo")) & (zk <= F.col("z_hi")),
+            "inner",
         )
-        .select("url", "lat", "lon", "lang")
+        .where(exact)
+        .select(*out_cols)
     )
 
 
