@@ -408,6 +408,13 @@ def main() -> None:
         runs32.append(run(n_big, pages, man, job))
     r8 = min(runs8, key=lambda r: r["sec"])
     r32 = min(runs32, key=lambda r: r["sec"])
+    # "identical at both sizes" is a correctness claim the report makes —
+    # enforce it instead of printing one side's counts on faith
+    if r8["counts"] != r32["counts"]:
+        raise RuntimeError(
+            f"result mismatch across sizes: {r8['counts']} != {r32['counts']}"
+        )
+    n_timed = max(2, int(os.environ.get("SCALING_RUNS", "5")))
     eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4.0
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     block = f"""
@@ -417,7 +424,7 @@ def main() -> None:
 replication x{repl} -> {r8['n_pages']} pages, 64 parquet files); fresh JVM
 per size, pinned with taskset to exactly N CPUs (task + GC + shuffle + Python
 threads all confined, like a real N-core executor), warm-up runs excluded,
-min-of-{runs} per JVM, sizes interleaved against ambient tenant load;
+min-of-{n_timed} per JVM, sizes interleaved against ambient tenant load;
 hypervisor steal sampled from /proc/stat around every timed run (the
 host is shared — the steal column shows contention DURING the winning
 observation, so a high-steal 4N number understates true scaling):
