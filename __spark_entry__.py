@@ -654,6 +654,57 @@ def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.semantic_dedup(_emb(spark, sf), _SEMDEDUP_TAU, _SEMDEDUP_MOD)
 
 
+def _q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.winnow_pairs(_docs(spark, sf))
+
+
+# a 2-token phrase present across the synthetic corpus (27 docs at
+# sf0.01) — exercises the consecutive-position test, not just term bags
+_PHRASE = "hash join"
+
+
+def _q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    return SRCH.phrase_search(_docs(spark, sf), _PHRASE)
+
+
+def _q_lang_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    return SMP.lang_temperature(_docs(spark, sf))
+
+
+def _canon_planted(spark: SparkSession, sf: str) -> DataFrame:
+    """Planted rel=canonical declarations over the documents ids:
+    self-canonical terminals every 17th id, descending chains up to
+    depth 16 between them (so some chains exceed the 2^3-hop cap —
+    exercising the bound), and adjacent 2-cycles at ids 21/22 mod 23
+    (exercising cycle non-resolution). Both engines build the same
+    CASE, so the edge relation is bit-identical."""
+    d = F.col("doc_id")
+    tgt = (
+        F.when(d % 23 == 21, d + 1)
+        .when(d % 23 == 22, d - 1)
+        .when(d % 17 == 0, d)
+        .otherwise(d - 1)
+    )
+    return _docs(spark, sf).select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        F.concat(F.lit("u"), tgt.cast("string")).alias("canon"),
+    )
+
+
+_SQL_CANON_PLANTED = """(
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         'u' || CAST(CASE
+             WHEN doc_id % 23 = 21 THEN doc_id + 1
+             WHEN doc_id % 23 = 22 THEN doc_id - 1
+             WHEN doc_id % 17 = 0 THEN doc_id
+             ELSE doc_id - 1 END AS VARCHAR) AS canon
+  FROM documents) canon_edges"""
+
+
+def _q_canonical_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.canonical_resolve(_canon_planted(spark, sf), iters=3)
+
+
 def _q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return PK.pack_offsets(_docs(spark, sf), budget=512)
 
@@ -2324,7 +2375,6 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "degree_mixing": _q_degree_mixing,
     # -- never driver-run: r4 crawl scheduling / event analytics --
     "fetch_schedule": _q_fetch_schedule,
-    "politeness_schedule": _q_politeness_schedule,
     "fetch_budget": _q_fetch_budget,
     "rendezvous_shards": _q_rendezvous,
     "funnel": _q_funnel,
@@ -2337,7 +2387,6 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "focal_smooth": _q_focal_smooth,
     "coverage_gaps": _q_coverage_gaps,
     "tile_bursts": _q_tile_bursts,
-    "tile_trend": _q_tile_trend,
     "lang_affinity": _q_lang_affinity,
     "cell_extent": _q_cell_extent,
     "extent_rollup": _q_extent_rollup,
@@ -2347,9 +2396,10 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "url_quality": _q_url_quality,
     "crawl_traps": _q_crawl_traps,
     "semantic_dedup": _q_semantic_dedup,
-    # -- re-audit: newest driver evidence r01/r02 (3+ rounds stale) --
-    "events_dedup": _q_events_dedup,
-    "cell_digests_mergeable": _q_cell_digests_mergeable,
+    "winnow_pairs": _q_winnow_pairs,
+    "phrase_search": _q_phrase_search,
+    "lang_temperature": _q_lang_temperature,
+    "canonical_resolve": _q_canonical_resolve,
     # -- canaries (driver-green r01-r04; regression sentinels) --
     "pages_derive": _q_pages_derive,
     "verify_report": _q_verify_report,
@@ -2364,6 +2414,17 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
 # (tests/test_demoted_contract.py), so demotion never weakens
 # correctness evidence — it only frees driver-window slots.
 _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
+    # r5 late additions (winnow_pairs/phrase_search/lang_temperature/
+    # canonical_resolve) claimed four window slots: the two re-audit
+    # entries (driver evidence r01/r02 — more than the zero the new
+    # operators have) and two never-run twins whose machinery is
+    # exercised by their promoted siblings (politeness_schedule by
+    # fetch_schedule, tile_trend by tile_bursts). All four stay under
+    # the strict demoted-gate canon at both scale factors.
+    "events_dedup": _q_events_dedup,
+    "cell_digests_mergeable": _q_cell_digests_mergeable,
+    "politeness_schedule": _q_politeness_schedule,
+    "tile_trend": _q_tile_trend,
     # r5: re-audit slots ceded to the new url_quality/crawl_traps/
     # semantic_dedup window entries (newest driver evidence r02)
     "knn_adaptive": _q_knn_adaptive,
@@ -2699,6 +2760,10 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "paragraph_dedup": D.sql_paragraph_dedup_query(_SQL_PARA_DOCS),
         "domain_quantiles": _with() + "\n" + CUR.sql_domain_quantiles(),
         "shingle_dups": D.sql_shingle_duplicates_query(),
+        "winnow_pairs": D.sql_winnow_pairs_query(),
+        "phrase_search": SRCH.sql_phrase_search(_PHRASE),
+        "lang_temperature": SMP.sql_lang_temperature(),
+        "canonical_resolve": GR.sql_canonical_resolve(_SQL_CANON_PLANTED),
         "cocite_hosts": GR.sql_cocitation(
             _sql_host_edges(_SQL_LINK_PLANTED)
         ),

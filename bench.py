@@ -81,6 +81,7 @@ from fileverification_spark.operators import graph as GR
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import repetition as REP
 from fileverification_spark.operators import multimodal as MM
+from fileverification_spark.operators import sampling as SMP
 from fileverification_spark.operators import search as SRCH
 from fileverification_spark.operators import similarity as SIM
 from fileverification_spark.operators import sketch as SK
@@ -165,6 +166,24 @@ def _nn_bench(live) -> int:
 
 
 _LINK_BENCH_HOSTS = 1024
+
+
+def _canon_edges(live):
+    """Planted rel=canonical declarations at n_pages scale: the same
+    terminal/chain/2-cycle CASE as the contract fixture over the
+    replicated corpus's dense doc_id space, so the chains (depth up to
+    16 > the 2^3-hop cap) and 2-cycles are all really present."""
+    d = F.col("doc_id")
+    tgt = (
+        F.when(d % 23 == 21, d + 1)
+        .when(d % 23 == 22, d - 1)
+        .when(d % 17 == 0, d)
+        .otherwise(d - 1)
+    )
+    return live.select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        F.concat(F.lit("u"), tgt.cast("string")).alias("canon"),
+    )
 
 
 def _link_pages(live):
@@ -384,6 +403,16 @@ def main() -> None:
         "url_quality": lambda: U.url_quality_features(live).count(),
         "crawl_traps": lambda: CUR.crawl_traps(live).count(),
         "semantic_dedup": lambda: SIM.semantic_dedup(emb, 0.3, 25).count(),
+        # r5 late additions: winnowing copy-detection join, positional
+        # phrase scan, exact-integer temperature mixture, pointer-
+        # doubling canonical resolution over a planted page-sized chain
+        # relation
+        "winnow_pairs": lambda: D.winnow_pairs(docs).count(),
+        "phrase_search": lambda: SRCH.phrase_search(docs, "fast hash join").count(),
+        "lang_temperature": lambda: SMP.lang_temperature(live).count(),
+        "canonical_resolve": lambda: GR.canonical_resolve(
+            _canon_edges(live), iters=3
+        ).count(),
     }
 
     # BENCH_ONLY=comma,list: restrict the battery — the isolation probe

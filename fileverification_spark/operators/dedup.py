@@ -667,3 +667,125 @@ SELECT doc_id,
        count(*) AS n_paras,
        count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
 FROM flagged GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local document-fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+#: winnowing defaults: k-gram size (chars) and window (k-grams). The
+#: guarantee (Schleimer 2003 §2): any shared substring of length >=
+#: w + k - 1 chars contributes at least one common fingerprint, while
+#: no fingerprint is denser than one per window — a fixed-density sketch
+#: independent of document length.
+WINNOW_K = 16
+WINNOW_W = 8
+#: ubiquity cap: fingerprints present in more docs than this are
+#: boilerplate (licence headers, templated chrome), not copy evidence —
+#: dropping them bounds the self-join's per-key fan-out (see
+#: winnow_pairs).
+WINNOW_MAX_DF = 64
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints: 31-bit hash per char k-gram,
+    then the MINIMUM hash of every w-long window of consecutive k-grams,
+    value-deduped per document.
+
+    This is the *value-set* form of Schleimer's robust winnowing: the
+    selected set {min(window)} is identical whichever in-window position
+    the tie-break picks, so it is engine-order-independent (the
+    positional variant depends on rightmost-vs-leftmost tie rules that
+    SQL replays can't pin cheaply). Density bound: <= 1 fingerprint per
+    window, ~2/(w+1) of k-grams selected in expectation.
+
+    Plan shape: ONE narrow projection per row — sequence -> transform
+    (k-gram hash, reused across windows via a materialised array column)
+    -> transform(array_min(slice)) -> array_distinct -> explode — all
+    codegen'd JVM expressions, zero Python, zero shuffle. O(len * w)
+    comparisons per doc. At 100 TB this pipelines with the scan exactly
+    like shingle_duplicates; the output is ~len/stride' rows per doc
+    with stride' ~ (w+1)/2 chars."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    hashed = docs.where(F.length("text") >= k + w - 1).select(
+        "doc_id", shingle_hashes(F.col("text"), k).alias("hs")
+    )
+    starts = F.sequence(F.lit(1), F.size("hs") - w + 1)
+    fps = F.array_distinct(
+        F.transform(starts, lambda p: F.array_min(F.slice(F.col("hs"), p, w)))
+    )
+    return hashed.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_df: int = WINNOW_MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) document pairs sharing >= ``min_shared``
+    winnowing fingerprints — the MOSS copy-detection join.
+
+    Scale shape: fingerprints with document frequency > ``max_df`` are
+    removed BEFORE the self-join (one hash-agg on fp), so per-key
+    fan-out is <= max_df and the pair volume is bounded by
+    n_fps * max_df^2 — never all-pairs. The join key is a 31-bit
+    near-uniform hash, so the shuffle has no planned skew; the df cap
+    is the guard against pathological boilerplate keys. Same bucket-
+    then-join discipline as lsh_candidate_pairs."""
+    fps = winnow_fingerprints(docs, k, w)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    shared = fps.join(keep, "fp")
+    a = shared.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = shared.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnow_fingerprints_cte(
+    docs_rel: str = "documents", k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    """CTE body fps(doc_id, fp) — list-op mirror of the Spark plan:
+    same k-gram hash (sql_shingle_hashes), same window-min
+    (inclusive-slice list_aggregate), same value-dedup."""
+    hs = sql_shingle_hashes("text", k)
+    return f"""
+SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, len(hs) - {w} + 2),
+         p -> list_aggregate(hs[p:p+{w - 1}], 'min')))) AS fp
+FROM (SELECT doc_id, {hs} AS hs FROM {docs_rel}
+      WHERE length(text) >= {k + w - 1})"""
+
+
+def sql_winnow_pairs_query(
+    docs_rel: str = "documents",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_df: int = WINNOW_MAX_DF,
+) -> str:
+    """Oracle: same df-window filter, same self-join, same thresholds."""
+    return f"""
+WITH fps AS ({sql_winnow_fingerprints_cte(docs_rel, k, w)}),
+keep AS (SELECT fp FROM fps GROUP BY fp
+         HAVING count(*) >= 2 AND count(*) <= {max_df}),
+sh AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""

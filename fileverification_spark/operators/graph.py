@@ -1722,3 +1722,101 @@ SELECT shard, pending, CAST(base AS BIGINT) AS base,
        CAST(base + CASE WHEN rem_rank <= lo.leftover THEN 1 ELSE 0 END
             AS BIGINT) AS quota
 FROM r, lo"""
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL chain resolution (rel=canonical pointer chasing)
+# ---------------------------------------------------------------------------
+
+
+def canonical_resolve(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(url, final_url, hops, resolved) — follow each page's declared
+    rel=canonical target through chains of redirecting declarations
+    (u1 -> u2 -> u3 ...) for up to ``2**iters`` hops.
+
+    The reference analogue is the manifest lookup chain — directory ->
+    checksum file -> record (`FV/PathInfo.cs:66`, `FV/CheckSumFile.cs:
+    144-146`) — except canonical graphs on the real web have depth > 1
+    and cycles, so the lookup must be iterated and bounded.
+
+    Algorithm: **pointer doubling** (path halving): state maps
+    url -> (tgt, hops); each round substitutes tgt := state(tgt) and
+    adds the hops, so k rounds follow 2^k hops in k host-sized
+    self-joins — resolving depth-D chains needs log2(D) shuffles, not D
+    (the same reason BFS-by-doubling beats edge-at-a-time walks at
+    scale). Rows whose target has no outgoing non-self declaration stop
+    early and keep their exact chain length. ``resolved`` is false iff
+    the final target STILL declares a non-self canonical (chain deeper
+    than 2^iters, or a cycle — cycles never resolve, the bound
+    guarantees termination anyway).
+
+    Self-declarations (url == canon, the common self-canonical page)
+    are dropped up front: they are terminal facts, not chain links.
+    Per-iteration persist caps the self-referential plan growth exactly
+    like pagerank's ladder. Input relation is page-sized; every join is
+    an equi-join on url — no window, no collect."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    state = (
+        edges.where(F.col("url") != F.col("canon"))
+        .select("url", F.col("canon").alias("tgt"), F.lit(1).cast("bigint").alias("hops"))
+        .persist()
+    )
+    for _ in range(iters):
+        nxt = state.select(
+            F.col("url").alias("t_url"),
+            F.col("tgt").alias("t_tgt"),
+            F.col("hops").alias("t_hops"),
+        )
+        state = (
+            state.join(nxt, state["tgt"] == nxt["t_url"], "left")
+            .select(
+                "url",
+                F.coalesce("t_tgt", "tgt").alias("tgt"),
+                (F.col("hops") + F.coalesce("t_hops", F.lit(0)))
+                .cast("bigint")
+                .alias("hops"),
+            )
+            .persist()
+        )
+    heads = edges.where(F.col("url") != F.col("canon")).select(
+        F.col("url").alias("h_url")
+    )
+    return (
+        state.join(heads, state["tgt"] == heads["h_url"], "left")
+        .select(
+            "url",
+            F.col("tgt").alias("final_url"),
+            "hops",
+            F.col("h_url").isNull().alias("resolved"),
+        )
+    )
+
+
+def sql_canonical_resolve(edges_rel: str, iters: int = 3) -> str:
+    """Oracle: the walk stated directly — a recursive CTE stepping one
+    hop at a time, bounded at 2**iters, keeping each url's deepest row.
+    Pointer doubling computes exactly this (min(chain depth, 2^k) steps;
+    cycle rows run to the bound), so the two forms must agree row-for-
+    row; hop values are strictly increasing per url so the deepest row
+    is unique."""
+    cap = 2 ** iters
+    return f"""
+WITH RECURSIVE nonself AS (
+  SELECT url, canon FROM {edges_rel} WHERE url <> canon
+),
+walk(url, tgt, hops) AS (
+  SELECT url, canon, CAST(1 AS BIGINT) FROM nonself
+  UNION ALL
+  SELECT w.url, n.canon, w.hops + 1
+  FROM walk w JOIN nonself n ON n.url = w.tgt
+  WHERE w.hops < {cap}
+),
+deepest AS (
+  SELECT url, tgt, hops,
+         row_number() OVER (PARTITION BY url ORDER BY hops DESC) AS rk
+  FROM walk
+)
+SELECT url, tgt AS final_url, hops,
+       tgt NOT IN (SELECT url FROM nonself) AS resolved
+FROM deepest WHERE rk = 1"""

@@ -156,3 +156,110 @@ r AS (
 SELECT source, n_rows, actual_share,
        ratio / (SELECT max(ratio) FROM r) AS keep_fraction
 FROM r"""
+
+
+def _isqrt(n) -> "F.Column":
+    """Exact integer sqrt of a non-negative BIGINT column: floor(sqrt)
+    in double, then a +/-1 correction step — bit-identical in any
+    IEEE-double engine regardless of the library's rounding at perfect
+    squares (safe for n < 2^52)."""
+    s0 = F.floor(F.sqrt(n.cast("double"))).cast("bigint")
+    return (
+        s0
+        - F.when(s0 * s0 > n, F.lit(1)).otherwise(F.lit(0))
+        + F.when((s0 + 1) * (s0 + 1) <= n, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+
+
+_SQL_ISQRT = (
+    "(CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+    " - CASE WHEN CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+    "            * CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) > {n}"
+    "        THEN 1 ELSE 0 END"
+    " + CASE WHEN (CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) + 1)"
+    "            * (CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) + 1)"
+    "            <= {n} THEN 1 ELSE 0 END)"
+)
+
+
+def lang_temperature(
+    docs: DataFrame, lang: str = "lang", ppm_budget: int = 1_000_000
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the XLM-R /
+    mC4 alpha-smoothed language mixture, Conneau et al. 2020): language
+    l is sampled proportionally to n_l^alpha with alpha = 0.5, which
+    up-weights tail languages relative to raw frequency. Output:
+    (lang, n_docs, scaled, base, extra, weight_ppm) with
+    sum(weight_ppm) == ppm_budget EXACTLY.
+
+    Exactness: alpha = 0.5 makes n^alpha an integer sqrt — computed by
+    the corrected-isqrt (no libm pow whose last ulp differs across
+    engines) — and the ppm split uses Hamilton largest-remainder
+    apportionment (same arithmetic as graph.fetch_budget), so the whole
+    plan is integer-exact and engine-replayable; no float ever reaches
+    the output.
+
+    Scale shape: ONE partial-aggregatable hash-agg on the language key
+    (|langs| <= a few hundred rows out of 100 TB), then the rank window
+    runs over that plan-time-bounded relation — the same shard-
+    granularity discipline as fetch_budget. The corpus is scanned
+    once."""
+    if ppm_budget < 0:
+        raise ValueError("ppm_budget must be >= 0")
+    counts = docs.groupBy(F.col(lang).alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    scaled = counts.withColumn("scaled", _isqrt(F.col("n_docs")))
+    tot = scaled.select(F.sum("scaled").cast("long").alias("t"))
+    q = scaled.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "scaled",
+        F.expr(f"({ppm_budget} * scaled) div t").cast("long").alias("base"),
+        F.expr(f"({ppm_budget} * scaled) % t").cast("long").alias("rem"),
+    )
+    leftover = q.select(
+        (F.lit(ppm_budget) - F.sum("base")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    return (
+        q.withColumn("rk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "lang",
+            "n_docs",
+            "scaled",
+            "base",
+            F.when(F.col("rk") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("extra"),
+        )
+        .withColumn("weight_ppm", (F.col("base") + F.col("extra")).cast("long"))
+    )
+
+
+def sql_lang_temperature(
+    rel: str = "documents", lang: str = "lang", ppm_budget: int = 1_000_000
+) -> str:
+    """DuckDB mirror: same corrected isqrt, same Hamilton arithmetic."""
+    isq = _SQL_ISQRT.format(n="n_docs")
+    return f"""
+WITH c AS (SELECT {lang} AS lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM {rel} GROUP BY 1),
+s AS (SELECT lang, n_docs, {isq} AS scaled FROM c),
+tot AS (SELECT CAST(sum(scaled) AS BIGINT) AS t FROM s),
+q AS (SELECT lang, n_docs, scaled,
+             ({ppm_budget} * scaled) // t AS base,
+             ({ppm_budget} * scaled) % t AS rem
+      FROM s, tot),
+lo AS (SELECT {ppm_budget} - sum(base) AS leftover FROM q),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+      FROM q)
+SELECT lang, n_docs, CAST(scaled AS BIGINT) AS scaled,
+       CAST(base AS BIGINT) AS base,
+       CAST(CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       CAST(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS weight_ppm
+FROM r, lo"""

@@ -243,3 +243,70 @@ LEFT JOIN (
   GROUP BY term
 ) p USING (term)
 WHERE d.df >= {min_df}"""
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+
+def phrase_search(docs: DataFrame, phrase: str) -> DataFrame:
+    """(doc_id, n_hits) exact positional phrase match: documents whose
+    whitespace token stream contains the phrase's tokens CONSECUTIVELY,
+    with the occurrence count (overlaps counted — each start position is
+    tested independently, the standard positional-index semantics).
+
+    The reference's analogue is its exact, position-sensitive record
+    match (`FV/CheckSumFile.cs:144-146` — lookup keyed on the full
+    path string, not a bag of segments); this lifts "exact sequence,
+    not bag-of-terms" to retrieval, complementing bm25_search's
+    bag-of-words ranking.
+
+    Plan shape: a single zero-shuffle projection — split once, then a
+    size(filter(sequence(...))) counting start positions where all m
+    tokens line up (element_at equality chain, codegen'd). No explode,
+    no positional inverted index materialised: at 100 TB the phrase
+    test pipelines with the scan and the only shuffle is whatever the
+    caller does with the matches. O(len * m) comparisons per doc."""
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    m = len(words)
+    ts = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(ts) - m + 1)
+    hit = lambda p: [  # noqa: E731 — single expression, named for clarity
+        F.element_at(ts, (p + i).cast("int")) == F.lit(wd)
+        for i, wd in enumerate(words)
+    ]
+    n_hits = F.size(
+        F.filter(
+            starts,
+            lambda p: F.aggregate(
+                F.array(*hit(p)), F.lit(True), lambda acc, x: acc & x
+            ),
+        )
+    ).cast("bigint")
+    return (
+        docs.where(F.size(ts) >= m)
+        .select("doc_id", n_hits.alias("n_hits"))
+        .where(F.col("n_hits") >= 1)
+    )
+
+
+def sql_phrase_search(phrase: str, docs_rel: str = "documents") -> str:
+    """Oracle: identical split / start-position / conjunction shape via
+    DuckDB list lambdas (range end is exclusive, Spark sequence end is
+    inclusive — hence the +2)."""
+    words = phrase.split()
+    m = len(words)
+    conds = " AND ".join(
+        f"ts[p + {i}] = '{wd}'" for i, wd in enumerate(words)
+    )
+    return f"""
+SELECT doc_id, n_hits FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(ts) - {m} + 2),
+                              p -> {conds})) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM {docs_rel})
+  WHERE len(ts) >= {m}
+) WHERE n_hits >= 1"""

@@ -12,13 +12,16 @@ import __spark_entry__ as E
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 _CANARIES = {"pages_derive", "verify_report"}
-# Re-audit slots: newest driver evidence is r01/r02 (3+ rounds stale), so
-# they get a fresh driver run in r5 alongside the never-run set. (Three
-# further r01/r02-stale twins ceded their slots to the new r5 operators
-# url_quality/crawl_traps/semantic_dedup.)
-_REAUDIT = {
-    "events_dedup",
-    "cell_digests_mergeable",
+# Never-driver-run queries allowed OUTSIDE the window: with the four
+# late-r5 operators (winnow_pairs/phrase_search/lang_temperature/
+# canonical_resolve) the never-run set is 50 and the window holds 48
+# after the canaries, so two never-run TWINS cede their slot to queries
+# with distinct machinery: politeness_schedule shares fetch_schedule's
+# scheduler core, tile_trend shares tile_bursts' space-time stats. Both
+# remain under the strict demoted-gate canon at both scale factors.
+_OVERFLOW_TWINS = {
+    "politeness_schedule",
+    "tile_trend",
 }
 
 
@@ -58,7 +61,7 @@ def test_window_carries_never_driver_run_queries():
     window = set(E.queries())
     ran = _driver_ran()
     never_run = (window | set(E.demoted_queries())) - ran
-    missing = never_run - window
+    missing = never_run - window - _OVERFLOW_TWINS
     assert not missing, ("never-driver-run queries left out of the window",
                          missing)
 
@@ -69,11 +72,15 @@ def test_window_carries_never_driver_run_queries():
     assert not stale, (
         "driver-green-in-r04 queries occupying the rotation window", stale)
     assert _CANARIES <= window
-    assert _REAUDIT <= window
 
 
-def test_reaudit_slots_are_genuinely_stale():
-    """The 5 re-audit promotions must have driver evidence no newer than
-    r02 — the window is for least-evidence queries, not favorites."""
-    recent = _driver_ran(rounds=("03", "04"))
-    assert not (_REAUDIT & recent), _REAUDIT & recent
+def test_overflow_twins_have_promoted_siblings():
+    """A never-run query may cede its window slot only to stand behind a
+    promoted sibling that exercises the same operator core."""
+    window = set(E.queries())
+    siblings = {"politeness_schedule": "fetch_schedule",
+                "tile_trend": "tile_bursts"}
+    assert set(siblings) == _OVERFLOW_TWINS
+    for twin, sib in siblings.items():
+        assert twin in E.demoted_queries(), twin
+        assert sib in window, (twin, sib)

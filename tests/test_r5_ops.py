@@ -143,3 +143,182 @@ def test_semantic_dedup_plan_broadcast_codebook_no_cartesian(spark):
     # plain equi-join keyed on cluster (AQE-splittable)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer 2003)
+# ---------------------------------------------------------------------------
+
+from fileverification_spark.operators import dedup as D
+from fileverification_spark.operators import graph as GR
+from fileverification_spark.operators import sampling as SMP
+from fileverification_spark.operators import search as SRCH
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Any shared substring >= w + k - 1 chars yields >= 1 common
+    fingerprint (the paper's detection guarantee), at ANY alignment."""
+    k, w = 16, 8
+    shared = "x" * 0 + "the quick brown fox jumps over it"  # 33 >= 23
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "completely unrelated prefix words " + shared),
+            (3, "no overlap here at all, just filler text padding"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = D.winnow_fingerprints(df, k, w)
+    common = (
+        fps.groupBy("fp").agg(F.collect_set("doc_id").alias("ds")).collect()
+    )
+    both = [r for r in common if {1, 2} <= set(r["ds"])]
+    assert both, "shared 33-char run must collide at k=16,w=8"
+    assert not [r for r in common if 3 in set(r["ds"]) and len(r["ds"]) > 1]
+
+
+def test_winnow_density_bound(spark):
+    """<= 1 fingerprint per window start (value-dedup can only shrink)."""
+    k, w = 16, 8
+    text = "word soup " * 30
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n = D.winnow_fingerprints(df, k, w).count()
+    n_windows = len(text) - k + 1 - w + 1
+    assert 1 <= n <= n_windows
+
+
+def test_winnow_pairs_max_df_drops_boilerplate(spark):
+    """A fingerprint shared by MORE than max_df docs is ubiquity, not
+    copy evidence — pairs must come only from sub-cap fingerprints."""
+    k, w = 16, 8
+    boiler = "this licence header appears everywhere verbatim"
+    docs = [(i, f"doc {i} unique words {i * 7919} " + boiler) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # cap 4 < 5 docs sharing the boilerplate run -> its fps are dropped;
+    # remaining shared material is too short to pair
+    assert D.winnow_pairs(df, k, w, min_shared=1, max_df=4).count() == 0
+    # raising the cap re-admits the boilerplate pairs (all 10 of C(5,2))
+    assert D.winnow_pairs(df, k, w, min_shared=1, max_df=64).count() == 10
+
+
+def test_winnow_zero_python_zero_input_shuffle(spark):
+    df = spark.createDataFrame([(1, "abcdefgh" * 10)], "doc_id long, text string")
+    out = D.winnow_fingerprints(df)
+    plan = X.formatted_plan(out)
+    assert "EvalPython" not in plan
+    assert X.shuffle_exchange_count(out) == 0  # pure projection
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_consecutive_only(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "fast hash join wins"),          # phrase present
+            (2, "hash wins join fast"),          # bag matches, order no
+            (3, "hash join hash join"),          # two occurrences
+            (4, "hash"),                          # shorter than phrase
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in
+           SRCH.phrase_search(df, "hash join").collect()}
+    assert got == {1: 1, 3: 2}
+
+
+def test_phrase_search_overlapping_hits(spark):
+    df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    got = SRCH.phrase_search(df, "a a").collect()
+    assert got[0]["n_hits"] == 3  # starts 1,2,3 all count
+
+
+def test_phrase_search_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    out = SRCH.phrase_search(df, "x y")
+    assert X.shuffle_exchange_count(out) == 0
+    assert "EvalPython" not in X.formatted_plan(out)
+
+
+# ---------------------------------------------------------------------------
+# lang_temperature
+# ---------------------------------------------------------------------------
+
+def test_lang_temperature_hand_computed(spark):
+    # counts: en 9, fr 4, zh 1 -> isqrt: 3, 2, 1 (tot 6)
+    rows = [(i, "en" if i < 9 else ("fr" if i < 13 else "zh"))
+            for i in range(14)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r["lang"]: r for r in SMP.lang_temperature(df, ppm_budget=100).collect()}
+    # base: en 100*3//6=50, fr 100*2//6=33, zh 100*1//6=16 (sum 99)
+    # rems: en 0, fr 2, zh 4 -> leftover 1 goes to zh
+    assert got["en"]["weight_ppm"] == 50
+    assert got["fr"]["weight_ppm"] == 33
+    assert got["zh"]["weight_ppm"] == 17
+    assert sum(r["weight_ppm"] for r in got.values()) == 100
+    # temperature flattens: zh raw share 1/14 ~ 7%, weight 17%
+    assert got["zh"]["weight_ppm"] * 14 > 100
+
+
+def test_lang_temperature_exact_budget_sum(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = SMP.lang_temperature(docs)
+    assert out.agg(F.sum("weight_ppm")).first()[0] == 1_000_000
+
+
+def test_isqrt_correction_exact():
+    import math
+    from pyspark.sql import Row
+    # pure-arithmetic check of the corrected isqrt over tricky values
+    for n in [0, 1, 2, 3, 4, 8, 9, 15, 16, 10**12, 10**12 + 1,
+              (2**26 - 1) ** 2, (2**26 - 1) ** 2 - 1]:
+        s0 = math.floor(math.sqrt(float(n)))
+        s = s0 - (1 if s0 * s0 > n else 0) + (1 if (s0 + 1) ** 2 <= n else 0)
+        assert s == math.isqrt(n), n
+
+
+# ---------------------------------------------------------------------------
+# canonical_resolve
+# ---------------------------------------------------------------------------
+
+def _canon_edges(spark, rows):
+    return spark.createDataFrame(rows, "url string, canon string")
+
+
+def test_canonical_resolve_chain_exact_hops(spark):
+    # a -> b -> c -> d (terminal: d declares nothing)
+    e = _canon_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["url"]: r for r in GR.canonical_resolve(e, iters=3).collect()}
+    assert got["a"]["final_url"] == "d" and got["a"]["hops"] == 3
+    assert got["b"]["final_url"] == "d" and got["b"]["hops"] == 2
+    assert got["c"]["final_url"] == "d" and got["c"]["hops"] == 1
+    assert all(r["resolved"] for r in got.values())
+
+
+def test_canonical_resolve_cycle_flagged_unresolved(spark):
+    e = _canon_edges(spark, [("a", "b"), ("b", "a"), ("x", "a")])
+    got = {r["url"]: r for r in GR.canonical_resolve(e, iters=2).collect()}
+    assert not got["a"]["resolved"] and not got["b"]["resolved"]
+    assert got["a"]["hops"] == 4  # 2^iters steps taken, then bounded
+    assert not got["x"]["resolved"]  # tail into a cycle never resolves
+
+
+def test_canonical_resolve_depth_cap(spark):
+    # chain of length 12 > 2^3 = 8: hops capped, flagged unresolved
+    chain = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    got = {r["url"]: r for r in
+           GR.canonical_resolve(_canon_edges(spark, chain), iters=3).collect()}
+    assert got["n0"]["hops"] == 8 and got["n0"]["final_url"] == "n8"
+    assert not got["n0"]["resolved"]
+    assert got["n3"]["hops"] == 8 and not got["n3"]["resolved"]  # 9 deep
+    assert got["n4"]["hops"] == 8 and got["n4"]["resolved"]  # exactly 8 deep
+    assert got["n6"]["hops"] == 6 and got["n6"]["resolved"]
+
+
+def test_canonical_resolve_self_canonical_dropped(spark):
+    e = _canon_edges(spark, [("s", "s"), ("a", "s")])
+    rows = GR.canonical_resolve(e, iters=2).collect()
+    assert len(rows) == 1  # only the real link resolves
+    r = rows[0]
+    assert r["url"] == "a" and r["final_url"] == "s" and r["resolved"]
