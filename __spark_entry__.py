@@ -975,6 +975,49 @@ def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return SRCH.bm25_search(_docs(spark, sf), _BM25_QUERY, k=20)
 
 
+# hybrid-retrieval fixture: fuse the BM25 list for _BM25_QUERY with the
+# ANN list for query vector 0, both at depth 20
+_HYBRID_QVEC = 0
+_HYBRID_K = 20
+
+
+def _q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    bm = SRCH.bm25_search(_docs(spark, sf), _BM25_QUERY, k=_HYBRID_K)
+    wa = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked_a = bm.withColumn("rank", F.row_number().over(wa)).select(
+        "doc_id", "rank"
+    )
+    ranked_b = SIM.cosine_topk(_emb(spark, sf), [_HYBRID_QVEC], _HYBRID_K).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return SRCH.rrf_fuse(ranked_a, ranked_b)
+
+
+_KN_MIN_COUNT = 5
+
+
+def _q_kn_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    return CUR.kn_bigram_stats(_docs(spark, sf), min_count=_KN_MIN_COUNT)
+
+
+def _q_cms_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return SK.cms_tokens(_docs(spark, sf))
+
+
+def _sql_hybrid_search() -> str:
+    ra = (
+        "SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)"
+        f" AS rank FROM ({SRCH.sql_bm25_search('documents', _BM25_QUERY, _HYBRID_K)})"
+    )
+    rb = (
+        "SELECT vec_id AS doc_id, rank FROM "
+        f"({SIM.sql_cosine_topk_query([_HYBRID_QVEC], _HYBRID_K)})"
+    )
+    return SRCH.sql_rrf_fuse(ra, rb)
+
+
 # planted outlink corpus: 16 'siteK.example.net' hosts, 3 modular link
 # targets per page (the doc_id*7 family self-loops whenever doc_id % 8
 # == 0, exercising the self-loop filter), an external host that only
@@ -2425,6 +2468,11 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "cell_digests_mergeable": _q_cell_digests_mergeable,
     "politeness_schedule": _q_politeness_schedule,
     "tile_trend": _q_tile_trend,
+    # r5 late additions beyond the full window: strict demoted-gate
+    # evidence at both SFs from day one
+    "hybrid_search": _q_hybrid_search,
+    "kn_bigrams": _q_kn_bigrams,
+    "cms_tokens": _q_cms_tokens,
     # r5: re-audit slots ceded to the new url_quality/crawl_traps/
     # semantic_dedup window entries (newest driver evidence r02)
     "knn_adaptive": _q_knn_adaptive,
@@ -2761,6 +2809,9 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "domain_quantiles": _with() + "\n" + CUR.sql_domain_quantiles(),
         "shingle_dups": D.sql_shingle_duplicates_query(),
         "winnow_pairs": D.sql_winnow_pairs_query(),
+        "hybrid_search": _sql_hybrid_search(),
+        "kn_bigrams": CUR.sql_kn_bigram_stats(min_count=_KN_MIN_COUNT),
+        "cms_tokens": SK.sql_cms_tokens(),
         "phrase_search": SRCH.sql_phrase_search(_PHRASE),
         "lang_temperature": SMP.sql_lang_temperature(),
         "canonical_resolve": GR.sql_canonical_resolve(_SQL_CANON_PLANTED),

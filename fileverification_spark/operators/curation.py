@@ -962,3 +962,95 @@ FROM (
     FROM {pages_rel}
     GROUP BY 1, 2) t
   GROUP BY host) h"""
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram sufficient statistics (distributed LM counting)
+# ---------------------------------------------------------------------------
+
+
+def kn_bigram_stats(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """(w1, w2, c, cont_w2, foll_w1, c_w1) — the exact-integer
+    sufficient statistics of interpolated Kneser-Ney smoothing over
+    corpus bigrams (Kneser & Ney 1995; the distributed-counting shape
+    is Brants et al. 2007, "Large Language Models in Machine
+    Translation"):
+
+    - ``c``        raw bigram count c(w1 w2)
+    - ``cont_w2``  continuation count N1+(. w2) — distinct LEFT contexts
+                   of w2, the KN unigram numerator
+    - ``foll_w1``  N1+(w1 .) — distinct continuations of w1, the
+                   back-off weight numerator
+    - ``c_w1``     left-unigram count (the denominator)
+
+    Every KN probability is a ratio of these integers (with the fixed
+    discount), so emitting the statistics rather than float
+    probabilities keeps the relation engine-exact AND mergeable —
+    shard counts add, distincts re-aggregate.
+
+    Output is bounded to bigrams with ``c >= min_count`` (tail bigrams
+    carry no trainable signal; the cutoff is what Brants et al. apply
+    before serving).
+
+    Scale shape: ONE explode of adjacent token pairs (codegen'd
+    element_at projection, ~len rows/doc) feeding THREE
+    partial-aggregatable hash-aggs — bigram counts, then the two
+    word-keyed distinct rollups computed FROM the bigram relation
+    (vocab-sized, not corpus-sized) — joined back on word keys. No
+    windows, no collects; Zipf skew lands on the word-keyed aggs whose
+    input is the already-aggregated bigram table."""
+    toks = TX.tokens(F.col("text"))
+    pairs = docs.select(toks.alias("t")).select(
+        F.explode(
+            F.when(
+                F.size("t") < 2,
+                F.array().cast("array<struct<w1:string,w2:string>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i.cast("int")).alias("w1"),
+                        F.element_at(F.col("t"), (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cont = bigrams.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cont_w2")
+    )
+    foll = bigrams.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("foll_w1"),
+        F.sum("c").cast("bigint").alias("c_w1"),
+    )
+    return (
+        bigrams.where(F.col("c") >= min_count)
+        .join(cont, "w2")
+        .join(foll, "w1")
+        .select("w1", "w2", "c", "cont_w2", "foll_w1", "c_w1")
+    )
+
+
+def sql_kn_bigram_stats(docs_rel: str = "documents", min_count: int = 5) -> str:
+    """Oracle: identical pair explode and three-agg shape."""
+    toks = TX.sql_tokens("text")
+    return f"""
+WITH t AS (SELECT {toks} AS t FROM {docs_rel}),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) p
+  WHERE len(t) >= 2
+),
+bigrams AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+            FROM pairs GROUP BY 1, 2),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont_w2
+         FROM bigrams GROUP BY 1),
+foll AS (SELECT w1, CAST(count(*) AS BIGINT) AS foll_w1,
+                CAST(sum(c) AS BIGINT) AS c_w1
+         FROM bigrams GROUP BY 1)
+SELECT w1, w2, c, cont_w2, foll_w1, c_w1
+FROM bigrams JOIN cont USING (w2) JOIN foll USING (w1)
+WHERE c >= {min_count}"""

@@ -310,3 +310,69 @@ SELECT doc_id, n_hits FROM (
   FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM {docs_rel})
   WHERE len(ts) >= {m}
 ) WHERE n_hits >= 1"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion (hybrid lexical + vector retrieval)
+# ---------------------------------------------------------------------------
+
+#: RRF smoothing constant — the value Cormack & Clarke fixed in the
+#: original SIGIR 2009 evaluation and the de-facto default everywhere.
+RRF_K = 60
+#: integer contribution scale: score = sum(1e6 div (K + rank)) — exact
+#: BIGINT arithmetic, no float reciprocals to drift across engines.
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(
+    ranked_a: DataFrame, ranked_b: DataFrame, k_rrf: int = RRF_K
+) -> DataFrame:
+    """(doc_id, rank_a, rank_b, rrf_micro) — Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009) of two ranked lists, the
+    standard hybrid-retrieval combiner (BM25 x embedding ANN): each
+    list contributes 1/(k + rank), absent membership contributes 0.
+
+    Exactness: contributions are ``RRF_SCALE div (k + rank)`` — integer
+    floor division, so the fused score is a BIGINT both engines compute
+    bit-identically (float reciprocal sums would differ in the last ulp
+    across summation orders).
+
+    Inputs are (doc_id, rank) relations — compose with bm25_search /
+    cosine_topk, both of which produce deterministic total ranks.
+
+    Scale shape: ONE full-outer equi-join on doc_id between two
+    relations that are already top-k-bounded by their producers
+    (k rows per query, not corpus-sized) — at 100 TB the fusion cost is
+    the retrieval cost, not this join."""
+    a = ranked_a.select("doc_id", F.col("rank").cast("bigint").alias("rank_a"))
+    b = ranked_b.select("doc_id", F.col("rank").cast("bigint").alias("rank_b"))
+    j = a.join(b, "doc_id", "full")
+
+    def contrib(c: str) -> "F.Column":
+        return F.coalesce(
+            F.expr(f"{RRF_SCALE} div ({k_rrf} + {c})"), F.lit(0)
+        ).cast("bigint")
+
+    return j.select(
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (contrib("rank_a") + contrib("rank_b")).alias("rrf_micro"),
+    )
+
+
+def sql_rrf_fuse(
+    ranked_a_cte: str, ranked_b_cte: str, k_rrf: int = RRF_K
+) -> str:
+    """Oracle: same full-outer join, same integer floor division.
+    ``ranked_*_cte`` are query strings producing (doc_id, rank)."""
+    return f"""
+WITH ra AS ({ranked_a_cte}),
+rb AS ({ranked_b_cte})
+SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+       CAST(ra.rank AS BIGINT) AS rank_a,
+       CAST(rb.rank AS BIGINT) AS rank_b,
+       CAST(coalesce({RRF_SCALE} // ({k_rrf} + ra.rank), 0)
+          + coalesce({RRF_SCALE} // ({k_rrf} + rb.rank), 0) AS BIGINT)
+         AS rrf_micro
+FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id"""

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fileverification_spark import grid
+from fileverification_spark.functions import text as TX
 
 #: hash space: 15 hex digits = 60 bits (fits int64, exact as double)
 SPACE = float(1 << 60)
@@ -125,3 +126,141 @@ FROM (
     FROM {pages_rel}
   ) GROUP BY cell
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+_CMS_MASK = 0x7FFFFFFF
+
+
+def _cms_col(key: Column, row: Column | int, width: int) -> Column:
+    """Deterministic per-row hash column: 31-bit sha256 prefix of
+    ``key|row`` mod width — the same hash family both engines replay."""
+    r = F.lit(row) if isinstance(row, int) else row
+    h = (
+        F.conv(
+            F.substring(F.sha2(F.concat(key, F.lit("|"), r.cast("string")), 256), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .bitwiseAND(F.lit(_CMS_MASK))
+    )
+    return (h % width).cast("bigint")
+
+
+def cms_tokens(
+    docs: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(row, col, total) — a count-min sketch over the corpus token
+    stream (Cormode & Muthukrishnan 2005): ``depth`` independent hash
+    rows of ``width`` counters; a token's occurrences land on one
+    counter per row, and the point-estimate min over rows overestimates
+    the true count by at most the collision mass (never under).
+
+    Why it belongs next to the KMV ladder: counters are SUMS, so the
+    sketch is MERGEABLE STATE — shard sketches add cell-wise into the
+    corpus sketch bit-exactly (pytest-pinned merge identity), the same
+    property the Merkle digest ladder has for verification and KMV has
+    for distinct counts. At 100 TB each executor folds its partition
+    into d*w integers and ONE tiny agg combines them.
+
+    Plan shape: token explode -> ONE corpus-shuffle hash-agg to
+    vocab-sized (token, c) — the partial agg absorbs the stream —
+    then the depth-way expansion runs on the VOCAB relation (d rows per
+    distinct token, not per occurrence) into the (row, col) agg whose
+    key space is d*w (plan-time bounded). Zipf skew is irrelevant: hot
+    tokens are one vocab row with a big weight."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    tok_counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rows = tok_counts.select(
+        "tok",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    return (
+        rows.select(
+            F.col("row").cast("bigint").alias("row"),
+            _cms_col(F.col("tok"), F.col("row"), width).alias("col"),
+            F.col("c"),
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("c").cast("bigint").alias("total"))
+    )
+
+
+def cms_point_estimates(
+    docs: DataFrame,
+    probes: list[str],
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(tok, est, true_count) for ``probes``: est = min over rows of the
+    probed counter — the CMS read path, with the exact count alongside
+    so the one-sided error (est >= true) is visible. Probe relation is
+    tiny and broadcast onto the d*w sketch."""
+    sk = cms_tokens(docs, depth, width)
+    spark = docs.sparkSession
+    probe = spark.createDataFrame(
+        [(t,) for t in sorted(set(probes))], "tok string"
+    ).select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    )
+    probe = probe.select(
+        "tok",
+        F.col("row").cast("bigint").alias("row"),
+        _cms_col(F.col("tok"), F.col("row"), width).alias("col"),
+    )
+    est = (
+        F.broadcast(probe)
+        .join(sk, ["row", "col"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce("total", F.lit(0))).cast("bigint").alias("est"))
+    )
+    true_c = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok").isin(sorted(set(probes))))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    return est.join(true_c, "tok", "left").select(
+        "tok", "est", F.coalesce("true_count", F.lit(0)).alias("true_count")
+    )
+
+
+def _sql_cms_col(key_expr: str, row_expr: str, width: int) -> str:
+    return (
+        f"((CAST(('0x' || substr(sha256({key_expr} || '|' || "
+        f"CAST({row_expr} AS VARCHAR)), 1, 8)) AS BIGINT) & {_CMS_MASK})"
+        f" % {width})"
+    )
+
+
+def sql_cms_tokens(
+    docs_rel: str = "documents", depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """Oracle: same tokenization, same hash family, same two-agg shape."""
+    col = _sql_cms_col("tok", "row", width)
+    return f"""
+WITH toks AS (
+  SELECT unnest({TX.sql_tokens("text")}) AS tok
+  FROM {docs_rel}
+),
+tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1),
+expanded AS (
+  SELECT tok, c, CAST(row AS BIGINT) AS row
+  FROM tc, LATERAL (SELECT unnest(range(0, {depth})) AS row) r
+)
+SELECT row, CAST({col} AS BIGINT) AS col,
+       CAST(sum(c) AS BIGINT) AS total
+FROM expanded GROUP BY 1, 2"""

@@ -322,3 +322,143 @@ def test_canonical_resolve_self_canonical_dropped(spark):
     assert len(rows) == 1  # only the real link resolves
     r = rows[0]
     assert r["url"] == "a" and r["final_url"] == "s" and r["resolved"]
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank long"
+    )
+    got = {r["doc_id"]: r for r in SRCH.rrf_fuse(a, b).collect()}
+    assert set(got) == {10, 11, 12, 13}
+    # doc 11 in both lists: 1e6//(60+2) + 1e6//(60+1) = 16129 + 16393
+    assert got[11]["rrf_micro"] == 1_000_000 // 62 + 1_000_000 // 61
+    assert got[11]["rank_a"] == 2 and got[11]["rank_b"] == 1
+    # doc 10 only in A: absent side contributes exactly 0, rank_b NULL
+    assert got[10]["rrf_micro"] == 1_000_000 // 61
+    assert got[10]["rank_b"] is None
+    assert got[13]["rrf_micro"] == 1_000_000 // 62
+    # both-lists doc beats either single-list doc at these depths
+    assert got[11]["rrf_micro"] > max(got[10]["rrf_micro"], got[13]["rrf_micro"])
+
+
+def test_rrf_fuse_no_python_in_plan(spark):
+    a = spark.range(5).select(F.col("id").alias("doc_id"), (F.col("id") + 1).alias("rank"))
+    b = spark.range(5).select(F.col("id").alias("doc_id"), (6 - F.col("id")).alias("rank"))
+    plan = X.formatted_plan(SRCH.rrf_fuse(a, b))
+    assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# kn_bigram_stats (Kneser-Ney sufficient statistics)
+# ---------------------------------------------------------------------------
+
+def test_kn_bigrams_hand_computed(spark):
+    # corpus: "a b a b c" and "b c" -> bigrams: (a,b)x2 (b,a)x1 (b,c)x2
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]): r
+           for r in CUR.kn_bigram_stats(docs, min_count=1).collect()}
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert ab["c"] == 2
+    assert ab["cont_w2"] == 1      # 'b' follows only 'a'
+    assert ab["foll_w1"] == 1      # 'a' is followed only by 'b'
+    assert ab["c_w1"] == 2         # c(a .) = 2
+    bc = got[("b", "c")]
+    assert bc["c"] == 2
+    assert bc["cont_w2"] == 1      # 'c' follows only 'b'
+    assert bc["foll_w1"] == 2      # 'b' followed by {a, c}
+    assert bc["c_w1"] == 3         # c(b .) = 1 + 2
+    ba = got[("b", "a")]
+    assert ba["cont_w2"] == 1 and ba["c_w1"] == 3
+
+
+def test_kn_bigrams_min_count_filters_bigrams_not_stats(spark):
+    # the c>=min_count cutoff drops tail BIGRAMS but the word-keyed
+    # statistics are computed over the FULL bigram relation first
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]): r
+           for r in CUR.kn_bigram_stats(docs, min_count=2).collect()}
+    assert set(got) == {("a", "b"), ("b", "c")}       # (b,a) c=1 dropped
+    assert got[("b", "c")]["foll_w1"] == 2             # still counts (b,a)
+    assert got[("b", "c")]["c_w1"] == 3
+
+
+def test_kn_bigrams_single_token_docs_contribute_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "x y")], "doc_id long, text string"
+    )
+    rows = CUR.kn_bigram_stats(docs, min_count=1).collect()
+    assert len(rows) == 1 and (rows[0]["w1"], rows[0]["w2"]) == ("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# cms_tokens (count-min sketch)
+# ---------------------------------------------------------------------------
+
+from fileverification_spark.operators import sketch as SK
+
+
+def test_cms_mass_conservation_per_row(spark):
+    # every hash row receives every occurrence exactly once: per-row
+    # counter sum == total token count, for each of the d rows
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b b z")], "doc_id long, text string"
+    )
+    sk = SK.cms_tokens(docs, depth=3, width=8)
+    per_row = {r["row"]: r["s"] for r in
+               sk.groupBy("row").agg(F.sum("total").alias("s")).collect()}
+    assert per_row == {0: 7, 1: 7, 2: 7}
+
+
+def test_cms_merge_identity(spark):
+    # sketch(A union B) == cellwise sum of sketch(A) + sketch(B)
+    a = spark.createDataFrame([(1, "a b c a"), (2, "d e")], "doc_id long, text string")
+    b = spark.createDataFrame([(3, "a z z q")], "doc_id long, text string")
+    whole = {(r["row"], r["col"]): r["total"]
+             for r in SK.cms_tokens(a.unionByName(b), depth=4, width=16).collect()}
+    merged: dict = {}
+    for part in (a, b):
+        for r in SK.cms_tokens(part, depth=4, width=16).collect():
+            k = (r["row"], r["col"])
+            merged[k] = merged.get(k, 0) + r["total"]
+    assert whole == merged
+
+
+def test_cms_point_estimate_one_sided(spark):
+    # est >= true always (CMS guarantee); tiny width forces collisions
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} filler{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = SK.cms_point_estimates(
+        docs, ["tok0", "tok1", "absent"], depth=4, width=4
+    ).collect()
+    assert {r["tok"] for r in rows} == {"tok0", "tok1", "absent"}
+    for r in rows:
+        assert r["est"] >= r["true_count"]
+    by = {r["tok"]: r for r in rows}
+    assert by["tok0"]["true_count"] == 8
+    assert by["absent"]["true_count"] == 0
+
+
+def test_cms_no_python_no_occurrence_keyed_expansion(spark):
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = X.formatted_plan(SK.cms_tokens(docs))
+    assert "EvalPython" not in plan
+    # the depth-way explode must sit ABOVE the vocab agg (expansion on
+    # distinct tokens, not the occurrence stream): exactly two shuffles
+    # -- vocab then sketch -- and two Generates (token explode below the
+    # first agg, sequence explode between the aggs, never a third)
+    assert plan.count("Exchange (") == 2
+    assert plan.count("Generate (") == 2
