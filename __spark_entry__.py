@@ -971,6 +971,21 @@ FROM (SELECT {x} AS x, {y} AS y FROM pages)
 GROUP BY 1, 2, 3"""
 
 
+def _q_tile_classes(spark: SparkSession, sf: str) -> DataFrame:
+    return S.tile_quantile_classes(
+        _q_tile_counts(spark, sf).drop("quadkey")
+    )
+
+
+def _sql_tile_classes() -> str:
+    x, y = grid.sql_tile_xyz("lat", "lon", _TILE_Z)
+    tiles = (
+        f"SELECT x, y, CAST(count(*) AS BIGINT) AS n_pages "
+        f"FROM (SELECT {x} AS x, {y} AS y FROM pages) GROUP BY 1, 2"
+    )
+    return S.sql_tile_quantile_classes(tiles)
+
+
 def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return SRCH.bm25_search(_docs(spark, sf), _BM25_QUERY, k=20)
 
@@ -1004,6 +1019,54 @@ def _q_kn_bigrams(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_cms_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return SK.cms_tokens(_docs(spark, sf))
+
+
+_BG_MIN_COUNT = 2
+
+
+def _q_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    return CUR.bigram_surprisal(_docs(spark, sf), min_count=_BG_MIN_COUNT)
+
+
+def _q_hll_cells(spark: SparkSession, sf: str) -> DataFrame:
+    return SK.hll_estimate(
+        SK.hll_cells(P.pages_with_derived(spark, sf), _RASTER_RES)
+    )
+
+
+def _q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.adamic_adar(GR.host_edges(_link_planted(spark, sf)))
+
+
+def _q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    return FN.event_transitions(SW.read_events(spark, sf))
+
+
+# planted CDC corpus: every doc carries the same ~200-char tail, so the
+# tail's content-defined chunks repeat across ALL docs — n_occs >= n_docs
+# rows are guaranteed (running cdc_shared on raw synthetic text alone
+# could legitimately return zero shared chunks, a vacuous check)
+_CDC_TAIL = (
+    " Creative Commons Attribution-ShareAlike License; additional terms "
+    "may apply. By using this site, you agree to the Terms of Use and "
+    "the Privacy Policy. Content is available under the license terms "
+    "listed above unless otherwise noted."
+)
+
+
+def _q_cdc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_CDC_TAIL)).alias("text")
+    )
+    return D.cdc_shared(docs)
+
+
+def _sql_cdc_dedup() -> str:
+    tail = _CDC_TAIL.replace("'", "''")
+    docs = (
+        f"(SELECT doc_id, text || '{tail}' AS text FROM documents)"
+    )
+    return D.sql_cdc_shared_query(docs)
 
 
 def _sql_hybrid_search() -> str:
@@ -1727,6 +1790,23 @@ def _q_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_bfs_depth() -> str:
     return GR.sql_bfs_depth(
+        f"({_sql_host_edges(_SQL_LINK_PLANTED)})",
+        f"({_sql_trust_seeds()})",
+        max_depth=_BFS_DEPTH,
+    )
+
+
+def _q_bowtie(spark: SparkSession, sf: str) -> DataFrame:
+    """Broder bow-tie map (operators/graph.py): SCC/IN/OUT/OTHER
+    regions around the md5-rule seed set on the planted link graph."""
+    edges = GR.host_edges(_link_planted(spark, sf))
+    return GR.bowtie_regions(
+        edges, _trust_seeds(spark, sf), max_depth=_BFS_DEPTH
+    )
+
+
+def _sql_bowtie() -> str:
+    return GR.sql_bowtie_regions(
         f"({_sql_host_edges(_SQL_LINK_PLANTED)})",
         f"({_sql_trust_seeds()})",
         max_depth=_BFS_DEPTH,
@@ -2473,6 +2553,13 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "hybrid_search": _q_hybrid_search,
     "kn_bigrams": _q_kn_bigrams,
     "cms_tokens": _q_cms_tokens,
+    "hll_cells": _q_hll_cells,
+    "adamic_adar": _q_adamic_adar,
+    "event_transitions": _q_event_transitions,
+    "cdc_dedup": _q_cdc_dedup,
+    "tile_classes": _q_tile_classes,
+    "bowtie_regions": _q_bowtie,
+    "bigram_surprisal": _q_bigram_surprisal,
     # r5: re-audit slots ceded to the new url_quality/crawl_traps/
     # semantic_dedup window entries (newest driver evidence r02)
     "knn_adaptive": _q_knn_adaptive,
@@ -2812,6 +2899,17 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
         "hybrid_search": _sql_hybrid_search(),
         "kn_bigrams": CUR.sql_kn_bigram_stats(min_count=_KN_MIN_COUNT),
         "cms_tokens": SK.sql_cms_tokens(),
+        "hll_cells": _with() + "\n" + SK.sql_hll_estimate(_RASTER_RES),
+        "adamic_adar": GR.sql_adamic_adar(
+            _sql_host_edges(_SQL_LINK_PLANTED)
+        ),
+        "event_transitions": FN.sql_event_transitions(),
+        "cdc_dedup": _sql_cdc_dedup(),
+        "tile_classes": _with() + "\n" + _sql_tile_classes(),
+        "bowtie_regions": _sql_bowtie(),
+        "bigram_surprisal": CUR.sql_bigram_surprisal(
+            min_count=_BG_MIN_COUNT
+        ),
         "phrase_search": SRCH.sql_phrase_search(_PHRASE),
         "lang_temperature": SMP.sql_lang_temperature(),
         "canonical_resolve": GR.sql_canonical_resolve(_SQL_CANON_PLANTED),

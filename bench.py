@@ -77,6 +77,7 @@ from pyspark.sql import functions as F
 from fileverification_spark.functions import urls as U
 from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
+from fileverification_spark.operators import funnel as FN
 from fileverification_spark.operators import graph as GR
 from fileverification_spark.operators import manifest as M
 from fileverification_spark.operators import repetition as REP
@@ -413,6 +414,18 @@ def main() -> None:
         "canonical_resolve": lambda: GR.canonical_resolve(
             _canon_edges(live), iters=3
         ).count(),
+        # r5 final additions: mergeable sketches over the corpus token
+        # stream (CMS) and the cell grid (HLL), distributed KN bigram
+        # counting, link prediction over the host graph, clickstream
+        # transition matrix, content-defined chunk dedup
+        "cms_tokens": lambda: SK.cms_tokens(docs).count(),
+        "hll_cells": lambda: SK.hll_estimate(SK.hll_cells(pg, 3)).count(),
+        "kn_bigrams": lambda: CUR.kn_bigram_stats(docs).count(),
+        "adamic_adar": lambda: GR.adamic_adar(
+            GR.host_edges(_link_pages(live))
+        ).count(),
+        "event_transitions": lambda: FN.event_transitions(events).count(),
+        "cdc_dedup": lambda: D.cdc_shared(docs).count(),
     }
 
     # BENCH_ONLY=comma,list: restrict the battery — the isolation probe

@@ -1054,3 +1054,111 @@ foll AS (SELECT w1, CAST(count(*) AS BIGINT) AS foll_w1,
 SELECT w1, w2, c, cont_w2, foll_w1, c_w1
 FROM bigrams JOIN cont USING (w2) JOIN foll USING (w1)
 WHERE c >= {min_count}"""
+
+
+def bigram_surprisal(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Per-document bigram self-information in EXACT integer bits — the
+    second-order companion of :func:`unigram_surprisal` (same CCNet-
+    style LM-filter use, same float-free canon): each in-vocabulary
+    bigram occurrence contributes ``floor(log2(c_w1 div c))`` bits (the
+    ML conditional probability c/c_w1 inverted, integer log2 via
+    ``length(bin(x)) - 1``), out-of-vocabulary bigrams (dropped by the
+    ``min_count`` cutoff) are COUNTED but not scored — (doc_id,
+    n_bigrams, known_bigrams, surprisal_bits, mean_millibits) with
+    mean over the known mass only, all BIGINT.
+
+    Templated/boilerplate text repeats high-probability bigrams (low
+    bits); disfluent or shuffled text that sneaks past a unigram filter
+    scores high here — the reason CCNet uses an LM, not a lexicon.
+
+    Scale shape: ONE adjacent-pair explode -> (doc, w1, w2) hash-agg
+    (occurrences collapse to distinct per-doc bigrams before the join)
+    -> equi-join against the vocab-sized :func:`kn_bigram_stats`
+    relation on (w1, w2) — Zipf-hot bigram keys have 1 build-side row
+    each, AQE splits probe skew — -> per-doc sum. No windows, no
+    floats, no collects."""
+    toks = TX.tokens(F.col("text"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) < 2,
+                F.array().cast("array<struct<w1:string,w2:string>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i.cast("int")).alias("w1"),
+                        F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    per_doc_bg = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    stats = kn_bigram_stats(docs, min_count=min_count).select(
+        "w1",
+        "w2",
+        (F.length(F.bin(F.expr("c_w1 div c"))) - F.lit(1))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    scored = per_doc_bg.join(stats, ["w1", "w2"], "left")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("bits").isNotNull(), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("known_bigrams"),
+        F.sum(F.coalesce(F.col("n") * F.col("bits"), F.lit(0)))
+        .cast("bigint")
+        .alias("surprisal_bits"),
+    )
+    mean = (
+        F.when(
+            F.col("known_bigrams") > 0,
+            F.expr("(1000 * surprisal_bits) div known_bigrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "known_bigrams",
+        "surprisal_bits",
+        mean.alias("mean_millibits"),
+    )
+
+
+def sql_bigram_surprisal(
+    docs_rel: str = "documents", min_count: int = 1
+) -> str:
+    """Oracle for :func:`bigram_surprisal` (same pair explode, same
+    integer-log2 chain, same OOV handling)."""
+    toks = TX.sql_tokens("text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS t FROM {docs_rel}),
+dpairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) p
+  WHERE len(t) >= 2
+),
+per_doc_bg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+               FROM dpairs GROUP BY 1, 2, 3),
+kn AS ({sql_kn_bigram_stats(docs_rel, min_count)}),
+stats AS (SELECT w1, w2,
+                 CAST(length(bin(c_w1 // c)) - 1 AS BIGINT) AS bits
+          FROM kn)
+SELECT d.doc_id,
+       CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN s.bits IS NOT NULL THEN d.n ELSE 0 END)
+         AS BIGINT) AS known_bigrams,
+       CAST(coalesce(sum(d.n * s.bits), 0) AS BIGINT) AS surprisal_bits,
+       CAST(CASE WHEN sum(CASE WHEN s.bits IS NOT NULL THEN d.n ELSE 0 END) > 0
+                 THEN (1000 * coalesce(sum(d.n * s.bits), 0))
+                      // sum(CASE WHEN s.bits IS NOT NULL THEN d.n ELSE 0 END)
+                 ELSE 0 END AS BIGINT) AS mean_millibits
+FROM per_doc_bg d LEFT JOIN stats s ON d.w1 = s.w1 AND d.w2 = s.w2
+GROUP BY d.doc_id"""

@@ -789,3 +789,181 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Muthitacharoen, Chen & Mazieres, LBFS,
+# SOSP 2001) — variable-length dedup chunks that survive insertions
+# ---------------------------------------------------------------------------
+
+#: rolling-window width (chars) for the boundary test
+CDC_WINDOW = 8
+#: boundary probability 1/CDC_DIVISOR -> expected chunk length ~ divisor
+CDC_DIVISOR = 64
+_CDC_MASK = 0x7FFFFFFF
+
+
+def _cdc_starts(t: Column, window: int, divisor: int) -> Column:
+    """array<int> of chunk start positions (1-based): position 1 plus
+    every i >= 2 where the ``window``-gram starting at i content-hashes
+    to 0 mod ``divisor`` — boundaries depend ONLY on local content, the
+    property that re-synchronises chunking after an insertion (fixed-
+    size blocks lose alignment forever; that is the LBFS argument)."""
+    upper = F.length(t) - window + 1
+    candidates = F.when(upper >= 2, F.sequence(F.lit(2), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_hash = lambda i: (  # noqa: E731 — local expression alias
+        F.conv(F.substring(F.sha2(t.substr(i, F.lit(window)), 256), 1, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(_CDC_MASK))
+        % divisor
+    )
+    return F.concat(
+        F.array(F.lit(1)), F.filter(candidates, lambda i: gram_hash(i) == 0)
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_pos, chunk_len, chunk_sha) — content-
+    defined chunking of each document (LBFS, SOSP 2001; the scheme
+    underneath restic/borg/rsync-style dedup stores): cut points fall
+    where a sliding window-gram hashes to 0 mod ``divisor``, so equal
+    content yields equal chunks REGARDLESS of its offset in the doc —
+    an insertion perturbs only the chunks it touches, and chunking
+    re-synchronises at the next content boundary. The reference verifies
+    whole files by hash (FV/Hasher/Hasher.cs:78-160); CDC is the
+    sub-file generalisation: shared chunks across mirrored / lightly-
+    edited pages dedup even when whole-doc hashes differ.
+
+    Exactness: the boundary hash is the 31-bit sha256-prefix family the
+    CMS/LSH operators use; chunk hashes are uppercase sha256 — every
+    value BIGINT/string-exact in both engines.
+
+    Scale shape: per-doc array pipeline (sequence -> filter -> transform,
+    all codegen'd, zero shuffle) then ONE explode; no windows, no joins.
+    Chunk rows ~ chars/divisor per doc. Degenerate inputs: an empty text
+    yields no rows; a doc shorter than ``window`` is one whole-doc
+    chunk."""
+    t = F.col("text")
+    starts = _cdc_starts(t, window, divisor)
+    n = F.size(starts)
+    chunk = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.struct(
+            j.cast("bigint").alias("chunk_idx"),
+            F.element_at(starts, j).cast("bigint").alias("start_pos"),
+            F.when(
+                j < n, F.element_at(starts, j + 1) - F.element_at(starts, j)
+            )
+            .otherwise(F.length(t) - F.element_at(starts, j) + 1)
+            .cast("bigint")
+            .alias("chunk_len"),
+        ),
+    )
+    ex = (
+        docs.where(F.length(t) >= 1)
+        .select("doc_id", t.alias("_t"), F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_pos").alias("start_pos"),
+            F.col("c.chunk_len").alias("chunk_len"),
+            F.upper(
+                F.sha2(
+                    F.col("_t").substr(
+                        F.col("c.start_pos").cast("int"),
+                        F.col("c.chunk_len").cast("int"),
+                    ),
+                    256,
+                )
+            ).alias("chunk_sha"),
+        )
+    )
+    return ex
+
+
+def cdc_shared(
+    docs: DataFrame,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    min_occs: int = 2,
+) -> DataFrame:
+    """(chunk_sha, chunk_len, n_docs, n_occs, first_doc, saved_chars) —
+    the dedup-store view over :func:`cdc_chunks`: chunks stored once
+    but occurring ``n_occs`` times save ``(n_occs - 1) * chunk_len``
+    chars. ONE hash-groupBy on the uniform 256-bit chunk key (the
+    dedup_exact shuffle shape — partial aggregatable, skew-free)."""
+    return (
+        cdc_chunks(docs, window, divisor)
+        .groupBy("chunk_sha")
+        .agg(
+            F.min("chunk_len").alias("chunk_len"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_occs") >= min_occs)
+        .select(
+            "chunk_sha",
+            "chunk_len",
+            "n_docs",
+            "n_occs",
+            "first_doc",
+            ((F.col("n_occs") - 1) * F.col("chunk_len")).alias("saved_chars"),
+        )
+    )
+
+
+def sql_cdc_chunks_cte(
+    docs_rel: str = "documents",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> str:
+    """Oracle CTE body producing the cdc_chunks relation (same boundary
+    hash, same start/len arithmetic; DuckDB range() is end-exclusive
+    where Spark sequence is inclusive — hence the +2)."""
+    gram = (
+        f"((CAST(('0x' || substr(sha256(substr(text, CAST(i AS BIGINT), "
+        f"{window})), 1, 8)) AS BIGINT) & {_CDC_MASK}) % {divisor}) = 0"
+    )
+    return f"""
+cdc_base AS (
+  SELECT doc_id, text,
+         [1::BIGINT] || list_filter(
+           range(2, greatest(length(text) - {window} + 2, 2)),
+           i -> {gram}) AS starts
+  FROM {docs_rel} WHERE length(text) >= 1),
+cdc_chunks AS (
+  SELECT doc_id,
+         CAST(j AS BIGINT) AS chunk_idx,
+         CAST(starts[j] AS BIGINT) AS start_pos,
+         CAST(CASE WHEN j < len(starts) THEN starts[j + 1] - starts[j]
+                   ELSE length(text) - starts[j] + 1 END AS BIGINT)
+           AS chunk_len,
+         upper(sha256(substr(text, starts[j],
+           CASE WHEN j < len(starts) THEN starts[j + 1] - starts[j]
+                ELSE length(text) - starts[j] + 1 END))) AS chunk_sha
+  FROM cdc_base,
+       LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS j) p)"""
+
+
+def sql_cdc_shared_query(
+    docs_rel: str = "documents",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    min_occs: int = 2,
+) -> str:
+    """Oracle for :func:`cdc_shared`."""
+    return f"""
+WITH {sql_cdc_chunks_cte(docs_rel, window, divisor)}
+SELECT chunk_sha,
+       min(chunk_len) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occs,
+       min(doc_id) AS first_doc,
+       CAST((count(*) - 1) * min(chunk_len) AS BIGINT) AS saved_chars
+FROM cdc_chunks
+GROUP BY 1 HAVING count(*) >= {min_occs}"""

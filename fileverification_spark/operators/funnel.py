@@ -177,3 +177,81 @@ JOIN (SELECT user_id, min(CAST(ts AS DATE)) AS _cohort
       GROUP BY user_id) f ON a.user_id = f.user_id
 WHERE a._day >= f._cohort
 GROUP BY 1, 2"""
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    ``(e_from, e_to, n, n_from, p_micro)`` where ``n`` counts adjacent
+    (by time, within one user) event-type pairs, ``n_from`` the total
+    transitions leaving ``e_from``, and ``p_micro = 1_000_000 * n div
+    n_from`` the exact-integer maximum-likelihood transition probability
+    — the navigation/clickstream model behind next-event prediction and
+    anomaly scoring (a transition matrix is also what sessionized web
+    logs feed to behavioral bot detection).
+
+    Determinism: the per-user order is (ts, event_id) — event_id is
+    globally unique, so ties in ts cannot reorder across engines.
+
+    Scale shape: ONE shuffle — the lead() window partitions by user
+    (bounded per-user groups; no global window) — then a hash-agg on
+    the (e_from, e_to) key space (|types|^2, plan-time tiny) and a
+    broadcast-sized self-rollup for the denominators. Zipf-hot users
+    are a window-partition skew concern only at absurd per-user event
+    counts; AQE handles the agg side because the key space is types,
+    not users."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("e_from"),
+            F.lead(type_col).over(w).alias("e_to"),
+        )
+        .where(F.col("e_to").isNotNull())
+        .groupBy("e_from", "e_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("e_from").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "e_from").select(
+        "e_from",
+        "e_to",
+        "n",
+        "n_from",
+        F.expr("(1000000 * n) div n_from").cast("long").alias("p_micro"),
+    )
+
+
+def sql_event_transitions(events_rel: str = "events") -> str:
+    """DuckDB mirror (bare SELECT): identical window order and integer
+    probability arithmetic."""
+    return f"""SELECT p.e_from, p.e_to, p.n, t.n_from,
+       CAST(1000000 * p.n // t.n_from AS BIGINT) AS p_micro
+FROM (
+  SELECT e_from, e_to, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type AS e_from,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS e_to
+    FROM {events_rel}) x
+  WHERE e_to IS NOT NULL GROUP BY 1, 2
+) p
+JOIN (
+  SELECT e_from, CAST(sum(n) AS BIGINT) AS n_from
+  FROM (
+    SELECT e_from, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT event_type AS e_from,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS e_to
+      FROM {events_rel}) y
+    WHERE e_to IS NOT NULL GROUP BY 1
+  ) GROUP BY 1
+) t ON p.e_from = t.e_from"""

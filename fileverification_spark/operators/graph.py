@@ -1820,3 +1820,217 @@ deepest AS (
 SELECT url, tgt AS final_url, hops,
        tgt NOT IN (SELECT url FROM nonself) AS resolved
 FROM deepest WHERE rk = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (Adamic & Adar 2003; Liben-Nowell &
+# Kleinberg 2003)
+# ---------------------------------------------------------------------------
+
+#: integer score scale: each common neighbor z contributes
+#: 1_000_000 div floor(log2(deg(z))) micro-units — the float 1/log(deg)
+#: weight re-expressed in exact BIGINT arithmetic (deg(z) >= 2 whenever
+#: z is a common neighbor, so the divisor is >= 1)
+AA_SCALE = 1_000_000
+
+
+def adamic_adar(
+    edges: DataFrame, cap: int = COCITE_CAP, min_common: int = 2
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected host graph:
+    ``(h1, h2, n_common, aa_micro, already_linked)`` with ``h1 < h2`` —
+    the classic "friends-of-friends, rare friends count more" score
+    (Adamic & Adar 2003, as evaluated for link prediction by
+    Liben-Nowell & Kleinberg 2003). Each common neighbor ``z``
+    contributes ``AA_SCALE div floor(log2(deg(z)))`` (hub neighbors are
+    near-worthless evidence, leaf-ish shared neighbors strong), floor
+    integer arithmetic so both engines agree bit-for-bit;
+    ``already_linked`` marks pairs with an existing direct edge (the
+    prediction targets are the FALSE rows, but scoring existing edges
+    too is free and lets the caller calibrate).
+
+    Scale shape (the cocitation discipline): the per-z pair generation
+    is quadratic in degree, so each z contributes pairs only from its
+    ``cap`` first neighbors (name-ordered — deterministic); hubs cannot
+    go quadratic and total pair volume is linear in nodes. Degrees are
+    computed on the UNCAPPED adjacency (the weight must be the true
+    degree). One window + one co-partitioned self-join on z + one
+    (h1, h2) hash-agg + one broadcast-sized existence join.
+    """
+    from pyspark.sql.window import Window
+
+    und = undirected_host_edges(edges)
+    nb = und.select(
+        F.col("a").alias("z"), F.col("b").alias("n")
+    ).unionByName(und.select(F.col("b").alias("z"), F.col("a").alias("n")))
+    deg = nb.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    w = Window.partitionBy("z").orderBy("n")
+    top = (
+        nb.select("z", "n", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    pairs = a.join(
+        b, (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n"))
+    ).select(F.col("a.z").alias("z"), F.col("a.n").alias("h1"),
+             F.col("b.n").alias("h2"))
+    contrib = F.expr(
+        f"{AA_SCALE} div (length(bin(deg)) - 1)"
+    ).cast("bigint")
+    scored = (
+        pairs.join(deg, "z")
+        .select("h1", "h2", contrib.alias("w_micro"))
+        .groupBy("h1", "h2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w_micro").cast("bigint").alias("aa_micro"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    linked = und.select(
+        F.col("a").alias("h1"), F.col("b").alias("h2"),
+        F.lit(True).alias("already_linked"),
+    )
+    return scored.join(linked, ["h1", "h2"], "left").select(
+        "h1", "h2", "n_common", "aa_micro",
+        F.coalesce("already_linked", F.lit(False)).alias("already_linked"),
+    )
+
+
+def sql_adamic_adar(
+    edges_rel: str, cap: int = COCITE_CAP, min_common: int = 2
+) -> str:
+    """Oracle: identical undirected fold, cap window, degree weights,
+    and integer floor-log2 scoring (standalone WITH, like the other
+    graph oracles)."""
+    return f"""WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_rel}) e WHERE src != dst
+),
+nb AS (
+  SELECT a AS z, b AS n FROM und
+  UNION ALL
+  SELECT b AS z, a AS n FROM und
+),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY z),
+top AS (
+  SELECT z, n FROM (
+    SELECT z, n, row_number() OVER (PARTITION BY z ORDER BY n) AS rn
+    FROM nb) r
+  WHERE rn <= {cap}
+),
+scored AS (
+  SELECT a.n AS h1, b.n AS h2, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum({AA_SCALE} // (length(bin(d.deg)) - 1)) AS BIGINT)
+           AS aa_micro
+  FROM top a
+  JOIN top b ON a.z = b.z AND a.n < b.n
+  JOIN deg d ON a.z = d.z
+  GROUP BY 1, 2 HAVING count(*) >= {min_common}
+)
+SELECT s.h1, s.h2, s.n_common, s.aa_micro,
+       coalesce(l.linked, FALSE) AS already_linked
+FROM scored s
+LEFT JOIN (SELECT a AS h1, b AS h2, TRUE AS linked FROM und) l
+  ON s.h1 = l.h1 AND s.h2 = l.h2"""
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition (Broder et al., WWW 2000, "Graph structure in
+# the Web")
+# ---------------------------------------------------------------------------
+
+
+def bowtie_regions(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    handles: list | None = None,
+) -> DataFrame:
+    """(host, region) — the Broder et al. 2000 bow-tie map of the host
+    graph around a seed set known to sit in the central SCC: forward
+    BFS gives SCC + OUT, backward BFS (the same relaxation over the
+    reversed edge relation) gives SCC + IN, so
+
+    - ``SCC``   reached in BOTH directions (mutually reachable with the
+      seed within ``max_depth`` hops),
+    - ``IN``    reaches the seed but is not reached from it,
+    - ``OUT``   reached from the seed but cannot return,
+    - ``OTHER`` neither (tendrils, tubes and disconnected components —
+      separating those needs passes keyed off IN/OUT, out of scope).
+
+    The depth bound makes this the crawler's-eye approximation: exact
+    once ``max_depth`` reaches the graph's effective diameter (19 in
+    the paper's 200M-page crawl), and every round is one host-sized
+    shuffle, so cost is ``2 * max_depth`` bounded relaxations — the
+    bfs_depth scale shape, twice.
+    """
+    fwd = bfs_depth(edges, seeds, max_depth, handles=handles).select(
+        F.col("node").alias("host"), F.lit(1).alias("_f")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    )
+    bwd = bfs_depth(rev, seeds, max_depth, handles=handles).select(
+        F.col("node").alias("host"), F.lit(1).alias("_b")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    return (
+        nodes.join(fwd, "host", "left")
+        .join(bwd, "host", "left")
+        .select(
+            "host",
+            F.when(
+                F.col("_f").isNotNull() & F.col("_b").isNotNull(), "SCC"
+            )
+            .when(F.col("_b").isNotNull(), "IN")
+            .when(F.col("_f").isNotNull(), "OUT")
+            .otherwise("OTHER")
+            .alias("region"),
+        )
+    )
+
+
+def sql_bowtie_regions(
+    edges_rel: str, seeds_rel: str, max_depth: int = 4
+) -> str:
+    """Oracle: both BFS relaxations unrolled (forward on (src->dst),
+    backward on the reversed pair), LEFT-joined onto the node universe."""
+    parts = [
+        f"btnodes AS (SELECT src AS node FROM {edges_rel}"
+        f" UNION SELECT dst FROM {edges_rel})",
+        f"btseeds AS (SELECT DISTINCT node FROM {seeds_rel})",
+        "f0 AS (SELECT n.node FROM btnodes n JOIN btseeds s"
+        " ON n.node = s.node)",
+        "r0 AS (SELECT node FROM f0)",
+    ]
+    for i in range(1, max_depth + 1):
+        parts.append(
+            f"f{i} AS (SELECT DISTINCT node FROM ("
+            f"SELECT node FROM f{i - 1}"
+            f" UNION ALL SELECT e.dst AS node FROM {edges_rel} e"
+            f" JOIN f{i - 1} d ON d.node = e.src) u)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT DISTINCT node FROM ("
+            f"SELECT node FROM r{i - 1}"
+            f" UNION ALL SELECT e.src AS node FROM {edges_rel} e"
+            f" JOIN r{i - 1} d ON d.node = e.dst) u)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT n.node AS host,
+       CASE WHEN f.node IS NOT NULL AND r.node IS NOT NULL THEN 'SCC'
+            WHEN r.node IS NOT NULL THEN 'IN'
+            WHEN f.node IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS region
+FROM btnodes n
+LEFT JOIN f{max_depth} f ON n.node = f.node
+LEFT JOIN r{max_depth} r ON n.node = r.node"""
+    )

@@ -264,3 +264,144 @@ expanded AS (
 SELECT row, CAST({col} AS BIGINT) AS col,
        CAST(sum(c) AS BIGINT) AS total
 FROM expanded GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch (Flajolet, Fusy, Gandouet & Meunier 2007)
+# ---------------------------------------------------------------------------
+
+#: register-index bits: m = 2^p = 256 registers per cell
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: bits left for the rank pattern after the index is peeled off the
+#: 60-bit kmv_hash space
+_HLL_WBITS = 60 - HLL_P
+#: scale exponent for the exact-integer indicator sum: every register
+#: contributes 2^(_HLL_SCALE - rho) (an exact BIGINT power of two;
+#: rho_max is _HLL_WBITS + 1, so the exponent never goes negative)
+_HLL_SCALE = _HLL_WBITS + 1
+#: alpha_m * m^2 * 2^_HLL_SCALE — the raw-estimator numerator folded
+#: into ONE float literal so both engines perform a single double
+#: division (float sums would be summation-order-dependent; an integer
+#: sum divided once is not)
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << _HLL_SCALE)
+
+
+def hll_cells(pages: DataFrame, res: int) -> DataFrame:
+    """Per-cell HyperLogLog register relation ``(cell, reg, rho_max)``
+    over distinct URLs (Flajolet et al. 2007): the low ``HLL_P`` bits of
+    the 60-bit URL hash pick one of ``HLL_M`` registers, the remaining
+    ``_HLL_WBITS`` bits feed the rank ``rho`` = leading-zero count + 1,
+    and the register keeps the MAX rank seen. Everything is exact
+    integer arithmetic (``floor(log2)`` via the ``length(bin(x)) - 1``
+    idiom both engines share), so the relation — unlike a float
+    estimate — is bit-exactly reproducible AND mergeable: max
+    re-aggregates, which is what :func:`hll_rollup` exploits.
+
+    Complements the KMV ladder: KMV keeps k 64-bit hashes (512 B/cell,
+    better accuracy at small n), HLL keeps m 6-bit ranks (fixed ~256
+    B/cell regardless of n) — the sketch every production distinct-count
+    stack (Redis PFCOUNT, BigQuery APPROX_COUNT_DISTINCT) runs at scale.
+
+    Scale shape: one codegen'd projection then ONE hash-agg keyed
+    (cell, reg) with map-side partial max — state is bounded by
+    cells x m, never by row count. No windows, no collects."""
+    h = kmv_hash(F.col("url"))
+    w = F.shiftright(h, HLL_P)
+    rho = (
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS) - (F.length(F.bin(w)) - F.lit(1)))
+        .cast("bigint")
+    )
+    return (
+        pages.select(
+            grid.cell_encode(F.col("lat"), F.col("lon"), res).alias("cell"),
+            h.bitwiseAND(F.lit(HLL_M - 1)).cast("bigint").alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("cell", "reg")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    """Scalar view ``(cell, n_regs_set, sum_scaled, est)`` of a register
+    relation: ``sum_scaled`` is the EXACT BIGINT indicator sum
+    ``sum_j 2^(_HLL_SCALE - M[j])`` (absent registers carry rank 0),
+    bounded by m * 2^_HLL_SCALE = 2^61 — fits int64 — and ``est`` is the
+    raw HLL estimator ``alpha_m * m^2 / sum_j 2^-M[j]`` realised as ONE
+    double division of the precomputed float numerator by that integer
+    (deterministic across engines and summation orders). The small-range
+    linear-counting correction (use ``m * ln(m / zero_regs)`` when the
+    raw estimate is below 2.5m — Flajolet et al. §4) is deliberately
+    omitted: it needs a transcendental ``ln`` whose last-ulp behavior
+    is libm-specific, which would break the cross-engine value-hash
+    canon. ``n_regs_set`` IS the linear-counting input (zero_regs =
+    m - n_regs_set), so consumers apply the correction in one float
+    step; the sketch relation is the product, the estimate a view."""
+    return (
+        sketches.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_regs_set"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - rho_max)")
+            ).cast("bigint").alias("present"),
+        )
+        .select(
+            "cell",
+            "n_regs_set",
+            (
+                F.col("present")
+                + (F.lit(HLL_M) - F.col("n_regs_set"))
+                * F.lit(1 << _HLL_SCALE).cast("bigint")
+            ).alias("sum_scaled"),
+        )
+        .select(
+            "cell",
+            "n_regs_set",
+            "sum_scaled",
+            F.round(F.lit(_HLL_NUM) / F.col("sum_scaled"), 4).alias("est"),
+        )
+    )
+
+
+def hll_rollup(sketches: DataFrame, res: int, parent_res: int) -> DataFrame:
+    """Merge child-cell registers into parent-cell registers WITHOUT
+    touching pages: max of maxes per (parent, reg) — exactly equal to
+    hll_cells at ``parent_res`` (the HLL merge identity, pytest-pinned
+    like the KMV and CMS ones)."""
+    parent = grid.cell_parent(F.col("cell"), res, parent_res).alias("cell")
+    return (
+        sketches.select(parent, "reg", "rho_max")
+        .groupBy("cell", "reg")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+
+
+def sql_hll_estimate(res: int, pages_rel: str = "pages") -> str:
+    """Oracle for hll_estimate(hll_cells(...)): identical hash split,
+    rank arithmetic, integer indicator sum, and single division."""
+    cell = grid.sql_cell_encode("lat", "lon", res)
+    scale_one = 1 << _HLL_SCALE
+    return f"""
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n_regs_set,
+       CAST(sum(1::BIGINT << ({_HLL_SCALE} - rho_max))
+            + ({HLL_M} - count(*)) * {scale_one} AS BIGINT) AS sum_scaled,
+       round({_HLL_NUM!r} / (sum(1::BIGINT << ({_HLL_SCALE} - rho_max))
+            + ({HLL_M} - count(*)) * {scale_one}), 4) AS est
+FROM (
+  SELECT cell, reg, max(rho) AS rho_max
+  FROM (
+    SELECT {cell} AS cell,
+           h & {HLL_M - 1} AS reg,
+           CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_WBITS + 1}
+                ELSE {_HLL_WBITS} - (length(bin(h >> {HLL_P})) - 1)
+           END AS rho
+    FROM (
+      SELECT lat, lon,
+             CAST(('0x' || substr(sha256(url), 1, 15)) AS BIGINT) AS h
+      FROM {pages_rel}
+    )
+  ) GROUP BY cell, reg
+) GROUP BY cell"""

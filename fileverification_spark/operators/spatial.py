@@ -2976,3 +2976,45 @@ def cell_extent_rollup(
             F.sum("_s_lon").cast("string").alias("s_lon"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Choropleth quantile classification (equal-frequency map classes)
+# ---------------------------------------------------------------------------
+
+
+def tile_quantile_classes(tiles: DataFrame, n_classes: int = 5) -> DataFrame:
+    """(x, y, n_pages, cls) — equal-frequency (quantile) choropleth
+    classification of a tile raster: ntile(``n_classes``) over
+    (n_pages, x, y) ascending, the standard cartographic class scheme
+    (GIS "quantile breaks"; vs equal-interval, it is robust to the
+    heavy-tailed counts web corpora produce — a linear scale would put
+    every tile except the megacity hubs in class 1). The (x, y)
+    tie-break makes equal-count tiles classify identically in both
+    engines (ntile splits ties by position; an undetermined order would
+    be engine-dependent).
+
+    Scale note: the window is global BY DESIGN — its input is the
+    ALREADY-AGGREGATED tile relation, bounded by 4^z at plan time
+    (z=6 -> <= 4096 rows; z=12 -> <= 16.7M, still one executor's
+    work), never the page corpus. The corpus-sized work is the
+    upstream tile count hash-agg, which partials map-side."""
+    from pyspark.sql.window import Window
+
+    if n_classes < 1:
+        raise ValueError("n_classes must be >= 1")
+    w = Window.orderBy("n_pages", "x", "y")
+    return tiles.select(
+        "x", "y", "n_pages",
+        F.ntile(n_classes).over(w).cast("bigint").alias("cls"),
+    )
+
+
+def sql_tile_quantile_classes(tiles_rel: str, n_classes: int = 5) -> str:
+    """Oracle: identical ntile window (SQL-standard equal-frequency
+    semantics in both engines)."""
+    return f"""
+SELECT x, y, n_pages,
+       CAST(ntile({n_classes}) OVER (ORDER BY n_pages, x, y) AS BIGINT)
+         AS cls
+FROM ({tiles_rel}) t"""

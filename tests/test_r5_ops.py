@@ -462,3 +462,409 @@ def test_cms_no_python_no_occurrence_keyed_expansion(spark):
     # first agg, sequence explode between the aggs, never a third)
     assert plan.count("Exchange (") == 2
     assert plan.count("Generate (") == 2
+
+
+# ---------------------------------------------------------------------------
+# hll_cells / hll_estimate / hll_rollup (HyperLogLog)
+# ---------------------------------------------------------------------------
+
+from fileverification_spark.operators import funnel as FN
+
+
+def _hll_pages(spark, n=300):
+    # deterministic lat/lon spread over a few cells
+    return spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
+        ((F.col("id") % 120).cast("double") - 60.0).alias("lat"),
+        ((F.col("id") % 340).cast("double") - 170.0).alias("lon"),
+    )
+
+
+def test_hll_register_bounds_and_estimate(spark):
+    pages = _hll_pages(spark)
+    sk = SK.hll_cells(pages, 1)
+    rows = sk.collect()
+    assert rows, "sketch must be non-empty"
+    for r in rows:
+        assert 0 <= r["reg"] < SK.HLL_M
+        assert 1 <= r["rho_max"] <= SK._HLL_WBITS + 1
+    for r in SK.hll_estimate(sk).collect():
+        assert r["n_regs_set"] <= SK.HLL_M
+        assert r["sum_scaled"] <= SK.HLL_M * (1 << SK._HLL_SCALE)
+        assert r["est"] > 0
+
+
+def test_hll_estimate_accuracy_in_range(spark):
+    # the RAW estimator is accurate only above the small-range knee
+    # (~2.5m distinct; below it Flajolet applies linear counting, which
+    # the view deliberately omits — n_regs_set carries that input).
+    # One dense cell with 4000 >> 640 distinct URLs: sigma = 1.04/16,
+    # assert within ~4 sigma.
+    pages = spark.range(4000).select(
+        F.concat(F.lit("https://h.example/p"), F.col("id")).alias("url"),
+        F.lit(10.0).alias("lat"), F.lit(10.0).alias("lon"),
+    )
+    rows = SK.hll_estimate(SK.hll_cells(pages, 1)).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["est"] - 4000) / 4000 < 0.26
+
+
+def test_hll_merge_identity(spark):
+    # rollup(child sketches) == hll_cells at the parent res, bit-exact
+    pages = _hll_pages(spark, 500)
+    child = SK.hll_cells(pages, 2)
+    rolled = {(r["cell"], r["reg"]): r["rho_max"]
+              for r in SK.hll_rollup(child, 2, 1).collect()}
+    direct = {(r["cell"], r["reg"]): r["rho_max"]
+              for r in SK.hll_cells(pages, 1).collect()}
+    assert rolled == direct
+
+
+def test_hll_insensitive_to_duplicates(spark):
+    # HLL is a distinct sketch: re-unioning the same pages changes nothing
+    pages = _hll_pages(spark, 200)
+    once = {(r["cell"], r["reg"]): r["rho_max"]
+            for r in SK.hll_cells(pages, 1).collect()}
+    twice = {(r["cell"], r["reg"]): r["rho_max"]
+             for r in SK.hll_cells(pages.unionByName(pages), 1).collect()}
+    assert once == twice
+
+
+def test_hll_no_python_one_agg(spark):
+    plan = X.formatted_plan(SK.hll_cells(_hll_pages(spark), 1))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange (") == 1   # single (cell,reg) hash-agg
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar (link prediction)
+# ---------------------------------------------------------------------------
+
+def test_adamic_adar_hand_computed(spark):
+    # undirected graph: z1 -- {a, b, c}; z2 -- {a, b}; edge a--b absent,
+    # edge a--c present (via direct link)
+    edges = spark.createDataFrame(
+        [("z1", "a", 1), ("z1", "b", 1), ("z1", "c", 1),
+         ("z2", "a", 1), ("z2", "b", 1), ("a", "c", 1)],
+        "src string, dst string, w long",
+    )
+    got = {(r["h1"], r["h2"]): r
+           for r in GR.adamic_adar(edges, min_common=1).collect()}
+    # deg: z1=3, z2=2, a=3 (z1,z2,c), b=2, c=2 (z1,a)
+    ab = got[("a", "b")]
+    # common neighbors of a,b: z1 (deg 3 -> floor_log2=1) and z2 (deg 2
+    # -> 1): contributions 1e6 each
+    assert ab["n_common"] == 2 and ab["aa_micro"] == 2_000_000
+    assert not ab["already_linked"]
+    # a--c share z1 only, and are directly linked
+    ac = got[("a", "c")]
+    assert ac["n_common"] == 1 and ac["already_linked"]
+    # b--c share z1 only
+    assert got[("b", "c")]["n_common"] == 1
+    # pairs through a (z1,z2 share a and b): deg(a)=3 -> floor_log2=1,
+    # deg(b)=2 -> 1: 2e6 total
+    z12 = got[("z1", "z2")]
+    assert z12["n_common"] == 2 and z12["aa_micro"] == 2_000_000
+
+
+def test_adamic_adar_hub_weights_less(spark):
+    # a common neighbor of degree 8 contributes 1e6 div 3 = 333333
+    rows = [("hub", f"n{i}", 1) for i in range(8)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = {(r["h1"], r["h2"]): r["aa_micro"]
+           for r in GR.adamic_adar(edges, min_common=1).collect()}
+    assert got[("n0", "n1")] == 1_000_000 // 3
+
+
+def test_adamic_adar_cap_bounds_pairs(spark):
+    # cap=2: a hub with 5 neighbors yields only the 1 pair of its 2
+    # name-first neighbors
+    rows = [("hub", f"n{i}", 1) for i in range(5)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = GR.adamic_adar(edges, cap=2, min_common=1).collect()
+    assert {(r["h1"], r["h2"]) for r in got} == {("n0", "n1")}
+
+
+def test_adamic_adar_no_python(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, w long"
+    )
+    assert "EvalPython" not in X.formatted_plan(GR.adamic_adar(edges))
+
+
+# ---------------------------------------------------------------------------
+# event_transitions (Markov transition counts)
+# ---------------------------------------------------------------------------
+
+def test_event_transitions_hand_computed(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: view -> click -> view
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view"),
+        # user 2: view -> view
+        (4, t0, 2, "view"),
+        (5, t0 + dt.timedelta(minutes=5), 2, "view"),
+        # user 3: single event -> no transition
+        (6, t0, 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r["e_from"], r["e_to"]): r
+           for r in FN.event_transitions(ev).collect()}
+    assert set(got) == {("view", "click"), ("click", "view"),
+                        ("view", "view")}
+    assert got[("view", "click")]["n"] == 1
+    assert got[("view", "view")]["n"] == 1
+    # out of 'view': 2 transitions -> p = 500000 each
+    assert got[("view", "click")]["n_from"] == 2
+    assert got[("view", "click")]["p_micro"] == 500_000
+    assert got[("click", "view")]["n_from"] == 1
+    assert got[("click", "view")]["p_micro"] == 1_000_000
+
+
+def test_event_transitions_ts_tie_broken_by_event_id(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(2, t0, 1, "b"), (1, t0, 1, "a")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = FN.event_transitions(ev).collect()
+    assert len(got) == 1
+    assert (got[0]["e_from"], got[0]["e_to"]) == ("a", "b")
+
+
+def test_event_transitions_no_cross_user_pairs(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, 1, "a"), (2, t0 + dt.timedelta(seconds=1), 2, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    assert FN.event_transitions(ev).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks / cdc_shared (content-defined chunking)
+# ---------------------------------------------------------------------------
+
+_CDC_TEXT = (
+    "The quick brown fox jumps over the lazy dog while seventeen "
+    "astronauts calibrate a copper telescope beside the northern "
+    "riverbank, and every Tuesday the archivist catalogues another "
+    "shelf of weathered maps, pressed ferns, and letters from ships "
+    "that never returned to harbour."
+)
+
+
+def test_cdc_chunks_reconstruct_text(spark):
+    docs = spark.createDataFrame([(1, _CDC_TEXT)], "doc_id long, text string")
+    rows = sorted(D.cdc_chunks(docs, divisor=16).collect(),
+                  key=lambda r: r["chunk_idx"])
+    assert rows[0]["start_pos"] == 1
+    # chunks tile the doc exactly: contiguous, full-cover
+    pos = 1
+    for r in rows:
+        assert r["start_pos"] == pos and r["chunk_len"] >= 1
+        pos += r["chunk_len"]
+    assert pos == len(_CDC_TEXT) + 1
+    # chunk hashes are the sha256 of the exact substrings
+    import hashlib
+
+    for r in rows:
+        sub = _CDC_TEXT[r["start_pos"] - 1 : r["start_pos"] - 1 + r["chunk_len"]]
+        assert r["chunk_sha"] == hashlib.sha256(sub.encode()).hexdigest().upper()
+
+
+def test_cdc_resynchronises_after_insertion(spark):
+    # THE content-defined property: prefix-inserting text shifts only the
+    # leading chunks; chunking re-syncs at the next content boundary and
+    # the tail chunks hash identically (fixed-size blocks never re-sync)
+    docs = spark.createDataFrame(
+        [(1, _CDC_TEXT), (2, "INSERTED PREFIX >>> " + _CDC_TEXT)],
+        "doc_id long, text string",
+    )
+    ch = D.cdc_chunks(docs, divisor=16).collect()
+    a = [r["chunk_sha"] for r in sorted(
+        (r for r in ch if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
+    b = [r["chunk_sha"] for r in sorted(
+        (r for r in ch if r["doc_id"] == 2), key=lambda r: r["chunk_idx"])]
+    assert len(a) >= 3, "divisor 16 must cut this text several times"
+    # identical suffix: every chunk after doc 2's re-sync point matches
+    shared = set(a) & set(b)
+    assert shared, "no chunk survived a 20-char prefix insertion"
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    assert k >= 1 and set(a[-k:]) == set(b[-k:])
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "")], "doc_id long, text string"
+    )
+    rows = D.cdc_chunks(docs).collect()
+    assert len(rows) == 1  # empty text yields nothing
+    r = rows[0]
+    assert r["chunk_idx"] == 1 and r["chunk_len"] == 4
+
+
+def test_cdc_shared_counts_and_savings(spark):
+    docs = spark.createDataFrame(
+        [(1, _CDC_TEXT), (2, _CDC_TEXT)], "doc_id long, text string"
+    )
+    per_doc = D.cdc_chunks(docs, divisor=16).where(F.col("doc_id") == 1)
+    n_chunks = per_doc.count()
+    got = D.cdc_shared(docs, divisor=16).collect()
+    # identical docs: every chunk shared exactly twice
+    assert len(got) == n_chunks
+    for r in got:
+        assert r["n_docs"] == 2 and r["n_occs"] == 2
+        assert r["first_doc"] == 1
+        assert r["saved_chars"] == r["chunk_len"]
+
+
+def test_cdc_no_python_zero_shuffle_chunks(spark):
+    docs = spark.createDataFrame([(1, _CDC_TEXT)], "doc_id long, text string")
+    plan = X.formatted_plan(D.cdc_chunks(docs))
+    assert "EvalPython" not in plan
+    assert "Exchange (" not in plan     # per-doc array pipeline + explode only
+    shared = X.formatted_plan(D.cdc_shared(docs))
+    # count(DISTINCT doc_id) plans as the standard two-phase distinct
+    # agg: partial on (chunk_sha, doc_id), final on chunk_sha — both
+    # keyed on the uniform 256-bit sha, both partial-aggregatable; two
+    # Exchanges and never a third
+    assert shared.count("Exchange (") == 2
+
+
+# ---------------------------------------------------------------------------
+# tile_quantile_classes (choropleth classification)
+# ---------------------------------------------------------------------------
+
+from fileverification_spark.operators import spatial as S
+
+
+def test_tile_classes_equal_frequency(spark):
+    # 10 tiles, counts 1..10, 5 classes -> 2 tiles per class, ordered
+    tiles = spark.createDataFrame(
+        [(i, 0, i + 1) for i in range(10)], "x long, y long, n_pages long"
+    )
+    got = {r["x"]: r["cls"] for r in S.tile_quantile_classes(tiles, 5).collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4, 8: 5, 9: 5}
+
+
+def test_tile_classes_ties_deterministic(spark):
+    # equal counts split by (x, y) position — replay ntile by hand
+    tiles = spark.createDataFrame(
+        [(x, 0, 7) for x in range(5)], "x long, y long, n_pages long"
+    )
+    got = {r["x"]: r["cls"] for r in S.tile_quantile_classes(tiles, 2).collect()}
+    # ntile(2) over 5 rows: first 3 in class 1, last 2 in class 2
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_tile_classes_rejects_bad_classes(spark):
+    import pytest
+
+    tiles = spark.createDataFrame([(0, 0, 1)], "x long, y long, n_pages long")
+    with pytest.raises(ValueError):
+        S.tile_quantile_classes(tiles, 0)
+
+
+# ---------------------------------------------------------------------------
+# bowtie_regions (Broder 2000 bow-tie decomposition)
+# ---------------------------------------------------------------------------
+
+def test_bowtie_hand_graph_all_regions(spark):
+    # IN -> SCC(a <-> b) -> OUT, plus an untouched island (OTHER)
+    edges = spark.createDataFrame(
+        [
+            ("in1", "a", 1), ("in2", "in1", 1),   # chain into the SCC
+            ("a", "b", 1), ("b", "a", 1),          # the 2-cycle SCC
+            ("a", "out1", 1), ("out1", "out2", 1),  # chain out
+            ("iso1", "iso2", 1),                   # disconnected island
+        ],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["host"]: r["region"]
+           for r in GR.bowtie_regions(edges, seeds, max_depth=3).collect()}
+    assert got == {
+        "a": "SCC", "b": "SCC",
+        "in1": "IN", "in2": "IN",
+        "out1": "OUT", "out2": "OUT",
+        "iso1": "OTHER", "iso2": "OTHER",
+    }
+
+
+def test_bowtie_depth_bound_truncates(spark):
+    # at max_depth=1 the 2-hop tail is not yet reached -> OTHER
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1), ("a", "o1", 1), ("o1", "o2", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["host"]: r["region"]
+           for r in GR.bowtie_regions(edges, seeds, max_depth=1).collect()}
+    assert got["o1"] == "OUT" and got["o2"] == "OTHER"
+
+
+def test_bowtie_no_python(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, w long"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    plan = X.formatted_plan(GR.bowtie_regions(edges, seeds, max_depth=2))
+    assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bigram_surprisal (second-order LM filter signal)
+# ---------------------------------------------------------------------------
+
+def test_bigram_surprisal_hand_computed(spark):
+    # corpus: "a b a b" (bigrams ab x2, ba x1) + "a b c" (ab, bc)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r
+           for r in CUR.bigram_surprisal(docs, min_count=1).collect()}
+    # corpus stats: c(ab)=3 c_w1(a)=3 -> bits=log2(1)=0
+    #               c(ba)=1 c_w1(b)=... b followed by a(1) and c(1): c_w1=2
+    #               -> bits(ba)=log2(2)=1; c(bc)=1 -> bits=1
+    d1 = got[1]
+    assert d1["n_bigrams"] == 3 and d1["known_bigrams"] == 3
+    assert d1["surprisal_bits"] == 2 * 0 + 1 * 1   # ab ab ba
+    assert d1["mean_millibits"] == (1000 * 1) // 3
+    d2 = got[2]
+    assert d2["surprisal_bits"] == 0 + 1           # ab bc
+
+
+def test_bigram_surprisal_oov_counted_not_scored(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b z q")], "doc_id long, text string"
+    )
+    # min_count=2: only (a,b) with c=3 survives; (b,a),(b,z),(z,q) OOV
+    got = {r["doc_id"]: r
+           for r in CUR.bigram_surprisal(docs, min_count=2).collect()}
+    assert got[2]["n_bigrams"] == 3
+    assert got[2]["known_bigrams"] == 1            # just ab
+    assert got[1]["known_bigrams"] == 2            # ab x2, ba OOV
+
+
+def test_bigram_surprisal_all_oov_doc_zero_mean(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "a b a b a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r
+           for r in CUR.bigram_surprisal(docs, min_count=3).collect()}
+    assert got[1]["known_bigrams"] == 0
+    assert got[1]["surprisal_bits"] == 0 and got[1]["mean_millibits"] == 0
