@@ -2472,12 +2472,10 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     # -- never driver-run: r4 geospatial-variant backlog --
     "knn_geodesic": _q_knn_geodesic,
     "raster_pyramid": _q_raster_pyramid,
-    "raster_smooth": _q_raster_smooth,
     "tile_counts": _q_tile_counts,
     "geohash_counts": _q_geohash_counts,
     # -- never driver-run: r4 curation / retrieval / text additions --
     "domain_quantiles": _q_domain_quantiles,
-    "shingle_dups": _q_shingle_dups,
     "html_meta": _q_html_meta,
     "mime_kinds": _q_mime_kinds,
     "readability": _q_readability,
@@ -2485,25 +2483,20 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "c4_clean": _q_c4_clean,
     "unigram_surprisal": _q_surprisal,
     "capture_churn": _q_capture_churn,
-    "recrawl_priority": _q_recrawl_priority,
     # -- never driver-run: r4 web-graph centrality / structure --
     "cocite_hosts": _q_cocite_hosts,
     "hits_hosts": _q_hits_hosts,
     "trustrank_hosts": _q_trustrank_hosts,
-    "bfs_depth": _q_bfs_depth,
     "kcore_hosts": _q_kcore_hosts,
     "host_triangles": _q_host_triangles,
-    "host_clustering": _q_host_clustering,
     "mirror_hosts": _q_mirror_hosts,
     "degree_mixing": _q_degree_mixing,
     # -- never driver-run: r4 crawl scheduling / event analytics --
     "fetch_schedule": _q_fetch_schedule,
-    "fetch_budget": _q_fetch_budget,
     "rendezvous_shards": _q_rendezvous,
     "funnel": _q_funnel,
     "retention": _q_retention,
     # -- never driver-run: r4 spatial statistics / layout --
-    "moran_tiles": _q_moran_tiles,
     "getis_ord": _q_getis_ord,
     "ripley_k": _q_ripley,
     "dbscan": _q_dbscan,
@@ -2512,8 +2505,6 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "tile_bursts": _q_tile_bursts,
     "lang_affinity": _q_lang_affinity,
     "cell_extent": _q_cell_extent,
-    "extent_rollup": _q_extent_rollup,
-    "zorder_layout": _q_zorder_layout,
     "zorder_bbox": _q_zorder_bbox,
     # -- new in r5 (never driver-run) --
     "url_quality": _q_url_quality,
@@ -2523,6 +2514,17 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "phrase_search": _q_phrase_search,
     "lang_temperature": _q_lang_temperature,
     "canonical_resolve": _q_canonical_resolve,
+    # -- late r5 (never driver-run): each replaces a window query whose
+    #    operator core a remaining window sibling still exercises --
+    "hybrid_search": _q_hybrid_search,
+    "kn_bigrams": _q_kn_bigrams,
+    "cms_tokens": _q_cms_tokens,
+    "hll_cells": _q_hll_cells,
+    "adamic_adar": _q_adamic_adar,
+    "event_transitions": _q_event_transitions,
+    "cdc_dedup": _q_cdc_dedup,
+    "tile_classes": _q_tile_classes,
+    "bowtie_regions": _q_bowtie,
     # -- canaries (driver-green r01-r04; regression sentinels) --
     "pages_derive": _q_pages_derive,
     "verify_report": _q_verify_report,
@@ -2548,17 +2550,26 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "cell_digests_mergeable": _q_cell_digests_mergeable,
     "politeness_schedule": _q_politeness_schedule,
     "tile_trend": _q_tile_trend,
-    # r5 late additions beyond the full window: strict demoted-gate
-    # evidence at both SFs from day one
-    "hybrid_search": _q_hybrid_search,
-    "kn_bigrams": _q_kn_bigrams,
-    "cms_tokens": _q_cms_tokens,
-    "hll_cells": _q_hll_cells,
-    "adamic_adar": _q_adamic_adar,
-    "event_transitions": _q_event_transitions,
-    "cdc_dedup": _q_cdc_dedup,
-    "tile_classes": _q_tile_classes,
-    "bowtie_regions": _q_bowtie,
+    # Never-run overflow twins: the nine late-r5 operators were promoted
+    # into the window; these nine ceded their slots because a window
+    # sibling still exercises the same operator core (raster_smooth by
+    # focal_smooth's kernel, shingle_dups by winnow_pairs' k-gram
+    # fingerprints, recrawl_priority by capture_churn, bfs_depth by
+    # bowtie_regions' bidirectional relaxation, host_clustering by
+    # host_triangles, fetch_budget by rendezvous_shards +
+    # lang_temperature's Hamilton arithmetic, moran_tiles by getis_ord's
+    # W-matrix, extent_rollup by cell_extent, zorder_layout by
+    # zorder_bbox's Morton machinery, bigram_surprisal by kn_bigrams).
+    # All stay under the strict demoted-gate canon at both scale factors.
+    "raster_smooth": _q_raster_smooth,
+    "shingle_dups": _q_shingle_dups,
+    "recrawl_priority": _q_recrawl_priority,
+    "bfs_depth": _q_bfs_depth,
+    "host_clustering": _q_host_clustering,
+    "fetch_budget": _q_fetch_budget,
+    "moran_tiles": _q_moran_tiles,
+    "extent_rollup": _q_extent_rollup,
+    "zorder_layout": _q_zorder_layout,
     "bigram_surprisal": _q_bigram_surprisal,
     # r5: re-audit slots ceded to the new url_quality/crawl_traps/
     # semantic_dedup window entries (newest driver evidence r02)

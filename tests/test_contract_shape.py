@@ -12,17 +12,29 @@ import __spark_entry__ as E
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 _CANARIES = {"pages_derive", "verify_report"}
-# Never-driver-run queries allowed OUTSIDE the window: with the four
-# late-r5 operators (winnow_pairs/phrase_search/lang_temperature/
-# canonical_resolve) the never-run set is 50 and the window holds 48
-# after the canaries, so two never-run TWINS cede their slot to queries
-# with distinct machinery: politeness_schedule shares fetch_schedule's
-# scheduler core, tile_trend shares tile_bursts' space-time stats. Both
-# remain under the strict demoted-gate canon at both scale factors.
-_OVERFLOW_TWINS = {
-    "politeness_schedule",
-    "tile_trend",
+# Never-driver-run queries allowed OUTSIDE the window: the never-run set
+# is 60 and the window holds 48 after the canaries, so twelve never-run
+# TWINS cede their slot — each to a window sibling that exercises the
+# same operator core (value = the promoted sibling). The nine late-r5
+# operators with genuinely new machinery (hybrid_search, kn_bigrams,
+# cms_tokens, hll_cells, adamic_adar, event_transitions, cdc_dedup,
+# tile_classes, bowtie_regions) were promoted instead. Every twin stays
+# under the strict demoted-gate canon at both scale factors.
+_OVERFLOW_SIBLINGS = {
+    "politeness_schedule": "fetch_schedule",   # HRW politeness scheduler
+    "tile_trend": "tile_bursts",               # space-time tile stats
+    "raster_smooth": "focal_smooth",           # focal kernel over raster
+    "shingle_dups": "winnow_pairs",            # k-gram fingerprint dups
+    "recrawl_priority": "capture_churn",       # churn-band composition
+    "bfs_depth": "bowtie_regions",             # BFS relaxation (run 2x)
+    "host_clustering": "host_triangles",       # triangle-count core
+    "fetch_budget": "rendezvous_shards",       # HRW shards + Hamilton
+    "moran_tiles": "getis_ord",                # W-matrix local stats
+    "extent_rollup": "cell_extent",            # mergeable extent state
+    "zorder_layout": "zorder_bbox",            # Morton interleave/ranges
+    "bigram_surprisal": "kn_bigrams",          # bigram-count relation
 }
+_OVERFLOW_TWINS = set(_OVERFLOW_SIBLINGS)
 
 
 def _driver_ran(rounds=("01", "02", "03", "04")):
@@ -78,9 +90,6 @@ def test_overflow_twins_have_promoted_siblings():
     """A never-run query may cede its window slot only to stand behind a
     promoted sibling that exercises the same operator core."""
     window = set(E.queries())
-    siblings = {"politeness_schedule": "fetch_schedule",
-                "tile_trend": "tile_bursts"}
-    assert set(siblings) == _OVERFLOW_TWINS
-    for twin, sib in siblings.items():
+    for twin, sib in _OVERFLOW_SIBLINGS.items():
         assert twin in E.demoted_queries(), twin
         assert sib in window, (twin, sib)
