@@ -25,6 +25,7 @@ from fileverification_spark.operators import asof as AS
 from fileverification_spark.operators import captures as CAP
 from fileverification_spark.operators import curation as CUR
 from fileverification_spark.operators import dedup as D
+from fileverification_spark.operators import diagnostics as DG
 from fileverification_spark.operators import funnel as FN
 from fileverification_spark.operators import graph as GR
 from fileverification_spark.operators import manifest as M
@@ -2455,6 +2456,52 @@ def _q_lineage(spark: SparkSession, sf: str) -> DataFrame:
     return INC.lineage(report, "r1")
 
 
+# candidate frontier for the bloom probe: every 7th url is already in
+# the store (must come back might_seen — Bloom has no false negatives),
+# every 11th gets a '#new' suffix (definitely new; TRUE only on an fp)
+def _q_bloom_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    pages = P.pages_with_derived(spark, sf)
+    cand = (
+        pages.where(F.col("doc_id") % 7 == 0)
+        .select("url")
+        .unionByName(
+            pages.where(F.col("doc_id") % 11 == 0).select(
+                F.concat(F.col("url"), F.lit("#new")).alias("url")
+            )
+        )
+    )
+    return SK.bloom_probe(SK.bloom_urls(pages), cand)
+
+
+_SQL_BLOOM_CAND = """SELECT url FROM pages WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT url || '#new' AS url FROM pages WHERE doc_id % 11 = 0"""
+
+
+def _q_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
+    return S.hilbert_layout_stats(P.pages_with_derived(spark, sf))
+
+
+_SKEW_TOP = 10
+_SKEW_TARGET = 100
+
+
+def _q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    pages = P.pages_with_derived(spark, sf)
+    return DG.skew_report(
+        pages, GR.host_of(F.col("url")), top=_SKEW_TOP, target=_SKEW_TARGET
+    )
+
+
+_LPA_ROUNDS = 3
+
+
+def _q_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.lpa_communities(
+        GR.host_edges(_link_planted(spark, sf)), rounds=_LPA_ROUNDS
+    )
+
+
 # The driver executes at most ~50 contract queries per round (r01 ran
 # 47/47, r02 ran exactly 50/65 — VERDICT r02 "What's wrong" #1). The
 # contract is therefore capped at 50 entries, ordered so that queries
@@ -2473,7 +2520,6 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "knn_geodesic": _q_knn_geodesic,
     "raster_pyramid": _q_raster_pyramid,
     "tile_counts": _q_tile_counts,
-    "geohash_counts": _q_geohash_counts,
     # -- never driver-run: r4 curation / retrieval / text additions --
     "domain_quantiles": _q_domain_quantiles,
     "html_meta": _q_html_meta,
@@ -2525,6 +2571,10 @@ _CONTRACT: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "cdc_dedup": _q_cdc_dedup,
     "tile_classes": _q_tile_classes,
     "bowtie_regions": _q_bowtie,
+    # -- new in r5: Bloom frontier membership (took geohash_counts'
+    #    slot — tile_counts exercises the same fixed-grid bucket-count
+    #    core) --
+    "bloom_frontier": _q_bloom_frontier,
     # -- canaries (driver-green r01-r04; regression sentinels) --
     "pages_derive": _q_pages_derive,
     "verify_report": _q_verify_report,
@@ -2571,6 +2621,14 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "extent_rollup": _q_extent_rollup,
     "zorder_layout": _q_zorder_layout,
     "bigram_surprisal": _q_bigram_surprisal,
+    "geohash_counts": _q_geohash_counts,
+    # Post-window-freeze r5 additions: the window was already spent on
+    # the 50 least-evidenced queries when these landed, so they enter
+    # under the strict demoted-gate canon (both scale factors) from day
+    # one — the same evidence every demoted query carries.
+    "hilbert_layout": _q_hilbert_layout,
+    "skew_report": _q_skew_report,
+    "lpa_communities": _q_lpa_communities,
     # r5: re-audit slots ceded to the new url_quality/crawl_traps/
     # semantic_dedup window entries (newest driver evidence r02)
     "knn_adaptive": _q_knn_adaptive,
@@ -2915,6 +2973,22 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             _sql_host_edges(_SQL_LINK_PLANTED)
         ),
         "event_transitions": FN.sql_event_transitions(),
+        "bloom_frontier": _with(SK.sql_bloom_ctes(_SQL_BLOOM_CAND))
+        + "\n"
+        + SK.sql_bloom_probe_select(),
+        "hilbert_layout": _with(grid.sql_hilbert_ladder())
+        + "\n"
+        + S.sql_hilbert_layout_stats(),
+        "skew_report": _with(
+            DG.sql_skew_report(
+                "pages", GR.sql_host_of("url"), top=_SKEW_TOP
+            )
+        )
+        + "\n"
+        + DG.sql_skew_report_select(target=_SKEW_TARGET),
+        "lpa_communities": GR.sql_lpa_communities(
+            _sql_host_edges(_SQL_LINK_PLANTED), rounds=_LPA_ROUNDS
+        ),
         "cdc_dedup": _sql_cdc_dedup(),
         "tile_classes": _with() + "\n" + _sql_tile_classes(),
         "bowtie_regions": _sql_bowtie(),

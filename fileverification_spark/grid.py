@@ -776,3 +776,139 @@ def morton_ranges(
         merged[gi][1] = merged[gi + 1][1]
         del merged[gi + 1]
     return [(lo, hi) for lo, hi in merged]
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (the locality-optimal companion of the Morton key)
+# ---------------------------------------------------------------------------
+#
+# Hilbert d-index of a 2^level x 2^level grid point (Hilbert 1891; the
+# xy->d iteration is the standard public formulation, e.g. Hamilton's
+# compact Hilbert indices tech report CS-2006-07 / the classic
+# quadrant-rotation loop). Same role as morton_key — a space-filling
+# data-layout key the table is sorted/clustered by — but consecutive
+# Hilbert keys are ALWAYS 4-neighbors on the grid (Morton takes long
+# diagonal jumps at quadrant seams), so range scans touch fewer extra
+# tiles: the classic measure is ~half the average bbox-query false
+# positives vs Z-order at equal level. The audit query (hilbert_layout)
+# makes that claim measurable on this engine's own corpus next to
+# zorder_layout's identical stats.
+#
+# Execution shape: the xy->d loop carries (x, y) state across levels —
+# inlining it as one nested Column would triple the expression per
+# level (3^level nodes). attach_hilbert_key therefore unrolls it as a
+# CHAIN OF PROJECTIONS (one select per level, each a handful of CASE /
+# shift / add terms over the previous level's named columns) that
+# whole-stage codegen fuses into a single pass — no UDF, no Python, no
+# shuffle, and the SQL mirror is the same chain as a WITH ladder.
+
+#: 2^HILBERT_LEVEL x 2^HILBERT_LEVEL grid — matches ZORDER_LEVEL so the
+#: two layout audits are comparable bucket-for-bucket
+HILBERT_LEVEL = ZORDER_LEVEL
+
+
+def _hilbert_step(n: int, k: int):
+    """Column transforms for one xy->d level: returns (d_term, new_x,
+    new_y) as functions of the current (x, y) Columns. s = 2^k is the
+    bit being consumed; the rotation uses the full n-1 flip exactly as
+    the classic loop does (higher bits are already consumed, lower bits
+    all flip)."""
+    s = 1 << k
+
+    def step(x: Column, y: Column, d: Column):
+        rx = F.shiftright(x, k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, k).bitwiseAND(F.lit(1))
+        quad = (rx * F.lit(3)).bitwiseXOR(ry)
+        d2 = d + F.lit(s * s) * quad
+        flip_x = F.lit(n - 1) - x
+        flip_y = F.lit(n - 1) - y
+        nx = F.when(ry == 1, x).otherwise(
+            F.when(rx == 1, flip_y).otherwise(y)
+        )
+        ny = F.when(ry == 1, y).otherwise(
+            F.when(rx == 1, flip_x).otherwise(x)
+        )
+        return d2, nx, ny
+
+    return step
+
+
+def attach_hilbert_key(
+    df: DataFrame,
+    lat: Column,
+    lon: Column,
+    level: int = HILBERT_LEVEL,
+    out: str = "hkey",
+) -> DataFrame:
+    """``df`` + a ``hkey`` BIGINT column: the Hilbert d-index of the
+    equirectangular (lat, lon) quantization (same zorder_xy grid as the
+    Morton key, so hilbert_layout and zorder_layout audit the SAME
+    cells). One projection per level, zero shuffle."""
+    _check_zlevel(level)
+    n = 1 << level
+    xy = zorder_xy(lat, lon, level)
+    cur = df.withColumns(
+        {"_hx": xy["x"], "_hy": xy["y"], out: F.lit(0).cast("bigint")}
+    )
+    for k in range(level - 1, -1, -1):
+        d2, nx, ny = _hilbert_step(n, k)(
+            F.col("_hx"), F.col("_hy"), F.col(out)
+        )
+        cur = cur.withColumns({out: d2.cast("bigint"), "_hx": nx, "_hy": ny})
+    return cur.drop("_hx", "_hy")
+
+
+def sql_hilbert_ladder(
+    level: int = HILBERT_LEVEL,
+    src: str = "pages",
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+    keep: str = "",
+) -> str:
+    """DuckDB mirror of :func:`attach_hilbert_key`: WITH-clause fragment
+    ``hl{level} AS (...), ..., hl0 AS (...)`` whose last CTE ``hl0``
+    carries ``hkey`` (+ any ``keep`` columns, comma-prefixed)."""
+    _check_zlevel(level)
+    n = 1 << level
+    x_sql, y_sql = sql_zorder_xy(lat_expr, lon_expr, level)
+    parts = [
+        f"hl{level} AS (SELECT {x_sql} AS hx, {y_sql} AS hy, "
+        f"CAST(0 AS BIGINT) AS hkey{keep} FROM {src})"
+    ]
+    for k in range(level - 1, -1, -1):
+        s = 1 << k
+        rx = f"((hx >> {k}) & 1)"
+        ry = f"((hy >> {k}) & 1)"
+        d2 = f"hkey + {s * s} * xor(3 * {rx}, {ry})"
+        nx = (
+            f"CASE WHEN {ry} = 1 THEN hx "
+            f"WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END"
+        )
+        ny = (
+            f"CASE WHEN {ry} = 1 THEN hy "
+            f"WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END"
+        )
+        keep_cols = keep
+        parts.append(
+            f"hl{k} AS (SELECT {nx} AS hx, {ny} AS hy, "
+            f"CAST({d2} AS BIGINT) AS hkey{keep_cols} FROM hl{k + 1})"
+        )
+    return ",\n".join(parts)
+
+
+def hilbert_key_py(x: int, y: int, level: int = HILBERT_LEVEL) -> int:
+    """Pure-Python twin of :func:`attach_hilbert_key` (tests)."""
+    _check_zlevel(level)
+    n = 1 << level
+    d = 0
+    for k in range(level - 1, -1, -1):
+        s = 1 << k
+        rx = (x >> k) & 1
+        ry = (y >> k) & 1
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+    return d

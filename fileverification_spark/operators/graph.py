@@ -2034,3 +2034,96 @@ FROM btnodes n
 LEFT JOIN f{max_depth} f ON n.node = f.node
 LEFT JOIN r{max_depth} r ON n.node = r.node"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (Raghavan, Albert & Kumara 2007)
+# ---------------------------------------------------------------------------
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """``(host, community)`` after ``rounds`` SYNCHRONOUS label-
+    propagation sweeps over the undirected host graph (Raghavan et al.
+    2007, Phys. Rev. E 76): every node simultaneously adopts the label
+    carried by the plurality of its neighbors. Classic LPA breaks
+    plurality ties randomly; this variant is made engine-exact by the
+    deterministic canon used everywhere else in the repo — highest
+    neighbor count wins, ties go to the LEXICOGRAPHICALLY SMALLEST
+    label — so the label relation is bit-identical across engines and
+    runs, and the oracle replays the same sweeps as a CTE ladder.
+
+    The result is labels AFTER EXACTLY ``rounds`` sweeps (a plan-time
+    constant), not a converged fixpoint: synchronous LPA can oscillate
+    on bipartite structures, so a bounded-round contract is the only
+    deterministic one. Web-typical host communities (mirror families,
+    link farms, CMS clusters) crystallize in 2-3 sweeps.
+
+    Scale shape: per sweep ONE host-sized equi-join (labels onto the
+    undirected edge relation) + two partial-aggregatable hash-aggs
+    ((node, label) counts, then the per-node argmax via min(struct(-c,
+    label)) — never a window over the edge stream). Each sweep is
+    eagerly staged (the connected_components discipline) so lineage
+    stays flat; hub skew is absorbed by the map-side partial agg on
+    (node, label)."""
+    und = undirected_host_edges(edges)
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    from fileverification_spark.operators.spatial import _stage
+
+    both = _stage(both, eager=True)
+    labels = _stage(
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community")),
+        eager=True,
+    )
+    for _ in range(rounds):
+        msgs = (
+            both.join(labels, both["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "community")
+            .groupBy("node", "community")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = _stage(
+            msgs.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("community"))
+                ).alias("best")
+            )
+            .select("node", F.col("best.community").alias("community")),
+            eager=True,
+        )
+    return labels.select(F.col("node").alias("host"), "community")
+
+
+def sql_lpa_communities(edges_rel: str, rounds: int = 3) -> str:
+    """Oracle: the same sweeps as a CTE ladder (own WITH — standalone).
+    Plurality argmax spelled as max-count window + min(label), the
+    tie canon :func:`lpa_communities` encodes via min(struct)."""
+    parts = [
+        f"""e0 AS (SELECT src, dst FROM ({edges_rel}) raw WHERE src != dst),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e0
+        GROUP BY 1, 2),
+edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT DISTINCT a AS node, a AS community FROM edges)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""m{t} AS (
+  SELECT e.b AS node, l.community, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN l{t - 1} l ON e.a = l.node
+  GROUP BY 1, 2
+),
+l{t} AS (
+  SELECT node, min(community) AS community
+  FROM (SELECT node, community, c, max(c) OVER (PARTITION BY node) AS mc
+        FROM m{t}) q
+  WHERE c = mc GROUP BY node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS host, community FROM l{rounds}"
+    )

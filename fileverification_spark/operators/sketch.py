@@ -405,3 +405,168 @@ FROM (
     )
   ) GROUP BY cell, reg
 ) GROUP BY cell"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — mergeable set-membership registers
+# ---------------------------------------------------------------------------
+#
+# The fourth member of the mergeable-state family: Merkle digests
+# certify content, KMV/HLL estimate distinct counts, CMS estimates
+# frequencies — the Bloom filter answers MEMBERSHIP with no false
+# negatives. The 100 TB use is frontier dedup (Heritrix/Nutch keep
+# exactly this structure): "is this candidate URL already crawled?" —
+# a "no" is definite, so definitely-new URLs never pay a corpus join;
+# the false-positive tail (bounded by (1-e^-kn/m)^k) re-checks against
+# the store. Registers are OR-mergeable, so per-shard filters combine
+# into the corpus filter bit-exactly — pytest pins merge identity, and
+# the register relation itself (not a float summary) is what the
+# oracle hash-checks.
+
+#: filter size in bits (m): plan-time constant, 2^18 = 262144 bits
+BLOOM_M_BITS = 1 << 18
+#: independent hash functions (k)
+BLOOM_K = 4
+#: bits per register word — 32, so ``1 << (pos & 31)`` stays a small
+#: positive BIGINT in both engines (a 63-bit shift would hit the sign
+#: bit, whose overflow semantics differ across engines)
+_BLOOM_WBITS = 32
+
+
+def _bloom_pos(key: Column, j: Column | int, m_bits: int) -> Column:
+    """Bit position of hash j for ``key``: 31-bit sha256 prefix of
+    ``key|j`` mod m — the same ``hash(key|salt)`` family as the CMS
+    rows, so the independence argument is shared."""
+    r = F.lit(j) if isinstance(j, int) else j
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(key, F.lit("|"), r.cast("string")), 256), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    return (h % m_bits).cast("bigint")
+
+
+def _sql_bloom_pos(key_expr: str, j_expr: str, m_bits: int) -> str:
+    return (
+        f"((CAST(('0x' || substr(sha256({key_expr} || '|' || "
+        f"CAST({j_expr} AS VARCHAR)), 1, 8)) AS BIGINT) & 2147483647)"
+        f" % {m_bits})"
+    )
+
+
+def bloom_urls(
+    pages: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """(word, bits) — the Bloom filter over the corpus URL set as a
+    register relation: ``k`` bit positions per URL, packed into 32-bit
+    words (word = pos >> 5, bit = pos & 31), OR-aggregated.
+
+    Plan shape: one k-way sequence explode (k is a small plan-time
+    constant) -> ONE hash-agg whose key space is m/32 words (plan-time
+    bounded — 8192 rows here), partial bit_or absorbing the corpus
+    map-side. Hot URLs are irrelevant: duplicate keys set the same
+    bits. Merge across shards is the same bit_or re-applied."""
+    if m_bits % _BLOOM_WBITS:
+        raise ValueError("m_bits must be a multiple of 32")
+    pos = _bloom_pos(F.col("url"), F.col("j"), m_bits)
+    return (
+        pages.select(
+            F.col("url"),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        )
+        .select(pos.alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.expr("cast(shiftleft(1L, cast(pos % 32 as int)) as bigint)")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    candidates: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(url, might_seen) for every candidate URL: TRUE iff all k bits
+    are set (possible member — false-positive rate bounded by the m/k/n
+    envelope), FALSE = DEFINITELY new (the no-false-negative guarantee
+    the frontier relies on: a FALSE never needs the corpus re-check).
+
+    The register relation is m/32 rows — broadcast onto the candidate
+    probes, so the probe costs the candidate scan alone: at 100 TB the
+    filter built from the trillion-row store is still ~8k rows/shard
+    and the frontier never shuffles."""
+    probes = candidates.select(
+        F.col("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    )
+    probes = probes.select(
+        "url", _bloom_pos(F.col("url"), F.col("j"), m_bits).alias("pos")
+    ).select(
+        "url",
+        F.shiftright(F.col("pos"), 5).alias("word"),
+        F.expr("cast(shiftleft(1L, cast(pos % 32 as int)) as bigint)")
+        .alias("mask"),
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "url",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).alias("hit"),
+        )
+        .groupBy("url")
+        .agg(F.min("hit").alias("might_seen"))
+    )
+
+
+def sql_bloom_ctes(
+    candidates_body: str,
+    pages_rel: str = "pages",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    """Oracle CTE fragments (no WITH keyword — compose after the pages
+    CTE): ``bloom`` (same hash family, word packing and bit_or agg as
+    :func:`bloom_urls`) and ``bchecks`` probing the ``bcand`` relation
+    whose body is ``candidates_body`` (a SELECT yielding ``url``). The
+    final SELECT is :func:`sql_bloom_probe_select`."""
+    pos = _sql_bloom_pos("url", "j", m_bits)
+    return f"""bpos AS (
+  SELECT CAST({pos} AS BIGINT) AS pos
+  FROM {pages_rel}, LATERAL (SELECT unnest(range(0, {k})) AS j) r
+),
+bloom AS (
+  SELECT pos >> 5 AS word,
+         CAST(bit_or((CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) AS BIGINT)
+           AS bits
+  FROM bpos GROUP BY 1
+),
+bcand AS ({candidates_body}),
+bprobes AS (
+  SELECT url, CAST({pos} AS BIGINT) AS pos
+  FROM bcand, LATERAL (SELECT unnest(range(0, {k})) AS j) r
+),
+bchecks AS (
+  SELECT p.url,
+         (coalesce(b.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)))
+           = (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)) AS hit
+  FROM bprobes p LEFT JOIN bloom b ON p.pos >> 5 = b.word
+)"""
+
+
+def sql_bloom_probe_select() -> str:
+    """Final SELECT over the :func:`sql_bloom_ctes` fragments."""
+    return "SELECT url, min(hit) AS might_seen FROM bchecks GROUP BY 1"

@@ -3018,3 +3018,60 @@ SELECT x, y, n_pages,
        CAST(ntile({n_classes}) OVER (ORDER BY n_pages, x, y) AS BIGINT)
          AS cls
 FROM ({tiles_rel}) t"""
+
+
+# ---------------------------------------------------------------------------
+# Hilbert layout audit (the locality-optimal companion of zorder_layout)
+# ---------------------------------------------------------------------------
+
+
+def hilbert_layout_stats(
+    pages: DataFrame,
+    level: int = grid.HILBERT_LEVEL,
+    prefix_level: int = 4,
+) -> DataFrame:
+    """Per-bucket audit of the Hilbert-sorted physical layout — the
+    exact twin of :func:`zorder_layout_stats` with the Morton key
+    swapped for the Hilbert d-index (bucket = top ``2*prefix_level``
+    key bits; Hilbert is hierarchical, so a bucket is one level-
+    ``prefix_level`` curve quadrant and buckets are disjoint key
+    ranges). Sorting the 100 TB table by ``hkey`` instead of ``zkey``
+    keeps every consecutive key pair grid-adjacent (pytest-pinned), so
+    bbox range scans touch fewer false-positive row groups than
+    Z-order's quadrant-seam jumps; this audit emits the same
+    (bucket, n_pages, h_min, h_max) stats min/max pruning consumes so
+    the two layouts are comparable bucket-for-bucket BEFORE a rewrite.
+
+    One scan -> level fused zero-shuffle projections (the unrolled
+    xy->d ladder, no UDF) -> one partial-agg shuffle at
+    4^prefix_level output rows.
+    """
+    keyed = grid.attach_hilbert_key(
+        pages, F.col("lat"), F.col("lon"), level, out="hkey"
+    )
+    shift = 2 * (level - prefix_level)
+    return (
+        keyed.select("hkey")
+        .groupBy(F.shiftright(F.col("hkey"), shift).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.min("hkey").alias("h_min"),
+            F.max("hkey").alias("h_max"),
+        )
+    )
+
+
+def sql_hilbert_layout_stats(
+    level: int = grid.HILBERT_LEVEL,
+    prefix_level: int = 4,
+) -> str:
+    """Oracle SELECT for :func:`hilbert_layout_stats`; the caller
+    composes the CTE side as ``_with(grid.sql_hilbert_ladder(level))``
+    (the same unrolled xy->d ladder, one CTE per level)."""
+    shift = 2 * (level - prefix_level)
+    return f"""
+SELECT hkey >> {shift} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       min(hkey) AS h_min, max(hkey) AS h_max
+FROM hl0
+GROUP BY 1"""

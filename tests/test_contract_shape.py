@@ -33,8 +33,18 @@ _OVERFLOW_SIBLINGS = {
     "extent_rollup": "cell_extent",            # mergeable extent state
     "zorder_layout": "zorder_bbox",            # Morton interleave/ranges
     "bigram_surprisal": "kn_bigrams",          # bigram-count relation
+    "geohash_counts": "tile_counts",           # fixed-grid bucket counts
 }
-_OVERFLOW_TWINS = set(_OVERFLOW_SIBLINGS)
+# Operators added AFTER the r5 window was spent on the 50 least-
+# evidenced queries: no same-core window sibling exists (Hilbert curve,
+# key-skew audit, label propagation are new machinery), so they carry
+# the strict demoted-gate canon at both scale factors from day one.
+_POST_FREEZE = {
+    "hilbert_layout",
+    "skew_report",
+    "lpa_communities",
+}
+_OVERFLOW_TWINS = set(_OVERFLOW_SIBLINGS) | _POST_FREEZE
 
 
 def _driver_ran(rounds=("01", "02", "03", "04")):
