@@ -426,6 +426,18 @@ def main() -> None:
         ).count(),
         "event_transitions": lambda: FN.event_transitions(events).count(),
         "cdc_dedup": lambda: D.cdc_shared(docs).count(),
+        # r5 closing additions: Bloom build+probe over the corpus URL
+        # set (register agg + broadcast membership), the Hilbert xy->d
+        # projection ladder (zero-shuffle, prices the layout key
+        # against morton's interleave), deterministic LPA sweeps on the
+        # 1024-host link graph
+        "bloom_frontier": lambda: SK.bloom_probe(
+            SK.bloom_urls(live), live.select("url")
+        ).count(),
+        "hilbert_layout": lambda: S.hilbert_layout_stats(live).count(),
+        "lpa_communities": lambda: GR.lpa_communities(
+            GR.host_edges(_link_pages(live)), rounds=3
+        ).count(),
     }
 
     # BENCH_ONLY=comma,list: restrict the battery — the isolation probe
