@@ -242,6 +242,18 @@ def _pagerank_bench(live) -> int:
             h.unpersist(blocking=True)
 
 
+def _modularity_bench(live) -> int:
+    # the edge relation feeds BOTH the LPA sweeps and the scoring joins
+    # — persist it so the timed region pays one extraction; unpersist
+    # afterwards (the _pagerank_bench cache-reuse guard)
+    edges = GR.host_edges(_link_pages(live)).persist()
+    try:
+        labels = GR.lpa_communities(edges, rounds=3)
+        return GR.modularity(edges, labels).count()
+    finally:
+        edges.unpersist(blocking=True)
+
+
 def _run_window(cases: dict, my_cores: "set[int]", runs: int) -> dict:
     """One timing window: ``runs`` interleaved passes over the battery,
     each run contention-stamped. Returns samples + the window's
@@ -437,6 +449,19 @@ def main() -> None:
         "hilbert_layout": lambda: S.hilbert_layout_stats(live).count(),
         "lpa_communities": lambda: GR.lpa_communities(
             GR.host_edges(_link_pages(live)), rounds=3
+        ).count(),
+        # r5 final trio: HyperBall reach ladder (per-round edge-onto-
+        # sketch join + (node, reg) partial max, localCheckpoint-staged
+        # so no CacheManager reuse across passes), LPA-then-score
+        # modularity composition, and the DSIR two-tower weight pass
+        # over the full replicated corpus vs the English doc slice
+        "hyperball": lambda: GR.hyperball(
+            GR.host_edges(_link_pages(live)), t_max=3
+        ).count(),
+        "modularity": lambda: _modularity_bench(live),
+        "dsir_weights": lambda: CUR.dsir_weights(
+            live.select("url", "text"),
+            docs.where(F.col("lang") == "en"),
         ).count(),
     }
 

@@ -1162,3 +1162,137 @@ SELECT d.doc_id,
                  ELSE 0 END AS BIGINT) AS mean_millibits
 FROM per_doc_bg d LEFT JOIN stats s ON d.w1 = s.w1 AND d.w2 = s.w2
 GROUP BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+def dsir_weights(raw: DataFrame, target: DataFrame) -> DataFrame:
+    """Per-page Data Selection with Importance Resampling weights in
+    EXACT integer bits: how much more likely is each raw web page under
+    the TARGET corpus's unigram LM than under the raw corpus's own —
+    the ranking signal DSIR (Xie et al. 2023) resamples pretraining
+    data by, realised as the difference of two :func:`unigram_surprisal`
+    towers so the whole relation is engine-exact.
+
+    Per token occurrence in the target vocabulary:
+
+        bits_src = floor(log2(N_src div c_src))   (surprisal under raw)
+        bits_tgt = floor(log2(N_tgt div c_tgt))   (surprisal under target)
+
+    and the page's log importance weight is ``weight_bits =
+    sum(bits_src) - sum(bits_tgt)`` over scored occurrences — positive
+    means the page looks more target-like than raw-average (cheap under
+    the target LM, expensive under the source LM). Tokens absent from
+    the target vocabulary are COUNTED (``n_tokens - n_scored``) but
+    unscored, the bigram_surprisal OOV canon; only integer sums are
+    emitted (no division), so there is no signed-division floor/trunc
+    seam between engines.
+
+    Output: ``(url, n_tokens, n_scored, bits_src, bits_tgt,
+    weight_bits)`` — all BIGINT.
+
+    Scale shape: ONE explode of the raw corpus -> (url, token) hash-agg
+    (occurrences shrink to distinct pairs before any join), source
+    totals re-aggregated FROM that relation (|vocab_src| rows), target
+    totals from the target corpus's own explode (|vocab_tgt| rows, a
+    curated corpus orders of magnitude smaller than the crawl), each
+    with a 1-row N broadcast; two vocab-keyed equi-joins back (build
+    side = 1 row per term; AQE splits Zipf-hot probe skew) -> per-url
+    sum. No windows, no floats, no collects."""
+    per_ut = (
+        raw.select("url", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("url", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ut"))
+    )
+    src_tot = per_ut.groupBy("token").agg(
+        F.sum("c_ut").cast("long").alias("c_src")
+    )
+    n_src = src_tot.select(F.sum("c_src").cast("long").alias("n_src"))
+    src_bits = (
+        F.length(F.bin(F.expr("n_src div c_src"))) - F.lit(1)
+    ).cast("long")
+    src_scored = src_tot.crossJoin(F.broadcast(n_src)).select(
+        "token", src_bits.alias("b_src")
+    )
+    tgt_tot = (
+        target.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    )
+    n_tgt = tgt_tot.select(F.sum("c_tgt").cast("long").alias("n_tgt"))
+    tgt_bits = (
+        F.length(F.bin(F.expr("n_tgt div c_tgt"))) - F.lit(1)
+    ).cast("long")
+    tgt_scored = tgt_tot.crossJoin(F.broadcast(n_tgt)).select(
+        "token", tgt_bits.alias("b_tgt")
+    )
+    joined = (
+        per_ut.join(src_scored, "token")
+        .join(tgt_scored, "token", "left")
+    )
+    scored = F.col("b_tgt").isNotNull()
+    zero = F.lit(0).cast("long")
+    return (
+        joined.groupBy("url")
+        .agg(
+            F.sum("c_ut").cast("long").alias("n_tokens"),
+            F.sum(F.when(scored, F.col("c_ut")).otherwise(zero))
+            .cast("long").alias("n_scored"),
+            F.sum(
+                F.when(scored, F.col("c_ut") * F.col("b_src")).otherwise(zero)
+            ).cast("long").alias("bits_src"),
+            F.sum(
+                F.when(scored, F.col("c_ut") * F.col("b_tgt")).otherwise(zero)
+            ).cast("long").alias("bits_tgt"),
+        )
+        .select(
+            "url", "n_tokens", "n_scored", "bits_src", "bits_tgt",
+            (F.col("bits_src") - F.col("bits_tgt")).cast("long").alias(
+                "weight_bits"
+            ),
+        )
+    )
+
+
+def sql_dsir_weights(raw_rel: str, target_rel: str = "documents") -> str:
+    """Oracle for :func:`dsir_weights` (same integer-log2 towers, same
+    OOV canon); ``raw_rel`` must expose ``(url, text)``."""
+    toks_raw = TX.sql_tokens("text")
+    return f"""
+WITH wraw AS (SELECT url, text FROM ({raw_rel}) wr),
+wt AS (SELECT url, unnest({toks_raw}) AS token FROM wraw),
+per_ut AS (SELECT url, token, CAST(count(*) AS BIGINT) AS c_ut
+           FROM wt GROUP BY 1, 2),
+src_tot AS (SELECT token, CAST(sum(c_ut) AS BIGINT) AS c_src
+            FROM per_ut GROUP BY 1),
+n_src AS (SELECT CAST(sum(c_src) AS BIGINT) AS n_src FROM src_tot),
+src_scored AS (
+  SELECT token,
+         CAST(length(bin(n_src // c_src)) - 1 AS BIGINT) AS b_src
+  FROM src_tot, n_src),
+tgt_tok AS (SELECT unnest({toks_raw}) AS token FROM {target_rel}),
+tgt_tot AS (SELECT token, CAST(count(*) AS BIGINT) AS c_tgt
+            FROM tgt_tok GROUP BY 1),
+n_tgt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM tgt_tot),
+tgt_scored AS (
+  SELECT token,
+         CAST(length(bin(n_tgt // c_tgt)) - 1 AS BIGINT) AS b_tgt
+  FROM tgt_tot, n_tgt)
+SELECT p.url,
+       CAST(sum(p.c_ut) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN t.b_tgt IS NOT NULL THEN p.c_ut ELSE 0 END)
+            AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN t.b_tgt IS NOT NULL THEN p.c_ut * s.b_src
+                ELSE 0 END) AS BIGINT) AS bits_src,
+       CAST(sum(CASE WHEN t.b_tgt IS NOT NULL THEN p.c_ut * t.b_tgt
+                ELSE 0 END) AS BIGINT) AS bits_tgt,
+       CAST(sum(CASE WHEN t.b_tgt IS NOT NULL THEN p.c_ut * s.b_src
+                ELSE 0 END)
+            - sum(CASE WHEN t.b_tgt IS NOT NULL THEN p.c_ut * t.b_tgt
+                  ELSE 0 END) AS BIGINT) AS weight_bits
+FROM per_ut p
+JOIN src_scored s ON s.token = p.token
+LEFT JOIN tgt_scored t ON t.token = p.token
+GROUP BY p.url"""

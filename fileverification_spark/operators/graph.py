@@ -2127,3 +2127,286 @@ l{t} AS (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node AS host, community FROM l{rounds}"
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function (Boldi & Vigna 2013)
+# ---------------------------------------------------------------------------
+
+#: register-index bits for the per-node ball sketches: m = 2^6 = 64
+#: registers per node (HyperBall's own small-m regime — Boldi & Vigna
+#: ran p in [4, 12]; 64 registers give ~13% rse, enough to rank hosts
+#: by reach and to shape the distance distribution, at 64 relation rows
+#: per node instead of the 256 the per-cell HLL uses)
+HB_P = 6
+HB_M = 1 << HB_P
+_HB_WBITS = 60 - HB_P
+_HB_SCALE = _HB_WBITS + 1
+#: alpha_64 * m^2 * 2^_HB_SCALE (alpha_64 = 0.709 — the small-m constant
+#: from Flajolet et al. 2007 Fig. 3, NOT the asymptotic formula, which
+#: only holds for m >= 128), folded into ONE float literal so the
+#: estimate is a single double division of a constant by an exact
+#: BIGINT — no order-dependent float summation anywhere
+_HB_NUM = 0.709 * HB_M * HB_M * float(1 << _HB_SCALE)
+
+
+def _hb_own_sketch(nodes: DataFrame) -> DataFrame:
+    """(node, reg, rho_max): each node's singleton-set HLL registers —
+    exactly one row per node (its own 60-bit hash split into HB_P index
+    bits + rank bits, the hll_cells arithmetic)."""
+    from fileverification_spark.operators.sketch import kmv_hash
+
+    h = kmv_hash(F.col("node"))
+    w = F.shiftright(h, HB_P)
+    rho = (
+        F.when(w == 0, F.lit(_HB_WBITS + 1))
+        .otherwise(F.lit(_HB_WBITS) - (F.length(F.bin(w)) - F.lit(1)))
+        .cast("bigint")
+    )
+    return nodes.select(
+        "node",
+        h.bitwiseAND(F.lit(HB_M - 1)).cast("bigint").alias("reg"),
+        rho.alias("rho_max"),
+    )
+
+
+def _hb_estimate(sketch: DataFrame, t: int) -> DataFrame:
+    """(node, t, n_regs_set, sum_scaled, est) view of a per-node register
+    relation — the hll_estimate algebra keyed by node, stamped with the
+    radius ``t``. ``sum_scaled`` is the exact BIGINT indicator sum
+    (absent registers carry rank 0), so the relation value-hashes
+    identically across engines; ``est`` is the one-division raw HLL
+    estimator of |ball(node, t)|."""
+    return (
+        sketch.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_regs_set"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HB_SCALE} - rho_max)")
+            ).cast("bigint").alias("present"),
+        )
+        .select(
+            "node",
+            F.lit(t).cast("int").alias("t"),
+            "n_regs_set",
+            (
+                F.col("present")
+                + (F.lit(HB_M) - F.col("n_regs_set"))
+                * F.lit(1 << _HB_SCALE).cast("bigint")
+            ).alias("sum_scaled"),
+        )
+        .select(
+            "node",
+            "t",
+            "n_regs_set",
+            "sum_scaled",
+            F.round(F.lit(_HB_NUM) / F.col("sum_scaled"), 4).alias("est"),
+        )
+    )
+
+
+def hyperball(edges: DataFrame, t_max: int = 3) -> DataFrame:
+    """Per-host OUT-ball sizes ``(node, t, n_regs_set, sum_scaled, est)``
+    for every radius ``t`` in ``0..t_max`` — the neighborhood function
+    N(v, t) = |{w : dist(v, w) <= t}| of the directed host graph,
+    HLL-approximated exactly as HyperBall computes it (Boldi & Vigna
+    2013, "HyperBall: counting the right way" — built FOR web graphs;
+    the same machinery produced the Facebook four-degrees result).
+    Successive-t deltas give the distance distribution; summing
+    (N(t) - N(t-1)) / t gives harmonic centrality, reach at t_max ranks
+    hosts by influence — all derivable from this one relation.
+
+    Algebra: B(v, 0) = sketch({v}); B(v, t) = B(v, t-1) max-merged with
+    B(w, t-1) over every edge v -> w. Registers are MAX-mergeable (the
+    hll_cells/hll_rollup identity), so the whole relaxation is: per
+    round, ONE equi-join of the edge relation onto the sketch relation
+    + one (node, reg) hash-agg with map-side partial max — never a
+    frontier set, never a window. Round results are eagerly staged (the
+    lpa/connected_components discipline) so lineage stays flat at
+    exactly ``t_max`` joins.
+
+    Scale shape: the sketch relation is HB_M rows per node (bounded by
+    hosts x 64, NOT by edges or pages); the join fan-out is edges x 64
+    with partial max absorbing it map-side. The production layout packs
+    the 64 registers into one array column merged with zip_with(max) —
+    one row per node — but the register-relation form keeps the algebra
+    transparent and byte-replayable by the unrolled SQL oracle; the
+    packing is a representation change, not an algebra change. Exact
+    BFS (bfs_depth) is per-seed; this is ALL-pairs reach in t_max
+    host-sized rounds — the trade HyperBall exists to make."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    from fileverification_spark.operators.spatial import _stage
+
+    sk = _stage(_hb_own_sketch(nodes), eager=True)
+    out = _hb_estimate(sk, 0)
+    for t in range(1, t_max + 1):
+        msgs = edges.join(sk, edges["dst"] == sk["node"]).select(
+            edges["src"].alias("node"), sk["reg"], sk["rho_max"]
+        )
+        sk = _stage(
+            sk.union(msgs)
+            .groupBy("node", "reg")
+            .agg(F.max("rho_max").alias("rho_max")),
+            eager=True,
+        )
+        out = out.union(_hb_estimate(sk, t))
+    return out
+
+
+def sql_hyperball(edges_rel: str, t_max: int = 3) -> str:
+    """Oracle: the same register relaxation unrolled as a CTE ladder
+    (own WITH — standalone), same hash split / rank arithmetic /
+    indicator sum / single division as :func:`hyperball`."""
+    scale_one = 1 << _HB_SCALE
+    est = (
+        f"SELECT node, {{t}} AS t,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_regs_set,\n"
+        f"       CAST(sum(1::BIGINT << ({_HB_SCALE} - rho_max))\n"
+        f"            + ({HB_M} - count(*)) * {scale_one} AS BIGINT)"
+        f" AS sum_scaled,\n"
+        f"       round({_HB_NUM!r} / (sum(1::BIGINT << ({_HB_SCALE} - rho_max))\n"
+        f"            + ({HB_M} - count(*)) * {scale_one}), 4) AS est\n"
+        f"FROM s{{t}} GROUP BY node"
+    )
+    parts = [
+        f"hedges AS (SELECT src, dst FROM ({edges_rel}) he)",
+        "hnodes AS (SELECT src AS node FROM hedges"
+        " UNION SELECT dst FROM hedges)",
+        f"""s0 AS (
+  SELECT node, h & {HB_M - 1} AS reg,
+         CAST(CASE WHEN (h >> {HB_P}) = 0 THEN {_HB_WBITS + 1}
+              ELSE {_HB_WBITS} - (length(bin(h >> {HB_P})) - 1)
+         END AS BIGINT) AS rho_max
+  FROM (SELECT node,
+               CAST(('0x' || substr(sha256(node), 1, 15)) AS BIGINT) AS h
+        FROM hnodes) hh)""",
+    ]
+    for t in range(1, t_max + 1):
+        parts.append(
+            f"""s{t} AS (
+  SELECT node, reg, max(rho_max) AS rho_max
+  FROM (SELECT node, reg, rho_max FROM s{t - 1}
+        UNION ALL
+        SELECT e.src AS node, s.reg, s.rho_max
+        FROM hedges e JOIN s{t - 1} s ON s.node = e.dst) u
+  GROUP BY node, reg)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        est.format(t=t) for t in range(0, t_max + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of a host partition (Newman & Girvan 2004)
+# ---------------------------------------------------------------------------
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community EXACT-integer modularity terms of a host partition
+    (e.g. :func:`lpa_communities` output ``(host, community)``) over the
+    undirected host graph — the standard quality score for a community
+    assignment (Newman & Girvan 2004, Phys. Rev. E 69).
+
+    For undirected simple graph with m edges, community c with m_c
+    intra-community edges and total degree d_c:
+
+        Q = sum_c [ m_c / m  -  (d_c / 2m)^2 ]
+          = sum_c (4 * m * m_c - d_c^2) / (4 * m^2)
+
+    The per-community numerator ``q_num = 4*m*m_c - d_c^2`` and the
+    shared denominator ``4*m^2`` are exact BIGINTs, so the relation is
+    engine-exact (no float Q to drift); callers fold Q in one division.
+    Output: ``(community, n_nodes, m_in, d_tot, q_num, m_edges)`` sorted
+    by the grouping key — nodes whose community label never touches an
+    edge keep d_tot = 0 rows only if they appear in ``labels`` AND the
+    edge relation (isolated labeled hosts are absent, matching the
+    undirected-graph domain every other graph operator uses).
+
+    Scale shape: ONE distinct-pair reduction (undirected_host_edges),
+    TWO host-sized label equi-joins onto it, then partial-aggregatable
+    hash-aggs on community — state bounded by |communities|; m arrives
+    as a 1-row broadcast. No windows, no collects, no floats."""
+    und = undirected_host_edges(edges)
+    la = labels.select(
+        F.col("host").alias("a"), F.col("community").alias("ca")
+    )
+    lb = labels.select(
+        F.col("host").alias("b"), F.col("community").alias("cb")
+    )
+    tagged = und.join(la, "a").join(lb, "b")
+    m_tot = und.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    # intra-community edge counts
+    m_in = (
+        tagged.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_in"))
+    )
+    # degree mass per community: each endpoint contributes 1 to its
+    # community's total degree (loops were dropped by the undirected canon)
+    d_tot = (
+        tagged.select(F.col("ca").alias("community"))
+        .union(tagged.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_tot"))
+    )
+    n_nodes = labels.groupBy(F.col("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    out = (
+        d_tot.join(m_in, "community", "left")
+        .join(n_nodes, "community", "left")
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            "community",
+            F.coalesce(F.col("n_nodes"), F.lit(0)).cast("long").alias(
+                "n_nodes"
+            ),
+            F.coalesce(F.col("m_in"), F.lit(0)).cast("long").alias("m_in"),
+            "d_tot",
+            "m_edges",
+        )
+    )
+    q_num = (
+        F.lit(4).cast("long") * F.col("m_edges") * F.col("m_in")
+        - F.col("d_tot") * F.col("d_tot")
+    ).cast("long")
+    return out.select(
+        "community", "n_nodes", "m_in", "d_tot", q_num.alias("q_num"),
+        "m_edges",
+    )
+
+
+def sql_modularity(edges_rel: str, labels_rel: str) -> str:
+    """Oracle for :func:`modularity` (own WITH — standalone);
+    ``labels_rel`` must expose ``(host, community)``."""
+    return f"""
+WITH qe0 AS (SELECT src, dst FROM ({edges_rel}) qe WHERE src != dst),
+qund AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM qe0 GROUP BY 1, 2),
+ql AS (SELECT host, community FROM ({labels_rel}) lr),
+qtag AS (SELECT u.a, u.b, la.community AS ca, lb.community AS cb
+         FROM qund u JOIN ql la ON u.a = la.host
+                     JOIN ql lb ON u.b = lb.host),
+qm AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM qund),
+qmin AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS m_in
+         FROM qtag WHERE ca = cb GROUP BY 1),
+qdeg AS (SELECT community, CAST(count(*) AS BIGINT) AS d_tot
+         FROM (SELECT ca AS community FROM qtag
+               UNION ALL SELECT cb FROM qtag) qd GROUP BY 1),
+qn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM ql GROUP BY 1)
+SELECT d.community,
+       CAST(coalesce(n.n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(coalesce(i.m_in, 0) AS BIGINT) AS m_in,
+       d.d_tot,
+       CAST(4 * m.m_edges * coalesce(i.m_in, 0)
+            - d.d_tot * d.d_tot AS BIGINT) AS q_num,
+       m.m_edges
+FROM qdeg d
+LEFT JOIN qmin i ON d.community = i.community
+LEFT JOIN qn n ON d.community = n.community
+CROSS JOIN qm m"""
