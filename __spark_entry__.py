@@ -2511,6 +2511,18 @@ def _q_hyperball(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.harmonic_centrality(
+        GR.host_edges(_link_planted(spark, sf)), t_max=_HB_TMAX
+    )
+
+
+def _q_distance_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    return GR.distance_distribution(
+        GR.host_edges(_link_planted(spark, sf)), t_max=_HB_TMAX
+    )
+
+
 def _q_modularity(spark: SparkSession, sf: str) -> DataFrame:
     edges = GR.host_edges(_link_planted(spark, sf))
     return GR.modularity(
@@ -2681,6 +2693,8 @@ _DEMOTED: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
     "skew_report": _q_skew_report,
     "lpa_communities": _q_lpa_communities,
     "hyperball": _q_hyperball,
+    "harmonic_centrality": _q_harmonic_centrality,
+    "distance_distribution": _q_distance_distribution,
     "modularity": _q_modularity,
     "dsir_weights": _q_dsir_weights,
     # r5: re-audit slots ceded to the new url_quality/crawl_traps/
@@ -3044,6 +3058,12 @@ FROM stored s SEMI JOIN pages p ON s.cell = p.cell AND s.child_key = p.url""",
             _sql_host_edges(_SQL_LINK_PLANTED), rounds=_LPA_ROUNDS
         ),
         "hyperball": GR.sql_hyperball(
+            _sql_host_edges(_SQL_LINK_PLANTED), t_max=_HB_TMAX
+        ),
+        "harmonic_centrality": GR.sql_harmonic_centrality(
+            _sql_host_edges(_SQL_LINK_PLANTED), t_max=_HB_TMAX
+        ),
+        "distance_distribution": GR.sql_distance_distribution(
             _sql_host_edges(_SQL_LINK_PLANTED), t_max=_HB_TMAX
         ),
         "modularity": _sql_modularity(),

@@ -2149,6 +2149,25 @@ _HB_SCALE = _HB_WBITS + 1
 #: BIGINT — no order-dependent float summation anywhere
 _HB_NUM = 0.709 * HB_M * HB_M * float(1 << _HB_SCALE)
 
+#: Small-range linear-counting table: LC(V) = m * ln(m / V) for V (the
+#: number of ZERO registers) in 1..m-1, applied when the raw estimate
+#: is <= 2.5m (Flajolet et al. 2007 §4 — without it the raw estimator
+#: reads a singleton ball as ~alpha*m/(m-1)*m ~= 46, useless for the
+#: small balls every radius-0/1 neighborhood is). The transcendental
+#: ln would break the cross-engine value-hash canon (last-ulp behavior
+#: is libm-specific — the reason sketch.hll_estimate omits LC and
+#: exports n_regs_set for consumers instead), but V has only m-1
+#: possible values, so the correction is a PRECOMPUTED literal lookup
+#: table shipped identically to both engines: no libm call exists in
+#: any query plan.
+import math as _math
+
+_HB_LC = tuple(
+    round(HB_M * _math.log(HB_M / v), 4) for v in range(1, HB_M)
+)
+#: LC applies when the raw estimate is at or below this (2.5 * m)
+_HB_LC_BAR = 2.5 * HB_M
+
 
 def _hb_own_sketch(nodes: DataFrame) -> DataFrame:
     """(node, reg, rho_max): each node's singleton-set HLL registers —
@@ -2175,8 +2194,14 @@ def _hb_estimate(sketch: DataFrame, t: int) -> DataFrame:
     relation — the hll_estimate algebra keyed by node, stamped with the
     radius ``t``. ``sum_scaled`` is the exact BIGINT indicator sum
     (absent registers carry rank 0), so the relation value-hashes
-    identically across engines; ``est`` is the one-division raw HLL
-    estimator of |ball(node, t)|."""
+    identically across engines; ``est`` is the full HLL estimator of
+    |ball(node, t)|: the one-division raw form, switched to the
+    ``_HB_LC`` linear-counting literal when the raw estimate is at or
+    below 2.5m and zero registers remain (both branches engine-exact —
+    see the table's comment)."""
+    raw = F.lit(_HB_NUM) / F.col("sum_scaled")
+    v_zero = (F.lit(HB_M) - F.col("n_regs_set")).cast("int")
+    lc = F.element_at(F.array(*[F.lit(x) for x in _HB_LC]), v_zero)
     return (
         sketch.groupBy("node")
         .agg(
@@ -2200,7 +2225,9 @@ def _hb_estimate(sketch: DataFrame, t: int) -> DataFrame:
             "t",
             "n_regs_set",
             "sum_scaled",
-            F.round(F.lit(_HB_NUM) / F.col("sum_scaled"), 4).alias("est"),
+            F.when(
+                (v_zero > 0) & (raw <= F.lit(_HB_LC_BAR)), lc
+            ).otherwise(F.round(raw, 4)).alias("est"),
         )
     )
 
@@ -2262,15 +2289,18 @@ def sql_hyperball(edges_rel: str, t_max: int = 3) -> str:
     (own WITH — standalone), same hash split / rank arithmetic /
     indicator sum / single division as :func:`hyperball`."""
     scale_one = 1 << _HB_SCALE
+    lc_list = "[" + ", ".join(repr(x) for x in _HB_LC) + "]"
     est = (
-        f"SELECT node, {{t}} AS t,\n"
-        f"       CAST(count(*) AS BIGINT) AS n_regs_set,\n"
-        f"       CAST(sum(1::BIGINT << ({_HB_SCALE} - rho_max))\n"
-        f"            + ({HB_M} - count(*)) * {scale_one} AS BIGINT)"
-        f" AS sum_scaled,\n"
-        f"       round({_HB_NUM!r} / (sum(1::BIGINT << ({_HB_SCALE} - rho_max))\n"
-        f"            + ({HB_M} - count(*)) * {scale_one}), 4) AS est\n"
-        f"FROM s{{t}} GROUP BY node"
+        f"SELECT node, {{t}} AS t, n_regs_set, sum_scaled,\n"
+        f"       CASE WHEN n_regs_set < {HB_M}\n"
+        f"                 AND {_HB_NUM!r} / sum_scaled <= {_HB_LC_BAR!r}\n"
+        f"            THEN ({lc_list})[CAST({HB_M} - n_regs_set AS INT)]\n"
+        f"            ELSE round({_HB_NUM!r} / sum_scaled, 4) END AS est\n"
+        f"FROM (SELECT node, CAST(count(*) AS BIGINT) AS n_regs_set,\n"
+        f"             CAST(sum(1::BIGINT << ({_HB_SCALE} - rho_max))\n"
+        f"                  + ({HB_M} - count(*)) * {scale_one} AS BIGINT)"
+        f" AS sum_scaled\n"
+        f"      FROM s{{t}} GROUP BY node) g{{t}}"
     )
     parts = [
         f"hedges AS (SELECT src, dst FROM ({edges_rel}) he)",
@@ -2299,6 +2329,133 @@ def sql_hyperball(edges_rel: str, t_max: int = 3) -> str:
         est.format(t=t) for t in range(0, t_max + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def harmonic_centrality(edges: DataFrame, t_max: int = 3) -> DataFrame:
+    """Per-host truncated harmonic centrality + reach from the HyperBall
+    ladder — the centrality HyperBall was built to compute (Boldi &
+    Vigna 2013 §4; Boldi & Vigna 2014, "Axioms for centrality", argue
+    harmonic is THE principled closeness variant for the web's
+    disconnected digraphs because unreachable nodes contribute 0, not
+    infinity):
+
+        H_T(v) = sum_{t=1..T} ( N(v, t) - N(v, t-1) ) / t
+
+    i.e. every node first reached at distance t contributes 1/t, nodes
+    beyond radius T contribute nothing (the standard truncated form —
+    exact once T >= diameter, a lower bound before that).
+
+    Determinism canon: the per-radius estimates ``est`` are already
+    engine-pinned doubles (one constant/BIGINT division + round(,4) —
+    see :func:`hyperball`); this operator combines the T+1 values of
+    ONE node with a FIXED left-fold expression tree
+    ``((e1-e0)/1 + (e2-e1)/2) + ...`` so no float reordering exists for
+    an aggregate to introduce — both engines evaluate byte-identical
+    IEEE-754 plans. Registers only accumulate, so est is monotone
+    non-decreasing in t and every delta is >= 0.
+
+    Output: ``(node, reach, harmonic)`` — reach = est at T (ball size
+    incl. self), harmonic = round(H_T, 4).
+
+    Scale shape: the hyperball ladder (hosts x 64 register rows, t_max
+    edge-onto-sketch joins) + ONE (node)-keyed pivot hash-agg (the
+    max-of-CASE per t is partial-aggregatable; T+1 rows in, 1 row out
+    per node). Nothing beyond the ladder's own cost."""
+    hb = hyperball(edges, t_max)
+    wide = hb.groupBy("node").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("est"))).alias(f"e{t}")
+            for t in range(t_max + 1)
+        ]
+    )
+    harm = None
+    for t in range(1, t_max + 1):
+        term = (F.col(f"e{t}") - F.col(f"e{t-1}")) / F.lit(float(t))
+        harm = term if harm is None else harm + term
+    return wide.select(
+        "node",
+        F.col(f"e{t_max}").alias("reach"),
+        F.round(harm, 4).alias("harmonic"),
+    )
+
+
+def distance_distribution(edges: DataFrame, t_max: int = 3) -> DataFrame:
+    """Graph-level distance distribution from the HyperBall ladder —
+    the "degrees of separation" curve (Backstrom et al. 2012 computed
+    exactly this over the Facebook graph with HyperANF): for each
+    radius t, how many ordered (v, w) pairs have dist(v, w) <= t, and
+    how many are first connected AT t. Effective diameter (the radius
+    covering 90% of connected pairs) reads straight off the relation.
+
+    Determinism canon: per-node ball estimates are engine-pinned
+    doubles (see :func:`hyperball`); each is independently snapped to
+    the nearest integer BEFORE the cross-node sum, so the aggregate is
+    an exact BIGINT sum — no float summation order exists. new_pairs
+    comes from a self-join on t-1 over the (t_max+1)-row relation.
+
+    Output: ``(t, n_nodes, pairs_within, new_pairs)`` — pairs include
+    self-pairs at t=0 (each ball contains its own node), matching the
+    neighborhood-function convention N(v, 0) = 1.
+
+    Scale shape: the hyperball ladder + ONE radius-keyed hash-agg
+    (t_max+1 groups) + a (t_max+1)-row self-join. Nothing beyond the
+    ladder's own cost."""
+    hb = hyperball(edges, t_max)
+    per_t = hb.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.round(F.col("est"), 0).cast("bigint")).cast("long").alias(
+            "pairs_within"
+        ),
+    )
+    prev = per_t.select(
+        (F.col("t") + 1).alias("t"), F.col("pairs_within").alias("prev_p")
+    )
+    return per_t.join(prev, "t", "left").select(
+        "t",
+        "n_nodes",
+        "pairs_within",
+        (F.col("pairs_within") - F.coalesce(F.col("prev_p"), F.lit(0)))
+        .cast("long")
+        .alias("new_pairs"),
+    )
+
+
+def sql_distance_distribution(edges_rel: str, t_max: int = 3) -> str:
+    """Oracle for :func:`distance_distribution` (own WITH —
+    standalone): hyperball oracle as a derived table, same snap-then-
+    exact-sum, same t-1 self-join."""
+    inner = sql_hyperball(edges_rel, t_max=t_max)
+    return f"""
+WITH ddh AS ({inner}),
+ddt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(CAST(round(est, 0) AS BIGINT)) AS BIGINT)
+                 AS pairs_within
+        FROM ddh GROUP BY t)
+SELECT a.t, a.n_nodes, a.pairs_within,
+       CAST(a.pairs_within - coalesce(b.pairs_within, 0) AS BIGINT)
+         AS new_pairs
+FROM ddt a LEFT JOIN ddt b ON b.t = a.t - 1"""
+
+
+def sql_harmonic_centrality(edges_rel: str, t_max: int = 3) -> str:
+    """Oracle for :func:`harmonic_centrality`: the hyperball oracle as a
+    derived table, then the same fixed left-fold over per-t CASE pivots
+    (own WITH — standalone)."""
+    inner = sql_hyperball(edges_rel, t_max=t_max)
+    pivots = ",\n       ".join(
+        f"max(CASE WHEN t = {t} THEN est END) AS e{t}"
+        for t in range(t_max + 1)
+    )
+    fold = " + ".join(
+        f"(e{t} - e{t-1}) / {float(t)!r}" for t in range(1, t_max + 1)
+    )
+    return f"""
+WITH hbc AS ({inner}),
+hbw AS (SELECT node,
+       {pivots}
+FROM hbc GROUP BY node)
+SELECT node, e{t_max} AS reach, round({fold}, 4) AS harmonic
+FROM hbw"""
 
 
 # ---------------------------------------------------------------------------

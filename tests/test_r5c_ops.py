@@ -99,6 +99,128 @@ def test_hyperball_monotone_and_saturates(spark):
     assert len({ts[4]["sum_scaled"] for ts in by_node.values()}) == 1
 
 
+def _spark_round4(x: float) -> float:
+    # Spark round(double, 4): BigDecimal.valueOf(x) (shortest decimal
+    # repr) -> setScale(4, HALF_UP) -> double; repr() is Python's
+    # shortest-repr twin
+    from decimal import Decimal, ROUND_HALF_UP
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _hb_est(n_regs_set: int, sum_scaled: int) -> float:
+    # the full estimator CASE of graph._hb_estimate: linear counting
+    # from the precomputed literal table in the small range, raw
+    # one-division HLL otherwise
+    raw = GR._HB_NUM / sum_scaled
+    v = GR.HB_M - n_regs_set
+    if v > 0 and raw <= GR._HB_LC_BAR:
+        return GR._HB_LC[v - 1]
+    return _spark_round4(raw)
+
+
+def test_hyperball_singleton_est_is_linear_counting(spark):
+    # an isolated pair: at t=0 every ball is {v} -> est must be the
+    # V=63 linear-counting value ~1.0079, NOT the raw estimator's ~46
+    rows = GR.hyperball(_edges(spark, [("a", "b")]), t_max=1).collect()
+    t0 = [r for r in rows if r["t"] == 0]
+    assert t0 and all(r["est"] == GR._HB_LC[GR.HB_M - 2] for r in t0)
+    assert 1.0 < GR._HB_LC[GR.HB_M - 2] < 1.1
+
+
+def test_harmonic_centrality_matches_exact_replay(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")]
+    t_max = 3
+    balls = _balls(pairs, t_max)
+    nodes = {n for n, _ in balls}
+    exp = {}
+    for v in nodes:
+        est = []
+        for t in range(t_max + 1):
+            n_set, sum_scaled = _hb_expected(balls[(v, t)])
+            est.append(_hb_est(n_set, sum_scaled))
+        harm = 0.0
+        for t in range(1, t_max + 1):
+            harm = harm + (est[t] - est[t - 1]) / float(t)
+        exp[v] = (est[t_max], _spark_round4(harm))
+    got = {
+        r["node"]: (r["reach"], r["harmonic"])
+        for r in GR.harmonic_centrality(_edges(spark, pairs), t_max=t_max)
+        .collect()
+    }
+    assert got == exp
+
+
+def test_harmonic_centrality_sink_is_zero(spark):
+    # d is a pure sink: its ball never grows, so every delta — and the
+    # truncated harmonic — is exactly 0; reach is its own singleton est
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    rows = {
+        r["node"]: r
+        for r in GR.harmonic_centrality(_edges(spark, pairs), t_max=3)
+        .collect()
+    }
+    assert rows["d"]["harmonic"] == 0.0
+    # the chain head reaches strictly more than the middle
+    assert rows["a"]["harmonic"] > rows["b"]["harmonic"] > 0.0
+
+
+def test_harmonic_centrality_plan_no_python(spark):
+    df = GR.harmonic_centrality(_edges(spark, [("a", "b")]), t_max=2)
+    plan = X.formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_distance_distribution_matches_exact_replay(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")]
+    t_max = 3
+    balls = _balls(pairs, t_max)
+    nodes = {n for n, _ in balls}
+    exp = {}
+    prev = 0
+    for t in range(t_max + 1):
+        from decimal import Decimal, ROUND_HALF_UP
+
+        within = 0
+        for v in nodes:
+            n_set, sum_scaled = _hb_expected(balls[(v, t)])
+            est4 = _hb_est(n_set, sum_scaled)
+            within += int(
+                Decimal(repr(est4)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+        exp[t] = (len(nodes), within, within - prev)
+        prev = within
+    got = {
+        r["t"]: (r["n_nodes"], r["pairs_within"], r["new_pairs"])
+        for r in GR.distance_distribution(_edges(spark, pairs), t_max=t_max)
+        .collect()
+    }
+    assert got == exp
+
+
+def test_distance_distribution_t0_is_node_count(spark):
+    # at t=0 every ball is the singleton {v}: pairs_within == n_nodes
+    # exactly (the singleton estimate is alpha*m^2/(63*1 + (m-1)*2^55)
+    # ~= 1 and snaps to 1)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    rows = {
+        r["t"]: r
+        for r in GR.distance_distribution(_edges(spark, pairs), t_max=2)
+        .collect()
+    }
+    assert rows[0]["pairs_within"] == rows[0]["n_nodes"] == 3
+    assert rows[0]["new_pairs"] == 3
+    # a 3-cycle saturates at t=2: all 9 ordered pairs reached
+    assert rows[2]["pairs_within"] == rows[1]["pairs_within"] + rows[2][
+        "new_pairs"
+    ]
+
+
 def test_hyperball_plan_no_python(spark):
     df = GR.hyperball(_edges(spark, [("a", "b"), ("b", "c")]), t_max=2)
     plan = X.formatted_plan(df)
